@@ -1,0 +1,92 @@
+"""Geometry kernel unit tests (fixtures modeled on the reference's
+tests/test_document_analyzer.py hand-built boxes)."""
+
+from yomitoku_ray.kernels.geometry import (
+    calc_intersection,
+    calc_iou,
+    calc_overlap_ratio,
+    convert_table_array,
+    convert_table_array_to_dict,
+    gap_interval,
+    is_bottom_adjacent,
+    is_contained,
+    is_intersected_horizontal,
+    is_intersected_vertical,
+    is_right_adjacent,
+    quad_to_xyxy,
+)
+from yomitoku_ray.models import Table, TableCell
+
+
+def test_calc_intersection():
+    assert calc_intersection([0, 0, 10, 10], [5, 5, 15, 15]) == [5, 5, 10, 10]
+    assert calc_intersection([0, 0, 10, 10], [10, 10, 20, 20]) is None
+    assert calc_intersection([0, 0, 10, 10], [20, 20, 30, 30]) is None
+    # int truncation
+    assert calc_intersection([0.9, 0.9, 10.9, 10.9], [0, 0, 5, 5]) == [0, 0, 5, 5]
+
+
+def test_overlap_ratio_and_containment():
+    ratio, inter = calc_overlap_ratio([0, 0, 10, 10], [2, 2, 6, 6])
+    assert ratio == 1.0 and inter == [2, 2, 6, 6]
+    ratio, _ = calc_overlap_ratio([0, 0, 10, 10], [5, 0, 15, 10])
+    assert ratio == 0.5
+    assert is_contained([0, 0, 10, 10], [1, 1, 9, 9])
+    assert not is_contained([0, 0, 10, 10], [5, 0, 16, 10])  # 50% < 0.8
+    assert is_contained([0, 0, 10, 10], [5, 0, 16, 10], threshold=0.4)
+
+
+def test_iou():
+    assert calc_iou([0, 0, 10, 10], [0, 0, 10, 10]) == 1.0
+    assert calc_iou([0, 0, 10, 10], [20, 20, 30, 30]) == 0
+    assert abs(calc_iou([0, 0, 10, 10], [5, 0, 15, 10]) - 50 / 150) < 1e-12
+
+
+def test_band_intersections():
+    assert is_intersected_horizontal([0, 0, 10, 10], [20, 0, 30, 10])
+    assert not is_intersected_horizontal([0, 0, 10, 10], [0, 9, 10, 30])
+    assert is_intersected_vertical([0, 0, 10, 10], [5, 100, 15, 110])
+    assert not is_intersected_vertical([0, 0, 10, 10], [10, 0, 20, 10])
+
+
+def test_quad_to_xyxy():
+    assert quad_to_xyxy([[1, 2], [5, 2], [5, 8], [1, 8]]) == (1, 2, 5, 8)
+
+
+def test_gap_interval():
+    assert gap_interval((0, 5), (7, 9)) == 2
+    assert gap_interval((7, 9), (0, 5)) == 2
+    assert gap_interval((0, 5), (3, 9)) == 0.0
+
+
+def test_adjacency_soft_right():
+    a = [0, 0, 100, 20]
+    b = [105, 0, 200, 20]
+    assert is_right_adjacent(a, b)
+    assert not is_right_adjacent(b, a)  # direction constraint
+    far = [200, 0, 300, 20]
+    assert not is_right_adjacent(a, far)
+
+
+def test_adjacency_bottom_rules():
+    a = [0, 0, 100, 20]
+    b = [0, 25, 100, 45]
+    assert is_bottom_adjacent(a, b)
+    assert is_bottom_adjacent(a, b, rule="hard")
+    # child rule: nested left-aligned but not 1:1
+    c = [0, 25, 40, 45]
+    assert is_bottom_adjacent(a, c, rule="child")
+    assert not is_bottom_adjacent(a, b, rule="child")
+
+
+def test_convert_table_array_roundtrip():
+    cells = [
+        TableCell(col=1, row=1, col_span=1, row_span=1, box=[0, 0, 1, 1], contents="h1"),
+        TableCell(col=2, row=1, col_span=1, row_span=1, box=[0, 0, 1, 1], contents="h2"),
+        TableCell(col=1, row=2, col_span=2, row_span=1, box=[0, 0, 1, 1], contents="v"),
+    ]
+    t = Table(box=[0, 0, 10, 10], n_row=2, n_col=2, cells=cells)
+    arr = convert_table_array(t)
+    assert arr == [["h1", "h2"], ["v", "v"]]
+    d = convert_table_array_to_dict(arr)
+    assert d == [{"h1": "v", "h2": "v"}]
