@@ -1,44 +1,270 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship extraction pipeline over the synthesized sf0.001
+  Common-Crawl-style pages table (BASELINE.json input_hint shape).
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data ops: dedup, similarity, text analysis).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query.
+  Column names and arithmetic (integer cents via floor(x*100+0.5)) match the
+  Ray implementations exactly; non-SQL-expressible ops (LSH, extraction) are
+  omitted -> rows-only checks.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+
+
+def _pages_path(sf_dir: str) -> str:
+    from yomitoku_ray.synth.pages import ensure_pages_parquet
+
+    return ensure_pages_parquet(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the synthesized sf0.001 pages; returns a Dataset."""
+    from yomitoku_ray.pipelines.extract import ExtractConfig, extract_pages
+
+    path = _pages_path("/root/testdata/sf0.001")
+    return extract_pages(path, ExtractConfig())
+
+
+# ---------------------------------------------------------------------------
+# Extraction queries (pages table is engine-synthesized; rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _extract_summary(sf_dir: str) -> pd.DataFrame:
+    from yomitoku_ray.pipelines.extract import ExtractConfig, extract_pages
+
+    ds = extract_pages(_pages_path(sf_dir), ExtractConfig())
+    df = ds.select_columns(
+        [
+            "url",
+            "lang",
+            "error",
+            "extracted_text",
+            "n_words",
+            "n_paragraphs",
+            "n_tables",
+            "n_figures",
+            "n_boilerplate",
+        ]
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "url": df["url"],
+            "lang": df["lang"],
+            "ok": (df["error"].isna()).astype("int64"),
+            "n_words": df["n_words"].astype("int64"),
+            "n_paragraphs": df["n_paragraphs"].astype("int64"),
+            "n_tables": df["n_tables"].astype("int64"),
+            "n_figures": df["n_figures"].astype("int64"),
+            "n_boilerplate": df["n_boilerplate"].astype("int64"),
+            "text_sha256": [
+                hashlib.sha256(t.encode("utf-8")).hexdigest() for t in df["extracted_text"]
+            ],
+        }
+    )
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _extract_match_rate(sf_dir: str, n_sample: int = 200) -> pd.DataFrame:
+    """Live north-star metric: pipeline output vs oracle, byte match rate."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yomitoku_ray.oracle import analyze_html_bytes
+    from yomitoku_ray.pipelines.extract import ExtractConfig, build_extract_pipeline
+    from yomitoku_ray.pipelines.extract import PAGES_COLUMNS
+
+    path = _pages_path(sf_dir)
+    src = ray.data.read_parquet(path, columns=PAGES_COLUMNS).limit(n_sample)
+    result = build_extract_pipeline(src, ExtractConfig()).to_pandas()
+
+    import pyarrow.dataset as pads
+
+    html_by_url = {}
+    need = set(result["url"])
+    for batch in pads.dataset(path).to_batches(columns=["url", "html"]):
+        for url, html in zip(batch.column("url").to_pylist(), batch.column("html").to_pylist()):
+            if url in need:
+                html_by_url[url] = html
+
+    n_match = 0
+    n_checked = 0
+    for row in result.itertuples():
+        oracle_out, oracle_err = analyze_html_bytes(html_by_url[row.url], row.url)
+        if oracle_err is not None:
+            n_checked += 1
+            n_match += int(row.error is not None)
+            continue
+        n_checked += 1
+        ok = (
+            row.error is None
+            and row.extracted_text == oracle_out["extracted_text"]
+            and row.markdown == oracle_out["markdown"]
+            and row.doc_json == oracle_out["doc_json"]
+        )
+        n_match += int(ok)
+    return pd.DataFrame(
+        {
+            "n_checked": [n_checked],
+            "n_match": [n_match],
+            "match_rate_pct": [100 * n_match // max(1, n_checked)],
+        }
+    ).astype("int64")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from yomitoku_ray.functions.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_dup_pairs,
+    )
+    from yomitoku_ray.functions.relational import (
+        events_hourly,
+        pricing_summary,
+        revenue_by_segment,
+        top_parts_by_revenue,
+    )
+    from yomitoku_ray.functions.similarity import embedding_near_dup, knn_brute_force
+    from yomitoku_ray.functions.text_stats import doc_stats, lang_id, quality_score
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction pipeline (pages synthesized from BASELINE input_hint)
+        "extract_summary": _extract_summary,
+        "extract_match_rate": _extract_match_rate,
+        # text analysis (documents)
+        "doc_stats": doc_stats,
+        "quality_score": quality_score,
+        "lang_id": lang_id,
+        # dedup family
+        "exact_dedup": exact_dedup,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "simhash_dup_pairs": simhash_dup_pairs,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        # similarity search (embeddings)
+        "knn_brute_force": knn_brute_force,
+        "embedding_near_dup": embedding_near_dup,
+        # relational aggregate layer
+        "pricing_summary": pricing_summary,
+        "revenue_by_segment": revenue_by_segment,
+        "top_parts_by_revenue": top_parts_by_revenue,
+        "events_hourly": events_hourly,
+    }
+
+
+_STOP_SQL = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+_CENTS = "CAST(floor({col}*100 + 0.5) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    base_cents = _CENTS.format(col="l_extendedprice")
+    disc_pct = _CENTS.format(col="l_discount")
+    return {
+        "doc_stats": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   length(replace(text, ' ', '')) AS n_chars_nospace,
+                   md5(text) AS fingerprint
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id, n_tokens, n_stop, n_punct,
+                   CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+                   CAST(n_punct AS DOUBLE) / n_chars AS punct_per_char
+            FROM (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                       len(regexp_extract_all(lower(text), '{_STOP_SQL}')) AS n_stop,
+                       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                       length(text) AS n_chars
+                FROM documents
+            )
+        """,
+        "lang_id": r"""
+            SELECT doc_id,
+                   CASE WHEN ne = 0 AND ns = 0 AND nf = 0 AND nd = 0 THEN 'und'
+                        WHEN ne >= ns AND ne >= nf AND ne >= nd THEN 'en'
+                        WHEN ns >= nf AND ns >= nd THEN 'es'
+                        WHEN nf >= nd THEN 'fr'
+                        ELSE 'de' END AS pred_lang
+            FROM (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS ne,
+                       len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS ns,
+                       len(regexp_extract_all(lower(text), '\b(le|la|de|et|les)\b')) AS nf,
+                       len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS nd
+                FROM documents
+            )
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents
+            GROUP BY md5(text)
+        """,
+        "knn_brute_force": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                    e.vec_id
+                       ) AS rank
+                FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q,
+                     embeddings e
+                WHERE e.vec_id <> q.vec_id
+            ) WHERE rank <= 5
+        """,
+        "embedding_near_dup": """
+            SELECT CAST(a.label AS BIGINT) AS label,
+                   a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25
+        """,
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum({base_cents}) AS BIGINT) AS sum_base_cents,
+                   CAST(sum({base_cents} * (100 - {disc_pct})) AS BIGINT) AS sum_disc_cents_e4,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_segment": f"""
+            SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+                   CAST(sum({_CENTS.format(col="o.o_totalprice")}) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "top_parts_by_revenue": f"""
+            SELECT l_partkey,
+                   CAST(sum({base_cents} * (100 - {disc_pct})) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            GROUP BY l_partkey
+            ORDER BY revenue_cents DESC, l_partkey
+            LIMIT 10
+        """,
+        "events_hourly": f"""
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum({_CENTS.format(col="value")}) AS BIGINT) AS sum_value_cents
+            FROM events
+            GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,150 @@
+"""Benchmark harness.
+
+Headline: the flagship extraction pipeline over the synthesized
+Common-Crawl-style pages table at $GRAFT_SF_DIR (default sf0.1 -> 100k
+pages), consumed by write_parquet to /tmp (a real sink, not count()).
+Plus the main training-data operators at the same sf.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": headline_sec, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "pages_per_sec": ...}
+
+--scaling: runs the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports throughputs +
+scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
+cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+HEADLINE_ONLY = os.environ.get("BENCH_HEADLINE_ONLY", "0") == "1"
+
+
+def _sf_label(sf_dir: str) -> str:
+    for part in sf_dir.rstrip("/").split("/"):
+        if part.startswith("sf"):
+            return part[2:]
+    return sf_dir
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from yomitoku_ray.pipelines.extract import ExtractConfig, extract_pages
+    from yomitoku_ray.synth.pages import ensure_pages_parquet, rows_for_sf_dir
+
+    pages_path = ensure_pages_parquet(SF_DIR)
+    n_pages = rows_for_sf_dir(SF_DIR)
+
+    # Warm the OS page cache so we measure compute+pipeline, not cold disk.
+    import pyarrow.dataset as pads
+
+    for _ in pads.dataset(pages_path).to_batches(columns=["url"]):
+        pass
+
+    timings: dict[str, float] = {}
+
+    # Headline: extraction -> parquet sink.
+    out_dir = "/tmp/yomitoku_ray_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # Fixed-size pool: autoscaling ramp cost ~2x wall at this job length.
+    cfg = ExtractConfig(
+        detect_concurrency=max(4, NUM_CPUS - 2),
+        detect_batch_size=16,
+        read_num_blocks=NUM_CPUS * 8,
+    )
+    t0 = time.perf_counter()
+    extract_pages(pages_path, cfg).write_parquet(out_dir)
+    timings["extract"] = round(time.perf_counter() - t0, 3)
+
+    if not HEADLINE_ONLY:
+        from yomitoku_ray.functions.dedup import exact_dedup, minhash_lsh_pairs
+        from yomitoku_ray.functions.relational import events_hourly, pricing_summary
+        from yomitoku_ray.functions.similarity import embedding_near_dup, knn_brute_force
+        from yomitoku_ray.functions.text_stats import doc_stats, quality_score
+
+        def timed(name, fn):
+            t0 = time.perf_counter()
+            res = fn(SF_DIR)
+            # consume lazily-built datasets
+            if hasattr(res, "materialize"):
+                res.materialize()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        timed("doc_stats", doc_stats)
+        timed("quality_score", quality_score)
+        timed("exact_dedup", exact_dedup)
+        timed("minhash_lsh_pairs", minhash_lsh_pairs)
+        timed("knn_brute_force", knn_brute_force)
+        timed("embedding_near_dup", embedding_near_dup)
+        timed("pricing_summary", pricing_summary)
+        timed("events_hourly", events_hourly)
+
+    ray.shutdown()
+    return {
+        "metric": "extraction pipeline wall time (synthesized CC-style pages -> parquet)",
+        "value": timings["extract"],
+        "unit": "sec",
+        "queries": {f"q_{k}": v for k, v in timings.items()},
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / timings["extract"], 1),
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same input, num_cpus 8 vs 32)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "pages_per_sec_8": r_lo["pages_per_sec"],
+        "pages_per_sec_32": r_hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+        "n_pages": r_hi["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,129 @@
+"""Dedup + similarity operators on a corpus with known duplicate structure."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from yomitoku_ray.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingle_hashes,
+    simhash64,
+    simhash_dup_pairs,
+    _minhash_params,
+)
+from yomitoku_ray.functions.similarity import embedding_near_dup, knn_brute_force
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the data pipeline "
+    "streams batches of arrow tables through the cluster nodes every day"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one token differs -> high jaccard
+FAR = "completely different content about gardening tulips and roses in spring"
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dedup_corpus")
+    rows = [
+        {"doc_id": 0, "text": BASE, "source": "s0"},
+        {"doc_id": 1, "text": BASE, "source": "s0"},  # exact dup of 0
+        {"doc_id": 2, "text": NEAR, "source": "s0"},  # near dup of 0
+        {"doc_id": 3, "text": FAR, "source": "s0"},
+        {"doc_id": 4, "text": FAR + " extended with more words", "source": "s1"},
+        {"doc_id": 5, "text": BASE, "source": "s1"},  # exact dup, other block
+    ]
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_groups(ray_session, corpus_dir):
+    df = exact_dedup(corpus_dir).to_pandas().sort_values("keep_doc_id")
+    groups = {r.keep_doc_id: r.n_copies for r in df.itertuples()}
+    assert groups[0] == 3  # docs 0, 1, 5
+    assert groups[2] == 1
+    assert len(df) == 4  # 4 distinct texts
+
+
+def test_minhash_lsh_finds_near_dups(ray_session, corpus_dir):
+    pairs = minhash_lsh_pairs(corpus_dir, threshold=0.5)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got and (0, 5) in got and (1, 5) in got  # exact dups
+    assert (0, 2) in got  # near dup (1-token difference)
+    assert not any(3 in p or 4 in p and (0 in p or 1 in p) for p in got if 0 in p)
+
+
+def test_minhash_signature_properties():
+    a, b = _minhash_params(64)
+    s1 = minhash_signature(shingle_hashes(BASE), a, b)
+    s2 = minhash_signature(shingle_hashes(BASE), a, b)
+    assert (s1 == s2).all()  # deterministic
+    s3 = minhash_signature(shingle_hashes(NEAR), a, b)
+    sim = (s1 == s3).mean()
+    assert sim > 0.6  # high estimated jaccard for near dup
+    s4 = minhash_signature(shingle_hashes(FAR), a, b)
+    assert (s1 == s4).mean() < 0.2
+
+
+def test_simhash_pairs(ray_session, corpus_dir):
+    assert simhash64(BASE) == simhash64(BASE)
+    pairs = simhash_dup_pairs(corpus_dir, hamming_max=6)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got and (0, 5) in got
+    ham = dict(zip(zip(pairs["doc_a"], pairs["doc_b"]), pairs["hamming"]))
+    assert ham[(0, 1)] == 0
+
+
+def test_ngram_jaccard_blocked(ray_session, corpus_dir):
+    df = ngram_jaccard_pairs(corpus_dir, threshold=0.5).to_pandas()
+    got = set(zip(df["doc_a"], df["doc_b"]))
+    assert (0, 1) in got  # same block s0
+    # 0 and 5 are exact dups but different blocks -> NOT found (documented
+    # blocking tradeoff)
+    assert (0, 5) not in got
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("emb")
+    rng = np.random.RandomState(3)
+    base = rng.randn(4, 16).astype(np.float32)
+    rows = []
+    vid = 0
+    for label in range(4):
+        for j in range(6):
+            v = base[label] + 0.05 * rng.randn(16).astype(np.float32)
+            rows.append({"vec_id": vid, "embedding": v.tolist(), "label": label})
+            vid += 1
+    t = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        )
+    )
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_embedding_near_dup_blocks(ray_session, emb_dir):
+    df = embedding_near_dup(emb_dir, threshold=0.99).to_pandas()
+    # All within-label pairs are near-identical by construction: 4 labels x C(6,2)
+    assert len(df) == 4 * 15
+    assert (df["vec_a"] < df["vec_b"]).all()
+
+
+def test_knn_brute_force_neighbors(ray_session, emb_dir):
+    df = knn_brute_force(emb_dir, k=5, n_queries=3)
+    # queries 0..2 are label 0; their top-5 must be the other label-0 vectors
+    for q in range(3):
+        neigh = set(df[df["query_id"] == q]["neighbor_id"])
+        assert neigh == {v for v in range(6) if v != q}
+        ranks = df[df["query_id"] == q]["rank"].tolist()
+        assert ranks == [1, 2, 3, 4, 5]

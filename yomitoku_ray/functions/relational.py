@@ -1,0 +1,183 @@
+"""Relational aggregate pipelines over the TPC-H-ish tables.
+
+The engine's generic groupby/join/sort layer (SURVEY §2.5 G4/G7 analogues),
+written the way the 100 TB posture demands:
+
+- pre-aggregation: partial sums per batch inside ``map_batches`` (one row
+  per key per batch), then a small groupby over partials;
+- broadcast joins: the dimension side goes through ``ray.put`` once and is
+  looked up per batch — never a shuffle join for a small side;
+- exact integer arithmetic: money flows as ``floor(x*100 + 0.5)`` cents so
+  sums are order-independent int64 — a distributed float sum is
+  nondeterministic in the last ulp and would break value-hash comparison
+  against the SQL oracle (the oracle uses the identical floor expression).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _cents(x: pd.Series) -> pd.Series:
+    return np.floor(x * 100 + 0.5).astype("int64")
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary with partial pre-aggregation.
+
+    Columns: l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+    sum_disc_cents_e4, n_rows (all int64).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff_ts = pd.Timestamp(cutoff)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] < cutoff_ts]
+        if len(df) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "l_returnflag",
+                    "l_linestatus",
+                    "sum_qty",
+                    "sum_base_cents",
+                    "sum_disc_cents_e4",
+                    "n_rows",
+                ]
+            )
+        base_cents = _cents(df["l_extendedprice"])
+        disc_pct = _cents(df["l_discount"])  # discount in basis-ish units (x100)
+        work = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["l_quantity"].astype("int64"),
+                "sum_base_cents": base_cents,
+                "sum_disc_cents_e4": base_cents * (100 - disc_pct),
+                "n_rows": np.ones(len(df), dtype="int64"),
+            }
+        )
+        return work.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents_e4", alias_name="sum_disc_cents_e4"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+def revenue_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join: customer (dimension) -> orders (fact), grouped revenue.
+
+    Columns: c_mktsegment, revenue_cents, n_orders.
+    """
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def _lookup(df: pd.DataFrame) -> pd.DataFrame:
+        seg_map = ray.get(seg_map_ref)
+        seg = df["o_custkey"].map(seg_map).fillna("UNKNOWN")
+        work = pd.DataFrame(
+            {
+                "c_mktsegment": seg,
+                "revenue_cents": _cents(df["o_totalprice"]),
+                "n_orders": np.ones(len(df), dtype="int64"),
+            }
+        )
+        return work.groupby("c_mktsegment", as_index=False).sum()
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    out = (
+        orders.map_batches(_lookup, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+    return out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def top_parts_by_revenue(sf_dir: str, top_n: int = 10) -> pd.DataFrame:
+    """Grouped revenue per part -> global top-N (sort + limit).
+
+    Columns: l_partkey, revenue_cents.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = _cents(df["l_extendedprice"])
+        disc = _cents(df["l_discount"])
+        work = pd.DataFrame(
+            {"l_partkey": df["l_partkey"], "revenue_cents": base * (100 - disc)}
+        )
+        return work.groupby("l_partkey", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    top = agg.sort(["revenue_cents", "l_partkey"], descending=[True, False]).limit(top_n)
+    return top.to_pandas().reset_index(drop=True)
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per event_type (streaming-shaped aggregate).
+
+    Columns: event_type, window_start (timestamp[us]), n_events,
+    sum_value_cents.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        work = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "window_start": df["ts"].dt.floor("h"),
+                "n_events": np.ones(len(df), dtype="int64"),
+                "sum_value_cents": _cents(df["value"]),
+            }
+        )
+        return work.groupby(["event_type", "window_start"], as_index=False).sum()
+
+    out = ds.map_batches(_partial, batch_format="pandas").groupby(
+        ["event_type", "window_start"]
+    ).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_cents", alias_name="sum_value_cents"),
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )

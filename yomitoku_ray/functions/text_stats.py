@@ -1,0 +1,111 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Each operator is a vectorized ``map_batches`` stage; the formulas are chosen
+to be expressible 1:1 in ANSI SQL (DuckDB) so the driver's oracle can
+hash-verify values. All ratios use exact formulas replicated verbatim in
+``__ray_entry__.oracle_sql``; counts are ints, divisions happen once at the
+end in both engines (identical IEEE doubles).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import ray.data
+
+# Marker stopwords per language for the n-gram/marker lang-id heuristic.
+# Deterministic and SQL-replicable via regexp_extract_all counts.
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in)\b",
+    "es": r"\b(el|la|de|que|y)\b",
+    "fr": r"\b(le|la|de|et|les)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+}
+
+_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+_PUNCT = r"[.,;:!?]"
+_TOKEN_SPLIT = re.compile(r"\s+")
+
+
+def _doc_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    text = df["text"].fillna("")
+    toks = text.str.strip().str.split(_TOKEN_SPLIT)
+    n_tokens = toks.map(len)
+    no_space = text.str.replace(" ", "", regex=False)
+    out = pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_tokens": n_tokens.astype("int64"),
+            "n_chars_nospace": no_space.str.len().astype("int64"),
+            "fingerprint": [
+                hashlib.md5(t.encode("utf-8")).hexdigest() for t in text
+            ],
+        }
+    )
+    return out
+
+
+def doc_stats(sf_dir: str) -> ray.data.Dataset:
+    """Token counts + md5 fingerprint per document.
+
+    The fingerprint doubles as the exact-dedup key (D-ops) and as the
+    SURVEY §2 'document fingerprinting' function.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(_doc_stats_batch, batch_format="pandas")
+
+
+def _quality_batch(df: pd.DataFrame) -> pd.DataFrame:
+    text = df["text"].fillna("")
+    lower = text.str.lower()
+    n_tokens = text.str.strip().str.split(_TOKEN_SPLIT).map(len).astype("int64")
+    n_chars = text.str.len().astype("int64")
+    n_stop = lower.str.count(_STOPWORDS).astype("int64")
+    n_punct = text.str.count(_PUNCT).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_tokens": n_tokens,
+            "n_stop": n_stop,
+            "n_punct": n_punct,
+            # single final divisions: identical IEEE doubles in DuckDB
+            "stop_ratio": n_stop / n_tokens,
+            "punct_per_char": n_punct / n_chars,
+        }
+    )
+
+
+def quality_score(sf_dir: str) -> ray.data.Dataset:
+    """Length/punct/stopword quality features per document."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(_quality_batch, batch_format="pandas")
+
+
+def _lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
+    lower = df["text"].fillna("").str.lower()
+    scores = {
+        lang: lower.str.count(pat).astype("int64")
+        for lang, pat in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    score_df = pd.DataFrame(scores)
+    # argmax with deterministic tiebreak: first language (dict order) wins;
+    # all-zero -> 'und'.
+    best = score_df[langs].idxmax(axis=1)
+    allzero = score_df[langs].max(axis=1) == 0
+    best[allzero] = "und"
+    return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": best.values})
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Marker-word language-ID heuristic (SURVEY: text analysis ops)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(_lang_id_batch, batch_format="pandas")

@@ -20,7 +20,7 @@ from .graph import Node
 # identical add_link ordering (verified by the parity test in
 # tests/test_reading_order.py). Boxes are ints, so numpy int comparisons are
 # exact replicas of the scalar code.
-_VECTORIZE_MIN_NODES = 32
+_VECTORIZE_MIN_NODES = 8
 
 
 def _priority_dfs(nodes, direction):

@@ -39,16 +39,44 @@ class ExtractConfig:
     ignore_ruby: bool = False
     ruby_threshold: float = 2.0
     classifier_config: dict = field(default_factory=dict)
+    # Fused single-actor path (default): decode->detect->aggregate->render in
+    # one stage; the staged path (fused=False) exposes the detections
+    # boundary for inspection/tests at ~5x conversion cost.
+    fused: bool = True
+    # Read parallelism: blocks per input (None = Ray default). The pages
+    # parquet has few large files; splitting blocks finer keeps the actor
+    # pool saturated.
+    read_num_blocks: int | None = None
 
 
-def read_pages(path, columns=PAGES_COLUMNS):
+def read_pages(path, columns=PAGES_COLUMNS, cfg: "ExtractConfig | None" = None):
     """Column-pruned read of a pages parquet dir/file."""
-    return ray.data.read_parquet(path, columns=list(columns))
+    kwargs = {}
+    if cfg is not None and cfg.read_num_blocks:
+        kwargs["override_num_blocks"] = cfg.read_num_blocks
+    return ray.data.read_parquet(path, columns=list(columns), **kwargs)
 
 
 def build_extract_pipeline(ds: ray.data.Dataset, cfg: ExtractConfig | None = None):
     """Attach the extraction stages to a pages Dataset (lazy)."""
     cfg = cfg or ExtractConfig()
+    if cfg.fused:
+        from ..stages.fused_stage import FusedExtractStage
+
+        return ds.map_batches(
+            FusedExtractStage,
+            fn_constructor_kwargs={
+                "classifier_config": cfg.classifier_config,
+                "reading_order": cfg.reading_order,
+                "ignore_meta": cfg.ignore_meta,
+                "ignore_ruby": cfg.ignore_ruby,
+                "ruby_threshold": cfg.ruby_threshold,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.detect_batch_size,
+            concurrency=cfg.detect_concurrency,
+            num_cpus=cfg.detect_num_cpus,
+        )
     ds = ds.map_batches(
         DetectStage,
         fn_constructor_kwargs={"classifier_config": cfg.classifier_config},
@@ -73,4 +101,5 @@ def build_extract_pipeline(ds: ray.data.Dataset, cfg: ExtractConfig | None = Non
 
 def extract_pages(path, cfg: ExtractConfig | None = None):
     """read -> detect -> aggregate/render as a lazy Dataset."""
-    return build_extract_pipeline(read_pages(path), cfg)
+    cfg = cfg or ExtractConfig()
+    return build_extract_pipeline(read_pages(path, cfg=cfg), cfg)
