@@ -123,6 +123,63 @@ def _extract_match_rate(sf_dir: str, n_sample: int = 200) -> pd.DataFrame:
     ).astype("int64")
 
 
+def _semantic_summary(sf_dir: str) -> pd.DataFrame:
+    """Semantic table parsing (grids/kv) over the synthesized pages."""
+    from yomitoku_ray.pipelines.semantic import semantic_pages
+
+    schema = {
+        "fields": [
+            {"name": "first_number", "regex": r"\d+", "normalize": "numeric"},
+            {"name": "heading", "description": "の"},
+        ]
+    }
+    ds = semantic_pages(_pages_path(sf_dir), extraction_schema=schema)
+    df = ds.to_pandas()
+    out = pd.DataFrame(
+        {
+            "url": df["url"],
+            "ok": df["error"].isna().astype("int64"),
+            "n_tables": df["n_tables"].astype("int64"),
+            "n_kv_items": df["n_kv_items"].astype("int64"),
+            "n_grids": df["n_grids"].astype("int64"),
+            "views_sha256": [
+                hashlib.sha256(s.encode("utf-8")).hexdigest() for s in df["views_json"]
+            ],
+            "extract_sha256": [
+                hashlib.sha256(s.encode("utf-8")).hexdigest()
+                for s in df["extraction_json"]
+            ],
+        }
+    )
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _page_merge_by_domain(sf_dir: str) -> pd.DataFrame:
+    """Multi-page merge keyed by domain (the G4 shuffle analogue)."""
+    from yomitoku_ray.functions.merge import merge_pages_by_domain
+    from yomitoku_ray.pipelines.extract import ExtractConfig, extract_pages
+
+    ds = extract_pages(_pages_path(sf_dir), ExtractConfig())
+    ds = ds.select_columns(["url", "extracted_text"])
+    merged = merge_pages_by_domain(ds)
+    return (
+        merged.to_pandas()
+        .drop(columns=["merge_truncated"])
+        .sort_values("domain")
+        .reset_index(drop=True)
+    )
+
+
+def _domain_skew(sf_dir: str) -> pd.DataFrame:
+    """Hot-domain probe over the pages table (pre-aggregated count)."""
+    import ray.data
+
+    from yomitoku_ray.functions.merge import domain_skew_probe
+
+    ds = ray.data.read_parquet(_pages_path(sf_dir), columns=["url"])
+    return domain_skew_probe(ds, top_n=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.dedup import (
         exact_dedup,
@@ -143,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction pipeline (pages synthesized from BASELINE input_hint)
         "extract_summary": _extract_summary,
         "extract_match_rate": _extract_match_rate,
+        "semantic_summary": _semantic_summary,
+        "page_merge_by_domain": _page_merge_by_domain,
+        "domain_skew": _domain_skew,
         # text analysis (documents)
         "doc_stats": doc_stats,
         "quality_score": quality_score,

@@ -115,6 +115,10 @@ class Detections:
     figures: List[Element] = field(default_factory=list)
     n_boilerplate: int = 0  # dropped block count (metrics)
     truncated: bool = False  # element/word budget hit (giant-doc guard)
+    # Semantic-pipeline detections (CellDetector analogue,
+    # table_cell_detector.py:185-474): per table, role-classified cells
+    # (header/cell/empty) + group regions (one per tbody when multiple).
+    semantic_tables: List[dict] = field(default_factory=list)
 
 
 # Giant-document guards. The reference's aggregation + reading-order
@@ -205,6 +209,8 @@ class PageLayoutEngine:
         body = root.find_all("body")
         start = body[0] if body else root
         self._cursor_y = MARGIN
+        self._sem_seq = 0
+        self._last_sections = []
         self._walk_children(start, det, role=None, vertical=self._is_vertical(start))
 
         # Layout-model postprocessing parity (layout_parser.py:168-205):
@@ -512,6 +518,9 @@ class PageLayoutEngine:
             order=0,
         )
         det.tables.append(table)
+        self._emit_semantic_cells(
+            det, grid, n_rows, col_x, y0, row_height, table_box
+        )
 
         # Place cell words inside unit-cell interiors.
         for cell in grid:
@@ -555,13 +564,22 @@ class PageLayoutEngine:
             cx += w + WORD_GAP
 
     def _table_grid(self, node: DomNode):
-        """HTML table -> occupancy-resolved cell list (0-based row/col)."""
+        """HTML table -> occupancy-resolved cell list (0-based row/col).
+
+        Also records tbody section row-ranges (``self._last_sections``) used
+        by the semantic cell detector to synthesize group regions.
+        """
         trs = []
+        sections = []  # (tag, start_row, end_row) per section element
         for sect in node.children:
             if sect.tag in ("thead", "tbody", "tfoot"):
+                start = len(trs)
                 trs.extend(c for c in sect.children if c.tag == "tr")
+                if len(trs) > start:
+                    sections.append((sect.tag, start, len(trs)))
             elif sect.tag == "tr":
                 trs.append(sect)
+        self._last_sections = sections
         grid = []
         occupied = {}
         n_cols = 0
@@ -596,6 +614,99 @@ class PageLayoutEngine:
                 c += colspan
                 n_cols = max(n_cols, c)
         return grid, len(trs), n_cols
+
+    # Visual inset of a semantic cell box inside its grid slot: leaves a
+    # 2*INSET gap between neighbors so the reference's adjacency rules (which
+    # reject coincident corners via ignore_dist_threshold=10,
+    # utils/misc.py:324-330) see distinct, nearby boxes — like the drawn cell
+    # borders the reference's CellDetector detects.
+    SEM_CELL_INSET = 6
+
+    def _emit_semantic_cells(self, det, grid, n_rows, col_x, y0, row_height, table_box):
+        """CellDetector analogue: role-classified cell boxes + tbody groups."""
+        from .semantic.schemas import SemanticCell
+
+        inset = self.SEM_CELL_INSET
+        cells = []
+        for entry in grid:
+            if entry["row"] >= n_rows:
+                continue
+            x1 = col_x[entry["col"]] + inset
+            x2 = col_x[entry["col"] + entry["colspan"]] - inset
+            y1 = y0 + entry["row"] * row_height + inset
+            y2 = y0 + (entry["row"] + entry["rowspan"]) * row_height - inset
+            if entry["header"]:
+                role = "header"
+            elif entry["text"]:
+                role = "cell"
+            else:
+                role = "empty"
+            cells.append(
+                SemanticCell(
+                    contents=None,
+                    role=role,
+                    id=f"sc{self._sem_seq}",
+                    box=[x1, y1, x2, y2],
+                    row=entry["row"],
+                    col=entry["col"],
+                    row_span=entry["rowspan"],
+                    col_span=entry["colspan"],
+                )
+            )
+            self._sem_seq += 1
+
+        # Group regions (the visual-group class of the reference's
+        # CellDetector). Without groups the reference's KV DAG has no edges
+        # (kv_parser.py:28-29), so group synthesis is load-bearing:
+        # (a) a row mixing header (th) and data (td) cells is a KV row group;
+        by_row = {}
+        for entry in grid:
+            if entry["row"] >= n_rows:
+                continue
+            by_row.setdefault(entry["row"], []).append(entry)
+        for r, entries in sorted(by_row.items()):
+            has_header = any(e["header"] for e in entries)
+            has_data = any(not e["header"] for e in entries)
+            if has_header and has_data:
+                cells.append(
+                    SemanticCell(
+                        contents=None,
+                        role="group",
+                        id=f"sc{self._sem_seq}",
+                        box=[
+                            table_box[0] - 2,
+                            y0 + r * row_height - 2,
+                            table_box[2] + 2,
+                            y0 + (r + 1) * row_height + 2,
+                        ],
+                    )
+                )
+                self._sem_seq += 1
+
+        # (b) one group per tbody when the table has >= 2 tbodies.
+        tbodies = [s for s in self._last_sections if s[0] == "tbody"]
+        if len(tbodies) >= 2:
+            for _, start, end in tbodies:
+                start = min(start, n_rows)
+                end = min(end, n_rows)
+                if end <= start:
+                    continue
+                cells.append(
+                    SemanticCell(
+                        contents=None,
+                        role="group",
+                        id=f"sc{self._sem_seq}",
+                        box=[
+                            table_box[0] - 2,
+                            y0 + start * row_height - 2,
+                            table_box[2] + 2,
+                            y0 + end * row_height + 2,
+                        ],
+                    )
+                )
+                self._sem_seq += 1
+
+        det.semantic_tables.append({"box": list(table_box), "cells": cells})
 
     # -- figures -----------------------------------------------------------
 

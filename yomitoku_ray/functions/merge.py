@@ -1,0 +1,110 @@
+"""Cross-document merge + skew probe (the engine's only wide shuffles).
+
+The reference's one cross-page aggregate is the ``--combine`` multi-page
+merge (``/root/reference/src/yomitoku/cli/main.py:24-59``: json -> list
+append, md/html -> "\\n" join, ordered by page). Here the grouping key is
+the url's host domain; pages within a group merge in deterministic url
+order.
+
+Skew posture (north rule: "salted groupby ... host-domain skew"): the merge
+itself cannot be salted (ordered concat needs the whole group), so skew is
+defused by (a) the probe below, which counts pages per domain with partial
+pre-aggregation and reports hot keys, and (b) a hard per-group cap — a
+domain beyond ``max_pages_per_domain`` merges its first N pages (url order)
+and is flagged, bounding any single reducer's work. At 10^12-doc scale the
+probe's hot-key list feeds the cap (or a per-domain sub-split key) before
+the shuffle runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urlparse
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _domain_of(url: str) -> str:
+    try:
+        return urlparse(url).netloc or "unknown"
+    except ValueError:
+        return "unknown"
+
+
+def add_domain_column(ds: ray.data.Dataset) -> ray.data.Dataset:
+    def _add(df: pd.DataFrame) -> pd.DataFrame:
+        df["domain"] = [_domain_of(u) for u in df["url"]]
+        return df
+
+    return ds.map_batches(_add, batch_format="pandas")
+
+
+def domain_skew_probe(ds: ray.data.Dataset, top_n: int = 20) -> pd.DataFrame:
+    """Pages-per-domain histogram (partial pre-agg -> tiny groupby).
+
+    Columns: domain, n_pages. Sorted hot-first; feeds the merge cap/salt map.
+    """
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        work = pd.DataFrame(
+            {
+                "domain": [_domain_of(u) for u in df["url"]],
+                "n_pages": np.ones(len(df), dtype="int64"),
+            }
+        )
+        return work.groupby("domain", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("domain")
+        .aggregate(Sum("n_pages", alias_name="n_pages"))
+    )
+    out = agg.to_pandas().sort_values(["n_pages", "domain"], ascending=[False, True])
+    return out.head(top_n).reset_index(drop=True)
+
+
+def merge_pages_by_domain(
+    result_ds: ray.data.Dataset,
+    text_column: str = "extracted_text",
+    max_pages_per_domain: int = 1000,
+) -> ray.data.Dataset:
+    """groupby(domain) -> ordered "\\n" join of per-page text (G4 analogue).
+
+    Output: domain, n_pages, merged_sha256, total_chars, merge_truncated.
+    The sha256 stands in for shipping the (potentially huge) merged blob
+    out of the reducer in test/bench contexts.
+    """
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url")
+        truncated = len(g) > max_pages_per_domain
+        g = g.head(max_pages_per_domain)
+        merged = "\n".join(t or "" for t in g[text_column])
+        return pd.DataFrame(
+            {
+                "domain": [g["domain"].iloc[0]],
+                "n_pages": np.array([len(g)], dtype="int64"),
+                "total_chars": np.array([len(merged)], dtype="int64"),
+                "merged_sha256": [hashlib.sha256(merged.encode("utf-8")).hexdigest()],
+                "merge_truncated": [bool(truncated)],
+            }
+        )
+
+    ds = add_domain_column(result_ds)
+    return ds.groupby("domain").map_groups(_merge, batch_format="pandas")
+
+
+def url_dedup_first(pages_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact url dedup, first (min warc_ts) wins — hash-partitioned groupby.
+
+    Parity target: the engine-level dedup SURVEY §2.7 calls for (absent in
+    the reference); key is the url hash (uniform), no salting needed.
+    """
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["warc_ts", "url"]).head(1)
+
+    return pages_ds.groupby("url").map_groups(_first, batch_format="pandas")
