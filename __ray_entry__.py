@@ -192,8 +192,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pricing_summary,
         revenue_by_segment,
         top_parts_by_revenue,
+        user_sessions,
     )
-    from yomitoku_ray.functions.similarity import embedding_near_dup, knn_brute_force
+    from yomitoku_ray.functions.similarity import (
+        ann_lsh,
+        embedding_near_dup,
+        knn_brute_force,
+    )
     from yomitoku_ray.functions.text_stats import doc_stats, lang_id, quality_score
 
     return {
@@ -214,12 +219,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         # similarity search (embeddings)
         "knn_brute_force": knn_brute_force,
+        "ann_lsh": ann_lsh,
         "embedding_near_dup": embedding_near_dup,
         # relational aggregate layer
         "pricing_summary": pricing_summary,
         "revenue_by_segment": revenue_by_segment,
         "top_parts_by_revenue": top_parts_by_revenue,
         "events_hourly": events_hourly,
+        "user_sessions": user_sessions,
     }
 
 
@@ -318,6 +325,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_partkey
             ORDER BY revenue_cents DESC, l_partkey
             LIMIT 10
+        """,
+        "user_sessions": """
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM (
+                    SELECT user_id, ts, event_id,
+                           CASE WHEN ts - lag(ts) OVER (
+                                    PARTITION BY user_id ORDER BY ts, event_id)
+                                > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+                    FROM events
+                )
+            )
+            GROUP BY user_id, session_id
         """,
         "events_hourly": f"""
             SELECT event_type,

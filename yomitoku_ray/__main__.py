@@ -1,0 +1,136 @@
+"""CLI entry point: ``python -m yomitoku_ray <command>``.
+
+Analogue of the reference CLI (``/root/reference/src/yomitoku/cli/main.py:
+290-562`` and ``cli/extract_rule.py``), re-shaped for a dataset engine: the
+unit of work is a Parquet pages table, not a file/dir of images, and output
+is partitioned parquet (+ manifests) rather than per-page files.
+
+Commands:
+  extract   pages parquet -> extracted text/markdown/json columns
+  semantic  pages parquet -> semantic tables (grids/kv) [+ rule extraction]
+  ocr       pages parquet -> word stream only
+  synth     generate the deterministic synthetic pages table
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+_OWNS_RAY = False
+
+
+def _init_ray(num_cpus: int):
+    """Init Ray only if no session exists; remember ownership so ``main``
+    never tears down a session it did not create (the driver owns its own)."""
+    global _OWNS_RAY
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        _OWNS_RAY = True
+
+
+def cmd_extract(args):
+    _init_ray(args.num_cpus)
+    from .pipelines.extract import ExtractConfig, extract_pages
+    from .state.checkpoint import run_resumable
+
+    cfg = ExtractConfig(
+        detect_concurrency=(2, max(2, args.num_cpus - 2)),
+        ignore_ruby=args.ignore_ruby,
+        ignore_meta=args.ignore_meta,
+        reading_order=args.reading_order,
+    )
+    if args.resumable:
+        summary = run_resumable(args.input, args.output, cfg, wave_files=args.wave_files)
+        print(json.dumps(summary))
+    else:
+        extract_pages(args.input, cfg).write_parquet(args.output)
+        print(json.dumps({"output": args.output}))
+
+
+def cmd_semantic(args):
+    _init_ray(args.num_cpus)
+    from .pipelines.semantic import semantic_pages
+
+    schema = None
+    if args.schema:
+        import yaml
+
+        with open(args.schema, encoding="utf-8") as f:
+            schema = yaml.safe_load(f)
+    ds = semantic_pages(args.input, extraction_schema=schema)
+    ds.write_parquet(args.output)
+    print(json.dumps({"output": args.output}))
+
+
+def cmd_ocr(args):
+    _init_ray(args.num_cpus)
+    from .pipelines.ocr import ocr_pages
+
+    ocr_pages(args.input).write_parquet(args.output)
+    print(json.dumps({"output": args.output}))
+
+
+def cmd_synth(args):
+    import pyarrow.parquet as pq
+
+    from .synth.pages import generate_pages_table
+
+    pq.write_table(generate_pages_table(args.rows, seed=args.seed), args.output)
+    print(json.dumps({"output": args.output, "rows": args.rows}))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="yomitoku_ray")
+    parser.add_argument("--num-cpus", type=int, default=8)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("extract", help="full extraction pipeline")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--resumable", action="store_true")
+    p.add_argument("--wave-files", type=int, default=4)
+    p.add_argument("--ignore-ruby", action="store_true")
+    p.add_argument("--ignore-meta", action="store_true")
+    p.add_argument("--reading-order", default="auto",
+                   choices=["auto", "top2bottom", "right2left", "left2right"])
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("semantic", help="semantic table parsing [+ extraction]")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--schema", help="extraction schema YAML")
+    p.set_defaults(fn=cmd_semantic)
+
+    p = sub.add_parser("ocr", help="word stream only")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_ocr)
+
+    p = sub.add_parser("synth", help="generate synthetic pages parquet")
+    p.add_argument("output")
+    p.add_argument("--rows", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_synth)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+    import ray
+
+    if _OWNS_RAY and ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -198,8 +198,15 @@ def _nfkc(s: str) -> str:
 class PageLayoutEngine:
     """Deterministic flow layout of DOM blocks onto the virtual page."""
 
-    def __init__(self, classifier: Optional[BoilerplateClassifier] = None):
+    def __init__(
+        self,
+        classifier: Optional[BoilerplateClassifier] = None,
+        collect_semantic: bool = False,
+    ):
         self.classifier = classifier or BoilerplateClassifier()
+        # Semantic cell/group synthesis costs ~20% of detection; only the
+        # semantic pipeline needs it.
+        self.collect_semantic = collect_semantic
 
     # -- public ------------------------------------------------------------
 
@@ -518,9 +525,10 @@ class PageLayoutEngine:
             order=0,
         )
         det.tables.append(table)
-        self._emit_semantic_cells(
-            det, grid, n_rows, col_x, y0, row_height, table_box
-        )
+        if self.collect_semantic:
+            self._emit_semantic_cells(
+                det, grid, n_rows, col_x, y0, row_height, table_box
+            )
 
         # Place cell words inside unit-cell interiors.
         for cell in grid:
@@ -752,6 +760,10 @@ class PageLayoutEngine:
         self._cursor_y = fig_box[3] + BLOCK_GAP
 
 
-def detect_page(html_text: str, classifier: Optional[BoilerplateClassifier] = None) -> Detections:
+def detect_page(
+    html_text: str,
+    classifier: Optional[BoilerplateClassifier] = None,
+    collect_semantic: bool = False,
+) -> Detections:
     """Convenience wrapper: HTML text -> Detections."""
-    return PageLayoutEngine(classifier).detect(html_text)
+    return PageLayoutEngine(classifier, collect_semantic=collect_semantic).detect(html_text)

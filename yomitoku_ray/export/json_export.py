@@ -34,4 +34,137 @@ def convert_json(document, ignore_line_break=False) -> str:
         for paragraph in document.paragraphs:
             paragraph.contents = paragraph.contents.replace("\n", "")
 
-    return dumps_canonical_json(document.to_dict())
+    return fast_document_json(document)
+
+
+# ---------------------------------------------------------------------------
+# Schema-specialized canonical serializer.
+#
+# json.dumps with indent falls back to the pure-Python encoder (the C
+# encoder only handles indent=None), which profiling showed at ~37% of the
+# whole pipeline. The document schema is fixed, so the canonical layout
+# (sorted keys, indent=4, separators=(",", ": ")) can be emitted directly
+# with f-strings + C-encoded leaf strings. Byte-identity with
+# ``dumps_canonical_json(document.to_dict())`` is asserted by
+# tests/test_fast_json.py over the synthetic corpus.
+# ---------------------------------------------------------------------------
+
+_P = [" " * (4 * i) for i in range(10)]
+
+
+def _js(s):
+    if s is None:
+        return "null"
+    return json.dumps(s, ensure_ascii=False)  # C fast path (no indent)
+
+
+def _box_json(box, lvl):
+    p = _P[lvl + 1]
+    inner = f",\n{p}".join(str(int(v)) for v in box)
+    return f"[\n{p}{inner}\n{_P[lvl]}]"
+
+
+def _points_json(points, lvl):
+    p = _P[lvl + 1]
+    pts = f",\n{p}".join(_box_json(pt, lvl + 1) for pt in points)
+    return f"[\n{p}{pts}\n{_P[lvl]}]"
+
+
+def _word_json(w, lvl):
+    p = _P[lvl + 1]
+    return (
+        f"{{\n"
+        f'{p}"content": {_js(w.content)},\n'
+        f'{p}"det_score": {repr(w.det_score)},\n'
+        f'{p}"direction": {_js(w.direction)},\n'
+        f'{p}"points": {_points_json(w.points, lvl + 1)},\n'
+        f'{p}"rec_score": {repr(w.rec_score)}\n'
+        f"{_P[lvl]}}}"
+    )
+
+
+def _paragraph_json(par, lvl):
+    p = _P[lvl + 1]
+    order = "null" if par.order is None else str(int(par.order))
+    return (
+        f"{{\n"
+        f'{p}"box": {_box_json(par.box, lvl + 1)},\n'
+        f'{p}"contents": {_js(par.contents)},\n'
+        f'{p}"direction": {_js(par.direction)},\n'
+        f'{p}"order": {order},\n'
+        f'{p}"role": {_js(par.role)}\n'
+        f"{_P[lvl]}}}"
+    )
+
+
+def _cell_json(c, lvl):
+    p = _P[lvl + 1]
+    return (
+        f"{{\n"
+        f'{p}"box": {_box_json(c.box, lvl + 1)},\n'
+        f'{p}"col": {int(c.col)},\n'
+        f'{p}"col_span": {int(c.col_span)},\n'
+        f'{p}"contents": {_js(c.contents)},\n'
+        f'{p}"row": {int(c.row)},\n'
+        f'{p}"row_span": {int(c.row_span)}\n'
+        f"{_P[lvl]}}}"
+    )
+
+
+def _line_json(ln, lvl):
+    p = _P[lvl + 1]
+    return (
+        f"{{\n"
+        f'{p}"box": {_box_json(ln.box, lvl + 1)},\n'
+        f'{p}"score": {repr(ln.score)}\n'
+        f"{_P[lvl]}}}"
+    )
+
+
+def _list_json(items, lvl, fn):
+    if not items:
+        return "[]"
+    p = _P[lvl + 1]
+    body = f",\n{p}".join(fn(it, lvl + 1) for it in items)
+    return f"[\n{p}{body}\n{_P[lvl]}]"
+
+
+def _table_json(t, lvl):
+    p = _P[lvl + 1]
+    return (
+        f"{{\n"
+        f'{p}"box": {_box_json(t.box, lvl + 1)},\n'
+        f'{p}"cells": {_list_json(t.cells, lvl + 1, _cell_json)},\n'
+        f'{p}"cols": {_list_json(t.cols, lvl + 1, _line_json)},\n'
+        f'{p}"n_col": {int(t.n_col)},\n'
+        f'{p}"n_row": {int(t.n_row)},\n'
+        f'{p}"order": {int(t.order)},\n'
+        f'{p}"rows": {_list_json(t.rows, lvl + 1, _line_json)},\n'
+        f'{p}"spans": {_list_json(t.spans, lvl + 1, _line_json)}\n'
+        f"{_P[lvl]}}}"
+    )
+
+
+def _figure_json(f, lvl):
+    p = _P[lvl + 1]
+    order = "null" if f.order is None else str(int(f.order))
+    return (
+        f"{{\n"
+        f'{p}"box": {_box_json(f.box, lvl + 1)},\n'
+        f'{p}"direction": {_js(f.direction)},\n'
+        f'{p}"order": {order},\n'
+        f'{p}"paragraphs": {_list_json(f.paragraphs, lvl + 1, _paragraph_json)}\n'
+        f"{_P[lvl]}}}"
+    )
+
+
+def fast_document_json(document) -> str:
+    p = _P[1]
+    return (
+        f"{{\n"
+        f'{p}"figures": {_list_json(document.figures, 1, _figure_json)},\n'
+        f'{p}"paragraphs": {_list_json(document.paragraphs, 1, _paragraph_json)},\n'
+        f'{p}"tables": {_list_json(document.tables, 1, _table_json)},\n'
+        f'{p}"words": {_list_json(document.words, 1, _word_json)}\n'
+        f"}}"
+    )

@@ -149,6 +149,40 @@ def top_parts_by_revenue(sf_dir: str, top_n: int = 10) -> pd.DataFrame:
     return top.to_pandas().reset_index(drop=True)
 
 
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows per user (gap-based sessionization).
+
+    Streaming-shaped op per the ray guide: partition by key, order by ts
+    within the group, split on inactivity gaps > ``gap_minutes``. The
+    groupby(user_id) is the shuffle; per-group work is vectorized pandas.
+    Columns: user_id, session_id, n_events, session_start, session_end.
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def _sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        new_session = (g["ts"].diff() > gap).astype("int64")
+        g["session_id"] = new_session.cumsum()
+        out = g.groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("ts", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    out = ds.groupby("user_id").map_groups(_sessionize, batch_format="pandas")
+    return (
+        out.to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+
+
 def events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window per event_type (streaming-shaped aggregate).
 

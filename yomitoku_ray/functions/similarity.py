@@ -81,6 +81,96 @@ def knn_brute_force(sf_dir: str, k: int = 5, n_queries: int = 10) -> pd.DataFram
     return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def ann_lsh(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    n_planes: int = 12,
+    seed: int = 11,
+    multiprobe_bits: int = 1,
+) -> pd.DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing (scale path).
+
+    Each vector hashes to the sign pattern of ``n_planes`` projections; a
+    query only scores vectors whose bucket is within ``multiprobe_bits``
+    Hamming distance of its own (multiprobe). Same partial-top-k skeleton as
+    the brute-force baseline, but each batch scores only candidates — at
+    corpus scale this is the bucketed/IVF posture: the bucket id is also a
+    valid groupby/partition key. Output (query_id, neighbor_id, rank);
+    approximate — recall measured against ``knn_brute_force`` in tests.
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    queries = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n_queries}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = queries["vec_id"].to_numpy()
+    q_mat = _emb_matrix(queries)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    dim = q_mat.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, n_planes)
+
+    def _bucket(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes) > 0
+        return (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+
+    q_buckets = _bucket(q_mat)
+    # Multiprobe: allowed buckets per query = own bucket + single-bit flips.
+    allowed = []
+    for b in q_buckets:
+        s = {int(b)}
+        if multiprobe_bits >= 1:
+            s.update(int(b) ^ (1 << i) for i in range(n_planes))
+        allowed.append(s)
+    state_ref = ray.put((q_ids, q_mat, planes, allowed))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        q_ids, q_mat, planes, allowed = ray.get(state_ref)
+        v_ids = df["vec_id"].to_numpy()
+        mat = _emb_matrix(df)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        buckets = _bucket(mat)
+        out = {"query_id": [], "neighbor_id": [], "score": []}
+        for qi in range(len(q_ids)):
+            cand = np.array(
+                [j for j in range(len(v_ids)) if int(buckets[j]) in allowed[qi]],
+                dtype=np.int64,
+            )
+            if len(cand) == 0:
+                continue
+            s = q_mat[qi] @ mat[cand].T
+            kk = min(k + 1, len(cand))
+            idx = np.argpartition(-s, kk - 1)[:kk]
+            for j in idx:
+                if v_ids[cand[j]] == q_ids[qi]:
+                    continue
+                out["query_id"].append(q_ids[qi])
+                out["neighbor_id"].append(v_ids[cand[j]])
+                out["score"].append(s[j])
+        return pd.DataFrame(out)
+
+    partials = ray.data.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+        _partial, batch_format="pandas", batch_size=1024
+    )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64").values,
+                "neighbor_id": g["neighbor_id"].astype("int64").values,
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    out = partials.groupby("query_id").map_groups(_final, batch_format="pandas")
+    return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def embedding_near_dup(sf_dir: str, threshold: float = 0.25) -> ray.data.Dataset:
     """Within-label near-dup pairs at cosine >= threshold.
 

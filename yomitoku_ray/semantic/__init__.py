@@ -30,7 +30,7 @@ def parse_semantic_html_bytes(
     """Oracle-style single-process semantic parse. Returns (doc, err)."""
     try:
         text = decode_html(raw)
-        det = detect_page(text, classifier)
+        det = detect_page(text, classifier, collect_semantic=True)
         return semantic_from_detections(det, merge_same_column_values), None
     except DecodeError as e:
         return None, str(e)

@@ -355,3 +355,97 @@ class SemanticDocument:
             "paragraphs": [p.to_dict() for p in self.paragraphs],
             "words": [w.to_dict() for w in self.words],
         }
+
+    # -- templates (:702-794) ----------------------------------------------
+
+    def save_template(self, include_kv=True, include_grids=True) -> dict:
+        """Template snapshot of this document's tables.
+
+        Parity: schemas/table_semantic_parser.py:708-745 (dict form; the
+        caller serializes — no file side effect in the engine).
+        """
+        template_tables = []
+        for t in self.tables:
+            tmp_cells = {}
+            for cid, c in t.cells.items():
+                if c.role == "group":
+                    continue
+                tmp_cells[str(cid)] = {
+                    "id": str(c.id) if c.id is not None else str(cid),
+                    "box": list(c.box) if c.box is not None else None,
+                    "role": c.role,
+                    "contents": c.contents,
+                }
+            template_tables.append(
+                {
+                    "id": t.id,
+                    "style": t.style,
+                    "box": list(t.box),
+                    "cells": tmp_cells,
+                    "kv_items": [kv.to_dict() for kv in t.kv_items]
+                    if include_kv
+                    else None,
+                    "grids": [g.to_dict() for g in t.grids] if include_grids else None,
+                }
+            )
+        return {
+            "meta": {"template_version": "beta", "match_policy": "cell_id"},
+            "tables": template_tables,
+        }
+
+    def apply_template(self, template: dict) -> "SemanticDocument":
+        """Override roles/contents (and kv/grids) from a template.
+
+        Parity: schemas/table_semantic_parser.py:748-794: tables matched by
+        position (best overlap > 0.5), cells by id or bbox policy.
+        """
+        policy = template.get("meta", {}).get("match_policy", "cell_id")
+        for tmp_table in template.get("tables", []):
+            table = self.find_table_by_position(tmp_table["box"])
+            if table is None:
+                continue
+            for tcell in tmp_table.get("cells", {}).values():
+                cell = _match_template_cell(table, tcell, policy)
+                if cell is None:
+                    continue
+                if tcell.get("role") is not None:
+                    cell.role = tcell["role"]
+                if tcell.get("contents") is not None:
+                    cell.contents = tcell["contents"]
+            if tmp_table.get("kv_items") is not None:
+                table.kv_items = [
+                    KvItem(
+                        id=kv.get("id"),
+                        key=list(kv["key"]),
+                        value=kv["value"],
+                        box=kv.get("box"),
+                    )
+                    for kv in tmp_table["kv_items"]
+                ]
+            if tmp_table.get("grids") is not None:
+                table.grids = [
+                    TableGrid(
+                        id=g.get("id"),
+                        box=list(g["box"]),
+                        n_row=g["n_row"],
+                        n_col=g["n_col"],
+                        col_headers=[list(h) for h in g["col_headers"]],
+                        data=[list(r) for r in g["data"]],
+                    )
+                    for g in tmp_table["grids"]
+                ]
+        return self
+
+
+def _match_template_cell(table, tcell: dict, policy="cell_id"):
+    """Parity: schemas/table_semantic_parser.py:748-764."""
+    if policy == "cell_id":
+        if not tcell.get("id"):
+            return None
+        return table.cells.get(str(tcell["id"]))
+    if policy == "bbox":
+        if not tcell.get("box"):
+            return None
+        candidates = table.search_cells_by_bbox(list(tcell["box"]))
+        return candidates[0] if candidates else None
+    return None

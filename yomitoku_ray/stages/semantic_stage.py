@@ -43,7 +43,9 @@ class SemanticExtractStage:
         merge_same_column_values: bool = False,
         simple_output: bool = True,
     ):
-        self.engine = PageLayoutEngine(BoilerplateClassifier(**(classifier_config or {})))
+        self.engine = PageLayoutEngine(
+            BoilerplateClassifier(**(classifier_config or {})), collect_semantic=True
+        )
         self.schema = (
             ExtractionSchema.from_dict(extraction_schema) if extraction_schema else None
         )
