@@ -428,7 +428,9 @@ def _get_grid_from_dag(dag):
             c_nodes = sorted(c_nodes, key=lambda n: dag.nodes[n]["bbox"][1])
             cell_id = set(row_nodes).intersection(set(c_nodes))
             if cell_id:
-                row.append(list(cell_id)[0])
+                # deterministic tie-break (reference takes list(set)[0],
+                # which is hash-seed-dependent)
+                row.append(sorted(cell_id)[0])
             else:
                 row.append(None)
         raw_data.append(row)
@@ -468,7 +470,7 @@ def _get_col_headers_from_grid(grid, is_header_row, cells, clustered_nodes):
                 if grid[row_idx][col_idx] is not None:
                     col_header.append(grid[row_idx][col_idx])
                     header_ids.add(grid[row_idx][col_idx])
-        col_header = list(set(col_header))
+        col_header = sorted(set(col_header))  # seed-independent base order
         col_header = sorted(col_header, key=lambda h: cells[h].box[1])
         col_headers.append(col_header)
 
@@ -543,9 +545,9 @@ def _merge_same_column_values(grid, col_headers, cells):
         merged = []
         for c in group:
             merged.extend(col_headers[c])
-        merged = list(set(merged))
+        merged = sorted(set(merged))
         merged = sorted(merged, key=lambda h: cells[h].box[1])
-        new_col_headers.append(list(set(merged)))
+        new_col_headers.append(merged)
 
     new_grid = []
     for row in grid:

@@ -182,7 +182,8 @@ def _find_root_headers(dag, direction, node_set=None):
     """Parity: kv_parser.py:241-262."""
     if node_set is None:
         node_set = set(dag.nodes)
-    headers = [n for n in node_set if dag.nodes[n]["role"] == "header"]
+    # sorted: set iteration must not leak PYTHONHASHSEED into output order
+    headers = [n for n in sorted(node_set) if dag.nodes[n]["role"] == "header"]
     roots = []
     for h in headers:
         has_parent_header = False

@@ -56,7 +56,11 @@ def _get_cluster_nodes(clusters, nodes):
     clustered_nodes_list = []
     for cluster in clusters:
         clustered_nodes = {"header": [], "cell": [], "empty": []}
-        for id in cluster:
+        # components are sets: iterate sorted so output is independent of
+        # PYTHONHASHSEED (each Ray worker has its own) — the reference
+        # iterates the raw set (table_semantic_parser.py:75), which is
+        # nondeterministic across processes; a distributed engine can't be.
+        for id in sorted(cluster):
             node = get_cell_by_id(nodes["header"] + nodes["cell"] + nodes["empty"], id)
             clustered_nodes[node.role].append(node)
         clustered_nodes_list.append(clustered_nodes)
