@@ -199,7 +199,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         embedding_near_dup,
         knn_brute_force,
     )
-    from yomitoku_ray.functions.text_stats import doc_stats, lang_id, quality_score
+    from yomitoku_ray.functions.text_stats import (
+        corpus_prep,
+        doc_stats,
+        lang_id,
+        quality_score,
+    )
 
     return {
         # extraction pipeline (pages synthesized from BASELINE input_hint)
@@ -212,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": doc_stats,
         "quality_score": quality_score,
         "lang_id": lang_id,
+        "corpus_prep": corpus_prep,
         # dedup family
         "exact_dedup": exact_dedup,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -273,6 +279,32 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS nd
                 FROM documents
             )
+        """,
+        "corpus_prep": r"""
+            SELECT fingerprint,
+                   min(doc_id) AS keep_doc_id,
+                   min(pred_lang) AS pred_lang,
+                   min(n_tokens) AS n_tokens
+            FROM (
+                SELECT doc_id, md5(text) AS fingerprint,
+                       CASE WHEN ne = 0 AND ns = 0 AND nf = 0 AND nd = 0 THEN 'und'
+                            WHEN ne >= ns AND ne >= nf AND ne >= nd THEN 'en'
+                            WHEN ns >= nf AND ns >= nd THEN 'es'
+                            WHEN nf >= nd THEN 'fr'
+                            ELSE 'de' END AS pred_lang,
+                       n_tokens
+                FROM (
+                    SELECT doc_id, text,
+                           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                           len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS ne,
+                           len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS ns,
+                           len(regexp_extract_all(lower(text), '\b(le|la|de|et|les)\b')) AS nf,
+                           len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS nd
+                    FROM documents
+                )
+                WHERE n_tokens BETWEEN 40 AND 120
+            )
+            GROUP BY fingerprint
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash,

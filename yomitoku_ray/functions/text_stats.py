@@ -109,3 +109,54 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(_lang_id_batch, batch_format="pandas")
+
+
+def corpus_prep(
+    sf_dir: str, min_tokens: int = 40, max_tokens: int = 120
+) -> ray.data.Dataset:
+    """Composed training-data prep: quality gate -> lang-id -> exact dedup.
+
+    The flagship composition over ``documents``: one streaming pass computes
+    tokens/fingerprint/lang (all vectorized), a length gate filters, then a
+    hash-partitioned groupby keeps the first (min doc_id) copy per content
+    fingerprint. Columns: fingerprint, keep_doc_id, pred_lang, n_tokens.
+    """
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _features(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_tokens = text.str.strip().str.split(_TOKEN_SPLIT).map(len).astype("int64")
+        keep = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+        df = df[keep]
+        text = text[keep]
+        n_tokens = n_tokens[keep]
+        lang = _lang_id_batch(df)["pred_lang"].values
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "fingerprint": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in text
+                ],
+                "pred_lang": lang,
+                "n_tokens": n_tokens.values,
+            }
+        )
+
+    feats = ds.map_batches(_features, batch_format="pandas")
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").head(1)
+        return pd.DataFrame(
+            {
+                "fingerprint": g["fingerprint"].values,
+                "keep_doc_id": g["doc_id"].astype("int64").values,
+                "pred_lang": g["pred_lang"].values,
+                "n_tokens": g["n_tokens"].astype("int64").values,
+            }
+        )
+
+    return feats.groupby("fingerprint").map_groups(_first, batch_format="pandas")
