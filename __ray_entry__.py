@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from yomitoku_ray.functions.relational import (
         events_hourly,
+        events_sliding,
         pricing_summary,
         revenue_by_segment,
         top_parts_by_revenue,
@@ -232,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": revenue_by_segment,
         "top_parts_by_revenue": top_parts_by_revenue,
         "events_hourly": events_hourly,
+        "events_sliding": events_sliding,
         "user_sessions": user_sessions,
     }
 
@@ -357,6 +359,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_partkey
             ORDER BY revenue_cents DESC, l_partkey
             LIMIT 10
+        """,
+        "events_sliding": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT w.event_type, w.h AS window_start,
+                   CAST(sum(x.n) AS BIGINT) AS n_events
+            FROM hourly w
+            JOIN hourly x
+              ON x.event_type = w.event_type
+             AND x.h >= w.h AND x.h < w.h + INTERVAL 3 HOUR
+            GROUP BY 1, 2
         """,
         "user_sessions": """
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
