@@ -155,19 +155,35 @@ def _semantic_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def _page_merge_by_domain(sf_dir: str) -> pd.DataFrame:
-    """Multi-page merge keyed by domain (the G4 shuffle analogue)."""
-    from yomitoku_ray.functions.merge import merge_pages_by_domain
+    """Multi-page merge keyed by domain (the G4 shuffle analogue).
+
+    Runs BOTH the single-reducer ordered merge and the salted
+    (prefix-range) two-phase merge and asserts byte-equality — the skew
+    path must be semantically invisible.
+    """
+    from yomitoku_ray.functions.merge import (
+        merge_pages_by_domain,
+        merge_pages_by_domain_salted,
+    )
     from yomitoku_ray.pipelines.extract import ExtractConfig, extract_pages
 
     ds = extract_pages(_pages_path(sf_dir), ExtractConfig())
-    ds = ds.select_columns(["url", "extracted_text"])
-    merged = merge_pages_by_domain(ds)
-    return (
-        merged.to_pandas()
-        .drop(columns=["merge_truncated"])
+    ds = ds.select_columns(["url", "extracted_text"]).materialize()
+    cols = ["domain", "n_pages", "total_chars", "merged_sha256"]
+    plain = (
+        merge_pages_by_domain(ds, max_pages_per_domain=10**9)
+        .to_pandas()[cols]
         .sort_values("domain")
         .reset_index(drop=True)
     )
+    salted = (
+        merge_pages_by_domain_salted(ds)
+        .to_pandas()[cols]
+        .sort_values("domain")
+        .reset_index(drop=True)
+    )
+    assert plain.equals(salted), "salted merge diverged from ordered merge"
+    return salted
 
 
 def _domain_skew(sf_dir: str) -> pd.DataFrame:

@@ -1,0 +1,90 @@
+"""Domain merge operators: ordered concat, salted equivalence, dedup, probe."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from yomitoku_ray.functions.merge import (
+    domain_skew_probe,
+    merge_pages_by_domain,
+    merge_pages_by_domain_salted,
+    url_dedup_first,
+)
+
+
+@pytest.fixture(scope="module")
+def result_ds_rows():
+    rows = []
+    # hot domain with 40 pages, two small domains
+    for i in range(40):
+        rows.append(
+            {"url": f"https://hot.example.jp/p/{i:04d}", "extracted_text": f"hot-{i}"}
+        )
+    for i in range(3):
+        rows.append(
+            {"url": f"https://small-a.example.jp/x/{i}", "extracted_text": f"a-{i}"}
+        )
+    rows.append({"url": "https://small-b.example.jp/only", "extracted_text": "b-0"})
+    return rows
+
+
+def test_merge_ordered_and_capped(ray_session, result_ds_rows):
+    ds = ray.data.from_pandas(pd.DataFrame(result_ds_rows))
+    out = merge_pages_by_domain(ds).to_pandas().set_index("domain")
+    assert out.loc["hot.example.jp", "n_pages"] == 40
+    assert out.loc["small-b.example.jp", "n_pages"] == 1
+    capped = merge_pages_by_domain(ds, max_pages_per_domain=10).to_pandas().set_index("domain")
+    assert capped.loc["hot.example.jp", "n_pages"] == 10
+    assert bool(capped.loc["hot.example.jp", "merge_truncated"])
+
+
+def test_salted_merge_equals_unsalted(ray_session, result_ds_rows):
+    ds = ray.data.from_pandas(pd.DataFrame(result_ds_rows))
+    plain = (
+        merge_pages_by_domain(ds)
+        .to_pandas()[["domain", "n_pages", "total_chars", "merged_sha256"]]
+        .sort_values("domain")
+        .reset_index(drop=True)
+    )
+    salted = (
+        merge_pages_by_domain_salted(ds, prefix_len=28)
+        .to_pandas()[["domain", "n_pages", "total_chars", "merged_sha256"]]
+        .sort_values("domain")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+    # the salt really splits the hot domain into multiple spans
+    from yomitoku_ray.functions.merge import add_domain_column
+
+    spans = (
+        add_domain_column(ds)
+        .map_batches(
+            lambda df: df.assign(url_prefix=df["url"].str[:28]), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    assert spans[spans.domain == "hot.example.jp"]["url_prefix"].nunique() > 1
+
+
+def test_url_dedup_first(ray_session, tmp_path):
+    rows = [
+        {"url": "u1", "warc_ts": 5, "x": "late"},
+        {"url": "u1", "warc_ts": 1, "x": "early"},
+        {"url": "u2", "warc_ts": 9, "x": "only"},
+    ]
+    t = pa.Table.from_pylist(rows)
+    path = str(tmp_path / "d.parquet")
+    pq.write_table(t, path)
+    ds = ray.data.read_parquet(path)
+    out = url_dedup_first(ds).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(out) == 2
+    assert out[out.url == "u1"].iloc[0]["x"] == "early"
+
+
+def test_domain_skew_probe(ray_session, result_ds_rows):
+    ds = ray.data.from_pandas(pd.DataFrame(result_ds_rows)[["url"]])
+    probe = domain_skew_probe(ds, top_n=2)
+    assert probe.iloc[0]["domain"] == "hot.example.jp"
+    assert probe.iloc[0]["n_pages"] == 40

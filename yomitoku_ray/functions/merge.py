@@ -97,6 +97,62 @@ def merge_pages_by_domain(
     return ds.groupby("domain").map_groups(_merge, batch_format="pandas")
 
 
+def merge_pages_by_domain_salted(
+    result_ds: ray.data.Dataset,
+    text_column: str = "extracted_text",
+    prefix_len: int = 28,
+) -> ray.data.Dataset:
+    """Skew-defused ordered merge: two-phase groupby with an order-preserving
+    salt.
+
+    The salt is a fixed-length **url prefix** — prefix groups are contiguous
+    in sorted-url order, so phase 1 merges each (domain, prefix) span
+    independently (hot domains split across many reducers) and phase 2
+    concatenates the per-span results in prefix order, reproducing exactly
+    the single-reducer ordered join. This is the north rule's "salted
+    groupby" in a form that keeps ordered-concat semantics (a hash salt
+    could not — hash buckets interleave arbitrarily in url order).
+
+    Output schema matches ``merge_pages_by_domain`` minus merge_truncated.
+    """
+
+    def _merge_span(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url")
+        merged = "\n".join(t or "" for t in g[text_column])
+        return pd.DataFrame(
+            {
+                "domain": [g["domain"].iloc[0]],
+                "url_prefix": [g["url_prefix"].iloc[0]],
+                "n_pages": np.array([len(g)], dtype="int64"),
+                "span_text": [merged],
+            }
+        )
+
+    def _merge_domain(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url_prefix")
+        merged = "\n".join(g["span_text"])
+        return pd.DataFrame(
+            {
+                "domain": [g["domain"].iloc[0]],
+                "n_pages": np.array([int(g["n_pages"].sum())], dtype="int64"),
+                "total_chars": np.array([len(merged)], dtype="int64"),
+                "merged_sha256": [hashlib.sha256(merged.encode("utf-8")).hexdigest()],
+            }
+        )
+
+    ds = add_domain_column(result_ds)
+
+    def _add_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df["url_prefix"] = df["url"].str[:prefix_len]
+        return df
+
+    ds = ds.map_batches(_add_prefix, batch_format="pandas")
+    spans = ds.groupby(["domain", "url_prefix"]).map_groups(
+        _merge_span, batch_format="pandas"
+    )
+    return spans.groupby("domain").map_groups(_merge_domain, batch_format="pandas")
+
+
 def url_dedup_first(pages_ds: ray.data.Dataset) -> ray.data.Dataset:
     """Exact url dedup, first (min warc_ts) wins — hash-partitioned groupby.
 

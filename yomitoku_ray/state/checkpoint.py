@@ -128,6 +128,10 @@ def run_resumable(
         ds = build_extract_pipeline(read_pages(chunk), cfg)
         ds.write_parquet(tmp_dir)
         wall = time.perf_counter() - t0
+        try:
+            stage_stats = ds.stats()[:4000]  # per-stage wall/cpu breakdown
+        except Exception:
+            stage_stats = ""
 
         os.replace(tmp_dir, final_dir)  # atomic partition commit
         rows, nbytes, extra = _out_stats(final_dir)
@@ -141,6 +145,7 @@ def run_resumable(
             "wall_sec": round(wall, 3),
             "engine_version": __version__,
             "created_unix": int(time.time()),
+            "stage_stats": stage_stats,
             **extra,
         }
         mpath = os.path.join(_manifest_dir(out_root), wave_name + ".json")
