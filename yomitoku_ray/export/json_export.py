@@ -59,7 +59,14 @@ def _js(s):
 
 
 def _box_json(box, lvl):
+    # Serves both xyxy boxes (4 ints) and quad points (2 ints).
     p = _P[lvl + 1]
+    if len(box) == 4:
+        b0, b1, b2, b3 = box
+        return f"[\n{p}{int(b0)},\n{p}{int(b1)},\n{p}{int(b2)},\n{p}{int(b3)}\n{_P[lvl]}]"
+    if len(box) == 2:
+        b0, b1 = box
+        return f"[\n{p}{int(b0)},\n{p}{int(b1)}\n{_P[lvl]}]"
     inner = f",\n{p}".join(str(int(v)) for v in box)
     return f"[\n{p}{inner}\n{_P[lvl]}]"
 

@@ -214,22 +214,20 @@ def _between_matrix(axis_mask, lo, hi):
     reading_order.py:85-120 — the k==i / k==j cases self-eliminate because a
     box can't be strictly beyond its own edges.
     """
-    n = len(lo)
     s1 = hi  # k's leading edge (y1 / x1)
     s2 = lo  # k's trailing edge (y2 / x2)
-    between = np.zeros((n, n), dtype=bool)
-    for i in range(n):
-        mask_k = axis_mask[:, i]
-        if not mask_k.any():
-            continue
-        # band (i -> j): lo[i] < s1[k], s2[k] < hi[j]
-        c1 = (s1[:, None] > lo[i]) & (s1[:, None] < hi[None, :])
-        c1 &= (s2[:, None] > lo[i]) & (s2[:, None] < hi[None, :])
-        # band (j -> i): lo[j] < s1[k], s2[k] < hi[i]
-        c2 = (s1[:, None] > lo[None, :]) & (s1[:, None] < hi[i])
-        c2 &= (s2[:, None] > lo[None, :]) & (s2[:, None] < hi[i])
-        between[i] = ((c1 | c2) & mask_k[:, None]).any(axis=0)
-    return between
+    # The existential over k factorizes into per-(i,k) and per-(j,k) terms,
+    # so "exists k" is a boolean matrix product (computed via float32 BLAS):
+    #   band (i -> j): mask[k,i] & s1[k],s2[k] > lo[i]  (A)  &  < hi[j]  (B)
+    #   band (j -> i): mask[k,i] & s1[k],s2[k] < hi[i]  (C)  &  > lo[j]  (D)
+    above = (s1[None, :] > lo[:, None]) & (s2[None, :] > lo[:, None])  # [x, k]
+    below = (s1[None, :] < hi[:, None]) & (s2[None, :] < hi[:, None])  # [x, k]
+    mask_ik = axis_mask.T  # [i, k]
+    a = (above & mask_ik).astype(np.float32)
+    b = below.astype(np.float32)
+    c = (below & mask_ik).astype(np.float32)
+    d = above.astype(np.float32)
+    return (a @ b.T + c @ d.T) > 0
 
 
 def _vec_create_graph_top2bottom(nodes):
