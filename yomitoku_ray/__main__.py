@@ -41,7 +41,7 @@ def _init_ray(num_cpus: int):
 
 def cmd_extract(args):
     _init_ray(args.num_cpus)
-    from .pipelines.extract import ExtractConfig, extract_pages
+    from .pipelines.extract import ExtractConfig, build_extract_pipeline, read_pages
     from .state.checkpoint import run_resumable
 
     cfg = ExtractConfig(
@@ -54,7 +54,13 @@ def cmd_extract(args):
         summary = run_resumable(args.input, args.output, cfg, wave_files=args.wave_files)
         print(json.dumps(summary))
     else:
-        extract_pages(args.input, cfg).write_parquet(args.output)
+        ds = read_pages(args.input, cfg=cfg)
+        if args.url_prefix:
+            # page-selection analogue (cli/main.py:94-118): predicate on url,
+            # applied before the heavy stage.
+            prefix = args.url_prefix
+            ds = ds.filter(expr=f"url >= '{prefix}' and url < '{prefix}\uffff'")
+        build_extract_pipeline(ds, cfg).write_parquet(args.output)
         print(json.dumps({"output": args.output}))
 
 
@@ -104,6 +110,7 @@ def main(argv=None):
     p.add_argument("--ignore-meta", action="store_true")
     p.add_argument("--reading-order", default="auto",
                    choices=["auto", "top2bottom", "right2left", "left2right"])
+    p.add_argument("--url-prefix", help="process only urls with this prefix")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("semantic", help="semantic table parsing [+ extraction]")

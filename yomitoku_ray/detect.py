@@ -663,6 +663,38 @@ class PageLayoutEngine:
             )
             self._sem_seq += 1
 
+        # Hole recovery (T8 analogue, table_cell_detector.py:105-182): grid
+        # positions covered by no cell (jagged rows, short colspans) get a
+        # synthesized 'empty' cell so grid/KV parsing sees a complete lattice.
+        covered = set()
+        n_cols_total = len(col_x) - 1
+        for entry in grid:
+            for rr in range(entry["row"], min(entry["row"] + entry["rowspan"], n_rows)):
+                for cc in range(entry["col"], entry["col"] + entry["colspan"]):
+                    covered.add((rr, cc))
+        for rr in range(n_rows):
+            for cc in range(n_cols_total):
+                if (rr, cc) in covered:
+                    continue
+                cells.append(
+                    SemanticCell(
+                        contents=None,
+                        role="empty",
+                        id=f"sc{self._sem_seq}",
+                        box=[
+                            col_x[cc] + inset,
+                            y0 + rr * row_height + inset,
+                            col_x[cc + 1] - inset,
+                            y0 + (rr + 1) * row_height - inset,
+                        ],
+                        row=rr,
+                        col=cc,
+                        row_span=1,
+                        col_span=1,
+                    )
+                )
+                self._sem_seq += 1
+
         # Group regions (the visual-group class of the reference's
         # CellDetector). Without groups the reference's KV DAG has no edges
         # (kv_parser.py:28-29), so group synthesis is load-bearing:
