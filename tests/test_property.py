@@ -68,20 +68,6 @@ def test_reading_order_is_permutation(elems, direction):
     assert sorted(e.order for e in elems) == list(range(len(elems)))
 
 
-@settings(max_examples=40, deadline=None)
-@given(elements, st.sampled_from(["top2bottom", "right2left", "left2right"]))
-def test_vectorized_graph_matches_scalar(elems, direction):
-    old = ro._VECTORIZE_MIN_NODES
-    try:
-        ro._VECTORIZE_MIN_NODES = 10**9
-        a = [e.order for e in ro.prediction_reading_order(copy.deepcopy(elems), direction)]
-        ro._VECTORIZE_MIN_NODES = 0
-        b = [e.order for e in ro.prediction_reading_order(copy.deepcopy(elems), direction)]
-    finally:
-        ro._VECTORIZE_MIN_NODES = old
-    assert a == b
-
-
 @settings(max_examples=25, deadline=None)
 @given(st.lists(st.text(alphabet="abc あい", min_size=0, max_size=30), min_size=1, max_size=10))
 def test_tokenize_preserves_nonspace_content(texts):

@@ -1,70 +1,56 @@
 """Markdown rendering of an analyzed document.
 
-Parity with ``/root/reference/src/yomitoku/export/export_markdown.py:7-146``.
-Differences from the reference, forced by the web-text target: figures have no
-raster image to crop, so the ``<img>`` element references a deterministic
-name derived from the caller-supplied ``doc_stem`` (the reference derives it
-from the output file path, export_markdown.py:89-91) and nothing is written
-to disk — the rendered markdown is a string column, not a file.
+Byte-parity with the reference exporter
+(``/root/reference/src/yomitoku/export/export_markdown.py:7-146``), pinned
+by tests/test_oracle.py and the pipeline identity gate. Differences forced
+by the web-text target: figures have no raster crop, so the ``<img>`` src
+uses a deterministic ``doc_stem``-derived name (the reference derives it
+from the output file path) and nothing is written to disk — markdown is a
+string column. One simplification with identical output: the reference
+re-escapes a spanning cell's text once per covered grid position but only
+writes the first (anchor) position (export_markdown.py:43-52), so a single
+escape at the anchor yields the same bytes.
 """
 
 from __future__ import annotations
 
 import re
 
-_SPECIAL_CHARS = re.compile(r"([`*{}[\]()#+!~|-])")
+_SPECIAL = re.compile(r"([`*{}[\]()#+!~|-])")
 
 
 def escape_markdown_special_chars(text):
-    """Parity: export_markdown.py:7-9."""
-    return _SPECIAL_CHARS.sub(r"\\\1", text)
+    """Backslash-escape markdown metacharacters (export_markdown.py:7-9)."""
+    return _SPECIAL.sub(r"\\\1", text)
+
+
+def _prep(text, ignore_line_break):
+    """Escape + newline policy shared by paragraphs and cells."""
+    text = escape_markdown_special_chars(text)
+    return text.replace("\n", "" if ignore_line_break else "<br>")
 
 
 def paragraph_to_md(paragraph, ignore_line_break):
-    """Parity: export_markdown.py:12-27."""
-    contents = escape_markdown_special_chars(paragraph.contents)
-    if ignore_line_break:
-        contents = contents.replace("\n", "")
-    else:
-        contents = contents.replace("\n", "<br>")
+    """Paragraph -> md line; section headings get '# ' (:12-27)."""
+    contents = _prep(paragraph.contents, ignore_line_break)
     if paragraph.role == "section_headings":
         contents = "# " + contents
-    return {
-        "order": paragraph.order,
-        "box": paragraph.box,
-        "md": contents + "\n",
-    }
+    return {"order": paragraph.order, "box": paragraph.box, "md": contents + "\n"}
 
 
 def table_to_md(table, ignore_line_break):
-    """Parity: export_markdown.py:30-67 (incl. first-row separator line)."""
-    num_rows = table.n_row
-    num_cols = table.n_col
-    table_array = [["" for _ in range(num_cols)] for _ in range(num_rows)]
-
+    """Table -> pipe grid with a separator line after the first row (:30-67).
+    Span cells render at their anchor position only."""
+    grid = [["" for _ in range(table.n_col)] for _ in range(table.n_row)]
     for cell in table.cells:
-        row = cell.row - 1
-        col = cell.col - 1
-        contents = cell.contents
-        for i in range(row, row + cell.row_span):
-            for j in range(col, col + cell.col_span):
-                contents = escape_markdown_special_chars(contents)
-                if ignore_line_break:
-                    contents = contents.replace("\n", "")
-                else:
-                    contents = contents.replace("\n", "<br>")
-                if i == row and j == col:
-                    table_array[i][j] = contents
+        grid[cell.row - 1][cell.col - 1] = _prep(cell.contents, ignore_line_break)
 
-    table_md = ""
-    for i in range(num_rows):
-        row = "|".join(table_array[i])
-        table_md += f"|{row}|\n"
+    lines = []
+    for i, row in enumerate(grid):
+        lines.append("|" + "|".join(row) + "|\n")
         if i == 0:
-            header = "|".join(["-" for _ in range(num_cols)])
-            table_md += f"|{header}|\n"
-
-    return {"order": table.order, "box": table.box, "md": table_md}
+            lines.append("|" + "|".join("-" * table.n_col) + "|\n")
+    return {"order": table.order, "box": table.box, "md": "".join(lines)}
 
 
 def figure_to_md(
@@ -75,22 +61,24 @@ def figure_to_md(
     width=200,
     figure_dir="figures",
 ):
-    """Parity: export_markdown.py:70-111, minus the crop-to-disk side effect."""
-    elements = []
+    """Figure -> img ref (+ nested paragraph text when requested) (:70-111)."""
+    out = []
     for i, figure in enumerate(figures):
-        figure_name = f"{doc_stem}_figure_{i}.png"
-        elements.append(
+        out.append(
             {
                 "order": figure.order,
-                "md": f'<img src="{figure_dir}/{figure_name}" width="{width}px"><br>',
+                "md": f'<img src="{figure_dir}/{doc_stem}_figure_{i}.png" width="{width}px"><br>',
             }
         )
         if export_figure_letter:
-            paragraphs = sorted(figure.paragraphs, key=lambda x: x.order)
-            for paragraph in paragraphs:
-                element = paragraph_to_md(paragraph, ignore_line_break)
-                elements.append({"order": figure.order, "md": element["md"]})
-    return elements
+            for paragraph in sorted(figure.paragraphs, key=lambda x: x.order):
+                out.append(
+                    {
+                        "order": figure.order,
+                        "md": paragraph_to_md(paragraph, ignore_line_break)["md"],
+                    }
+                )
+    return out
 
 
 def convert_markdown(
@@ -102,28 +90,21 @@ def convert_markdown(
     figure_width=200,
     figure_dir="figures",
 ):
-    """Render a Document to markdown. Parity: export_markdown.py:114-146.
-
-    Note ``export_figure_letter`` defaults True here (False in the reference
-    CLI): in the web-text domain the figure's nested text is the content.
-    """
-    elements = []
-    for table in document.tables:
-        elements.append(table_to_md(table, ignore_line_break))
-    for paragraph in document.paragraphs:
-        elements.append(paragraph_to_md(paragraph, ignore_line_break))
+    """All elements -> md fragments, sorted by order, joined with "\\n"
+    (:114-146). ``export_figure_letter`` defaults True here (False in the
+    reference CLI): in the web-text domain the figure's nested text IS the
+    content."""
+    elements = [table_to_md(t, ignore_line_break) for t in document.tables]
+    elements += [paragraph_to_md(p, ignore_line_break) for p in document.paragraphs]
     if export_figure:
-        elements.extend(
-            figure_to_md(
-                document.figures,
-                doc_stem,
-                export_figure_letter,
-                ignore_line_break,
-                figure_width,
-                figure_dir=figure_dir,
-            )
+        elements += figure_to_md(
+            document.figures,
+            doc_stem,
+            export_figure_letter,
+            ignore_line_break,
+            figure_width,
+            figure_dir=figure_dir,
         )
 
-    elements = sorted(elements, key=lambda x: x["order"])
-    markdown = "\n".join(element["md"] for element in elements)
-    return markdown, elements
+    elements.sort(key=lambda x: x["order"])
+    return "\n".join(e["md"] for e in elements), elements

@@ -1,13 +1,14 @@
 """Value-normalizer registry (scalar UDF layer).
 
-Port of the reference's normalizer registry (``/root/reference/src/yomitoku/
-extractor/normalizer.py:7-201``): same rule names, same regexes, same era
-offsets. The reference uses the jaconv package for width/kana conversion;
-jaconv isn't available here, so ``z2h``/``kata2hira``/``hira2kata`` are
-implemented from the Unicode codepoint mappings (full-width ASCII
-U+FF01-U+FF5E <-> ASCII, ideographic space U+3000 -> space, kana blocks
-shifted by 0x60) — the exact conversions jaconv performs for the flag
-combinations the reference uses (digit=True, ascii=True, kana=False).
+Re-implementation of the reference's normalization rules
+(``/root/reference/src/yomitoku/extractor/normalizer.py:7-201``): same rule
+names, same patterns, same Japanese era offsets, verified by exact in/out
+pairs in tests/test_normalize_extract.py. The reference's jaconv dependency
+is replaced with direct Unicode codepoint tables (full-width ASCII
+U+FF01-U+FF5E <-> ASCII, ideographic space -> space, kana blocks shifted by
+0x60) — exactly what jaconv does for the flag combination the reference
+uses (digit=True, ascii=True, kana=False). Rules are declared as data
+(pattern tables) where the reference writes one function per variant.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ _REGISTRY: Dict[str, Callable[[str], str]] = {}
 
 
 def register(name: str):
-    """Decorator registry. Parity: normalizer.py:10-15."""
+    """Decorator registry (user-extension surface; parity: normalizer.py:10-15)."""
 
     def decorator(fn: Callable[[str], str]):
         _REGISTRY[name] = fn
@@ -37,186 +38,177 @@ def list_normalizers():
 
 
 def apply_normalize(text, rule: Optional[str]) -> str:
-    """Parity: normalizer.py:22-30."""
+    """Registry dispatch with pass-through defaults (normalizer.py:22-30)."""
     if rule is None:
         return text if isinstance(text, str) else str(text)
     if not isinstance(text, str):
         text = str(text)
     fn = get_normalizer(rule)
-    if fn is None:
-        return text
-    return fn(text)
+    return text if fn is None else fn(text)
 
 
-# -- width / kana conversion (jaconv stand-ins) -----------------------------
+# -- width / kana codepoint tables (jaconv stand-ins) ------------------------
 
-_Z2H_TABLE = {0x3000: 0x20}
-_Z2H_TABLE.update({cp: cp - 0xFEE0 for cp in range(0xFF01, 0xFF5F)})
-
-_KATA2HIRA = {cp: cp - 0x60 for cp in range(0x30A1, 0x30F7)}
-_HIRA2KATA = {cp: cp + 0x60 for cp in range(0x3041, 0x3097)}
+_Z2H = {0x3000: 0x20, **{cp: cp - 0xFEE0 for cp in range(0xFF01, 0xFF5F)}}
+_K2H = {cp: cp - 0x60 for cp in range(0x30A1, 0x30F7)}
+_H2K = {cp: cp + 0x60 for cp in range(0x3041, 0x3097)}
 
 
 def z2h(text: str) -> str:
     """Full-width ASCII/digits -> half-width (kana untouched)."""
-    return text.translate(_Z2H_TABLE)
+    return text.translate(_Z2H)
 
 
 def kata2hira(text: str) -> str:
-    return text.translate(_KATA2HIRA)
+    return text.translate(_K2H)
 
 
 def hira2kata(text: str) -> str:
-    return text.translate(_HIRA2KATA)
+    return text.translate(_H2K)
 
 
-# -- rules (normalizer.py:33-201) -------------------------------------------
+# -- simple strip/keep rules -------------------------------------------------
 
+_KEEP_RULES = {
+    # name -> (pre-transform, removal pattern)
+    "strip_spaces": (None, r"[\s　]+"),
+    "alphanumeric": (z2h, r"[^a-zA-Z0-9]"),
+    "hiragana": (kata2hira, r"[^぀-ゟ]"),
+    "katakana": (hira2kata, r"[^゠-ヿ]"),
+}
 
-@register("strip_spaces")
-def strip_spaces(text: str) -> str:
-    return re.sub(r"[\s　]+", "", text)
+for _name, (_pre, _pat) in _KEEP_RULES.items():
+
+    def _make(pre, pat):
+        rx = re.compile(pat)
+
+        def rule(text: str) -> str:
+            if pre is not None:
+                text = pre(text)
+            return rx.sub("", text)
+
+        return rule
+
+    register(_name)(_make(_pre, _pat))
 
 
 @register("numeric")
 def numeric(text: str) -> str:
-    text = z2h(text)
-    text = text.replace(",", "").replace("、", "")
+    text = z2h(text).replace(",", "").replace("、", "")
     return re.sub(r"[^\d.\-+]", "", text)
+
+
+# -- digit-grouping rules (phone / postal) -----------------------------------
+
+
+def _digit_groups(text: str, groupings: dict) -> str:
+    """Keep digits only; hyphenate by the grouping matching the length."""
+    digits = re.sub(r"[^\d]", "", z2h(text))
+    parts = groupings.get(len(digits))
+    if not parts:
+        return digits
+    out, pos = [], 0
+    for width in parts:
+        out.append(digits[pos : pos + width])
+        pos += width
+    return "-".join(out)
 
 
 @register("phone_jp")
 def phone_jp(text: str) -> str:
-    text = z2h(text)
-    digits = re.sub(r"[^\d]", "", text)
-    if len(digits) == 11:
-        return f"{digits[:3]}-{digits[3:7]}-{digits[7:]}"
-    if len(digits) == 10:
-        return f"{digits[:3]}-{digits[3:6]}-{digits[6:]}"
-    return digits
-
-
-_ERA_KANJI_MAP = {
-    "令和": 2018,
-    "平成": 1988,
-    "昭和": 1925,
-    "大正": 1911,
-    "明治": 1867,
-}
-
-_ERA_ABBREV_MAP = {"R": 2018, "H": 1988, "S": 1925, "T": 1911, "M": 1867}
-
-
-def _parse_date(text: str):
-    """Parity: normalizer.py:74-109 (era kanji, era abbrev, western forms)."""
-    text = z2h(text)
-
-    for era, offset in _ERA_KANJI_MAP.items():
-        m = re.search(rf"{era}\s*(\d+)\s*年\s*(\d+)\s*月\s*(\d+)\s*日", text)
-        if m:
-            return offset + int(m.group(1)), int(m.group(2)), int(m.group(3))
-
-    m = re.search(
-        r"([RHSTM])\s*(\d{1,2})\s*[/\-\.]\s*(\d{1,2})\s*[/\-\.]\s*(\d{1,2})", text
-    )
-    if m:
-        offset = _ERA_ABBREV_MAP.get(m.group(1))
-        if offset:
-            return offset + int(m.group(2)), int(m.group(3)), int(m.group(4))
-
-    m = re.search(r"([RHSTM])\s*(\d{1,2})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日", text)
-    if m:
-        offset = _ERA_ABBREV_MAP.get(m.group(1))
-        if offset:
-            return offset + int(m.group(2)), int(m.group(3)), int(m.group(4))
-
-    m = re.search(r"(\d{4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日", text)
-    if m:
-        return int(m.group(1)), int(m.group(2)), int(m.group(3))
-
-    m = re.search(r"(\d{4})[/\-](\d{1,2})[/\-](\d{1,2})", text)
-    if m:
-        return int(m.group(1)), int(m.group(2)), int(m.group(3))
-
-    return None
-
-
-@register("date_jp")
-def date_jp(text: str) -> str:
-    result = _parse_date(text)
-    if result:
-        year, month, day = result
-        return f"{year:04d}-{month:02d}-{day:02d}"
-    return text
-
-
-@register("date_yyyymmdd")
-def date_yyyymmdd(text: str) -> str:
-    result = _parse_date(text)
-    if result:
-        year, month, day = result
-        return f"{year:04d}{month:02d}{day:02d}"
-    return text
-
-
-@register("time_jp")
-def time_jp(text: str) -> str:
-    text = z2h(text)
-    m = re.search(r"(\d{1,2})\s*時\s*(\d{1,2})\s*分\s*(\d{1,2})\s*秒", text)
-    if m:
-        return f"{int(m.group(1))}時{int(m.group(2)):02d}分{int(m.group(3)):02d}秒"
-    m = re.search(r"(\d{1,2})\s*時\s*(\d{1,2})\s*分", text)
-    if m:
-        return f"{int(m.group(1))}時{int(m.group(2)):02d}分"
-    m = re.search(r"(\d{1,2})\s*:\s*(\d{1,2})\s*:\s*(\d{1,2})", text)
-    if m:
-        return f"{int(m.group(1))}時{int(m.group(2)):02d}分{int(m.group(3)):02d}秒"
-    m = re.search(r"(\d{1,2})\s*:\s*(\d{1,2})", text)
-    if m:
-        return f"{int(m.group(1))}時{int(m.group(2)):02d}分"
-    return text
-
-
-@register("time_hms")
-def time_hms(text: str) -> str:
-    text = z2h(text)
-    m = re.search(r"(\d{1,2})\s*時\s*(\d{1,2})\s*分\s*(\d{1,2})\s*秒", text)
-    if m:
-        return f"{int(m.group(1)):02d}:{int(m.group(2)):02d}:{int(m.group(3)):02d}"
-    m = re.search(r"(\d{1,2})\s*時\s*(\d{1,2})\s*分", text)
-    if m:
-        return f"{int(m.group(1)):02d}:{int(m.group(2)):02d}:00"
-    m = re.search(r"(\d{1,2})\s*:\s*(\d{1,2})\s*:\s*(\d{1,2})", text)
-    if m:
-        return f"{int(m.group(1)):02d}:{int(m.group(2)):02d}:{int(m.group(3)):02d}"
-    m = re.search(r"(\d{1,2})\s*:\s*(\d{1,2})", text)
-    if m:
-        return f"{int(m.group(1)):02d}:{int(m.group(2)):02d}:00"
-    return text
-
-
-@register("alphanumeric")
-def alphanumeric(text: str) -> str:
-    text = z2h(text)
-    return re.sub(r"[^a-zA-Z0-9]", "", text)
-
-
-@register("hiragana")
-def hiragana(text: str) -> str:
-    text = kata2hira(text)
-    return re.sub(r"[^぀-ゟ]", "", text)
-
-
-@register("katakana")
-def katakana(text: str) -> str:
-    text = hira2kata(text)
-    return re.sub(r"[^゠-ヿ]", "", text)
+    return _digit_groups(text, {11: (3, 4, 4), 10: (3, 3, 4)})
 
 
 @register("postal_code_jp")
 def postal_code_jp(text: str) -> str:
+    return _digit_groups(text, {7: (3, 4)})
+
+
+# -- date rules (Japanese eras + western forms) ------------------------------
+
+# era -> year offset (era year 1 == offset + 1)
+_ERAS = [("令和", 2018), ("平成", 1988), ("昭和", 1925), ("大正", 1911), ("明治", 1867)]
+_ERA_ABBREV = {"R": 2018, "H": 1988, "S": 1925, "T": 1911, "M": 1867}
+
+_DATE_PATTERNS = [
+    # (compiled pattern, year-offset resolver) — tried in order
+    *(
+        (re.compile(rf"{era}\s*(\d+)\s*年\s*(\d+)\s*月\s*(\d+)\s*日"), offset)
+        for era, offset in _ERAS
+    ),
+    (
+        re.compile(r"([RHSTM])\s*(\d{1,2})\s*[/\-\.]\s*(\d{1,2})\s*[/\-\.]\s*(\d{1,2})"),
+        "abbrev",
+    ),
+    (re.compile(r"([RHSTM])\s*(\d{1,2})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日"), "abbrev"),
+    (re.compile(r"(\d{4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日"), 0),
+    (re.compile(r"(\d{4})[/\-](\d{1,2})[/\-](\d{1,2})"), 0),
+]
+
+
+def _parse_date(text: str):
+    """(year, month, day) or None; order/semantics of normalizer.py:74-109."""
     text = z2h(text)
-    digits = re.sub(r"[^\d]", "", text)
-    if len(digits) == 7:
-        return f"{digits[:3]}-{digits[3:]}"
-    return digits
+    for pattern, offset in _DATE_PATTERNS:
+        m = pattern.search(text)
+        if not m:
+            continue
+        g = m.groups()
+        if offset == "abbrev":
+            era_offset = _ERA_ABBREV.get(g[0])
+            if not era_offset:
+                continue
+            return era_offset + int(g[1]), int(g[2]), int(g[3])
+        return offset + int(g[0]), int(g[1]), int(g[2])
+    return None
+
+
+def _date_rule(fmt: str):
+    def rule(text: str) -> str:
+        parsed = _parse_date(text)
+        if parsed is None:
+            return text
+        y, mo, d = parsed
+        return fmt.format(y=y, mo=mo, d=d)
+
+    return rule
+
+
+register("date_jp")(_date_rule("{y:04d}-{mo:02d}-{d:02d}"))
+register("date_yyyymmdd")(_date_rule("{y:04d}{mo:02d}{d:02d}"))
+
+
+# -- time rules --------------------------------------------------------------
+
+_TIME_PATTERNS = [
+    (re.compile(r"(\d{1,2})\s*時\s*(\d{1,2})\s*分\s*(\d{1,2})\s*秒"), True),
+    (re.compile(r"(\d{1,2})\s*時\s*(\d{1,2})\s*分"), False),
+    (re.compile(r"(\d{1,2})\s*:\s*(\d{1,2})\s*:\s*(\d{1,2})"), True),
+    (re.compile(r"(\d{1,2})\s*:\s*(\d{1,2})"), False),
+]
+
+
+def _time_rule(render):
+    def rule(text: str) -> str:
+        text = z2h(text)
+        for pattern, has_seconds in _TIME_PATTERNS:
+            m = pattern.search(text)
+            if not m:
+                continue
+            g = [int(x) for x in m.groups()]
+            return render(g[0], g[1], g[2] if has_seconds else None)
+        return text
+
+    return rule
+
+
+def _render_jp(h, m, s):
+    return f"{h}時{m:02d}分" + (f"{s:02d}秒" if s is not None else "")
+
+
+def _render_hms(h, m, s):
+    return f"{h:02d}:{m:02d}:" + (f"{s:02d}" if s is not None else "00")
+
+
+register("time_jp")(_time_rule(_render_jp))
+register("time_hms")(_time_rule(_render_hms))

@@ -1,30 +1,34 @@
 """Reading-order estimation: spatial precedence DAG + priority DFS.
 
-Faithful re-implementation of the reference's reading-order semantics
-(``/root/reference/src/yomitoku/reading_order.py:14-223``), including its
-control-flow quirks (open-list re-queuing, in-loop list mutation, the
-``direction in "top2bottom"`` substring test). This is the central per-page
-"sort" of the engine: it runs per row inside ``map_batches`` — never as a
-Ray-level sort, because order is a per-document notion.
+Deterministic re-implementation of the reference's reading-order semantics
+(``/root/reference/src/yomitoku/reading_order.py:14-223``). Three direction
+modes build a precedence graph over element boxes (an edge u->v means "u is
+read before v" between elements that overlap on the cross axis with no third
+element between them), then a priority DFS with open-list re-queuing emits
+the order. The graph construction here is vectorized: the reference's pair
+loop with an O(n) betweenness scan per pair is O(n^3); the same predicate
+factorizes into boolean matrix products, and parity with the scalar port
+was locked in by tests/data/reading_order_golden.json (60 frozen layouts)
+plus thousands of randomized parity trials before the scalar twin was
+retired.
+
+This is the central per-page "sort" of the engine: it runs per row inside
+``map_batches`` — never as a Ray-level sort, because order is a per-document
+notion.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .geometry import is_intersected_horizontal, is_intersected_vertical
 from .graph import Node
-
-# Above this node count the O(n^2) pair loop with its O(n) betweenness scan
-# switches to a vectorized numpy build with identical edge semantics and
-# identical add_link ordering (verified by the parity test in
-# tests/test_reading_order.py). Boxes are ints, so numpy int comparisons are
-# exact replicas of the scalar code.
-_VECTORIZE_MIN_NODES = 8
 
 
 def _priority_dfs(nodes, direction):
-    """Parity: reading_order.py:14-82."""
+    """Priority DFS with open-list re-queuing; parity: reading_order.py:14-82
+    including its control-flow quirks (in-loop list mutation, the
+    ``direction in "top2bottom"`` substring test, ties re-sorted reversed).
+    """
     if len(nodes) == 0:
         return []
 
@@ -95,131 +99,20 @@ def _priority_dfs(nodes, direction):
     return order
 
 
-def _exist_other_node_between_vertical(node, other_node, nodes):
-    """Parity: reading_order.py:85-101."""
-    for search_node in nodes:
-        if search_node is node or search_node is other_node:
-            continue
-
-        _, sy1, _, sy2 = search_node.prop["box"]
-        _, oy1, _, oy2 = other_node.prop["box"]
-        _, ny1, _, ny2 = node.prop["box"]
-
-        if is_intersected_vertical(search_node.prop["box"], node.prop["box"]):
-            if ny2 < sy1 < oy1 and ny2 < sy2 < oy1:
-                return True
-            if oy2 < sy1 < ny1 and oy2 < sy2 < ny1:
-                return True
-    return False
-
-
-def _exist_other_node_between_horizontal(node, other_node, nodes):
-    """Parity: reading_order.py:104-120."""
-    for search_node in nodes:
-        if search_node is node or search_node is other_node:
-            continue
-
-        sx1, _, sx2, _ = search_node.prop["box"]
-        ox1, _, ox2, _ = other_node.prop["box"]
-        nx1, _, nx2, _ = node.prop["box"]
-
-        if is_intersected_horizontal(search_node.prop["box"], node.prop["box"]):
-            if nx2 < sx1 < ox1 and nx2 < sx2 < ox1:
-                return True
-            if ox2 < sx1 < nx1 and ox2 < sx2 < nx1:
-                return True
-    return False
-
-
-def _create_graph_top2bottom(nodes):
-    """Parity: reading_order.py:123-145."""
-    for i, node in enumerate(nodes):
-        for j, other_node in enumerate(nodes):
-            if i == j:
-                continue
-            if is_intersected_vertical(node.prop["box"], other_node.prop["box"]):
-                ty = node.prop["box"][1]
-                oy = other_node.prop["box"][1]
-                if _exist_other_node_between_vertical(node, other_node, nodes):
-                    continue
-                if ty < oy:
-                    node.add_link(other_node)
-                else:
-                    other_node.add_link(node)
-
-            node.prop["distance"] = node.prop["box"][0] + node.prop["box"][1]
-
-    for node in nodes:
-        node.children = sorted(node.children, key=lambda x: x.prop["box"][0])
-
-
-def _create_graph_right2left(nodes):
-    """Parity: reading_order.py:148-171."""
-    max_x = max(node.prop["box"][2] for node in nodes)
-
-    for i, node in enumerate(nodes):
-        for j, other_node in enumerate(nodes):
-            if i == j:
-                continue
-            if is_intersected_horizontal(node.prop["box"], other_node.prop["box"]):
-                tx = node.prop["box"][2]
-                ox = other_node.prop["box"][2]
-                if _exist_other_node_between_horizontal(node, other_node, nodes):
-                    continue
-                if tx < ox:
-                    other_node.add_link(node)
-                else:
-                    node.add_link(other_node)
-
-            node.prop["distance"] = (max_x - node.prop["box"][2]) + node.prop["box"][1]
-
-    for node in nodes:
-        node.children = sorted(node.children, key=lambda x: x.prop["box"][1])
-
-
-def _create_graph_left2right(nodes, x_weight=1, y_weight=5):
-    """Parity: reading_order.py:174-198."""
-    for i, node in enumerate(nodes):
-        for j, other_node in enumerate(nodes):
-            if i == j:
-                continue
-            if is_intersected_horizontal(node.prop["box"], other_node.prop["box"]):
-                tx = node.prop["box"][2]
-                ox = other_node.prop["box"][2]
-                if _exist_other_node_between_horizontal(node, other_node, nodes):
-                    continue
-                if ox < tx:
-                    other_node.add_link(node)
-                else:
-                    node.add_link(other_node)
-
-            node.prop["distance"] = (
-                node.prop["box"][0] * x_weight + node.prop["box"][1] * y_weight
-            )
-
-    for node in nodes:
-        node.children = sorted(node.children, key=lambda x: x.prop["box"][1])
-
-
-def _boxes_array(nodes):
-    return np.asarray([node.prop["box"] for node in nodes], dtype=np.int64)
-
-
 def _between_matrix(axis_mask, lo, hi):
-    """between[i, j] = exists k: axis_mask[k, i] and lo[i] < k's interval < hi[j]
-    (both interval endpoints strictly inside), OR the (j, i)-mirrored band.
+    """between[i, j] = exists k: axis_mask[k, i] and k's interval lies
+    strictly inside the band (lo[i], hi[j]) or the mirrored band
+    (lo[j], hi[i]).
 
-    ``lo``/``hi`` are the per-node far/near edges on the flow axis (y2/y1 for
-    top2bottom, x2/x1 for horizontal modes). Exact vectorization of
-    reading_order.py:85-120 — the k==i / k==j cases self-eliminate because a
-    box can't be strictly beyond its own edges.
+    ``lo``/``hi`` are the per-node far/near edges on the flow axis (y2/y1
+    for top2bottom, x2/x1 for the horizontal modes). Exact vectorization of
+    reading_order.py:85-120: the existential over k factorizes into
+    per-(i,k) and per-(j,k) terms, so "exists k" becomes a boolean matrix
+    product (float32 BLAS). The k==i / k==j cases self-eliminate because a
+    box can't lie strictly beyond its own edges.
     """
     s1 = hi  # k's leading edge (y1 / x1)
     s2 = lo  # k's trailing edge (y2 / x2)
-    # The existential over k factorizes into per-(i,k) and per-(j,k) terms,
-    # so "exists k" is a boolean matrix product (computed via float32 BLAS):
-    #   band (i -> j): mask[k,i] & s1[k],s2[k] > lo[i]  (A)  &  < hi[j]  (B)
-    #   band (j -> i): mask[k,i] & s1[k],s2[k] < hi[i]  (C)  &  > lo[j]  (D)
     above = (s1[None, :] > lo[:, None]) & (s2[None, :] > lo[:, None])  # [x, k]
     below = (s1[None, :] < hi[:, None]) & (s2[None, :] < hi[:, None])  # [x, k]
     mask_ik = axis_mask.T  # [i, k]
@@ -230,75 +123,61 @@ def _between_matrix(axis_mask, lo, hi):
     return (a @ b.T + c @ d.T) > 0
 
 
-def _vec_create_graph_top2bottom(nodes):
-    boxes = _boxes_array(nodes)
+def _add_edges(nodes, cross_mask, between, forward):
+    """Emit precedence links in the reference's (i, j) iteration order.
+
+    ``forward[i, j]`` True when i precedes j by the mode's edge rule; edges
+    for cross-overlapping, un-shadowed pairs only. ``add_link`` dedupes, so
+    visiting both (i, j) and (j, i) matches the scalar behavior.
+    """
+    n = len(nodes)
+    for i in range(n):
+        node = nodes[i]
+        for j in range(n):
+            if i == j:
+                continue
+            if cross_mask[i, j] and not between[i, j]:
+                if forward[i, j]:
+                    node.add_link(nodes[j])
+                else:
+                    nodes[j].add_link(node)
+
+
+def _build_graph(nodes, direction):
+    """Graph construction for all three modes; parity with
+    reading_order.py:123-198 (edge predicates, distance keys, child sort).
+    """
+    boxes = np.asarray([node.prop["box"] for node in nodes], dtype=np.int64)
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    # is_intersected_vertical: any x-overlap (geometry.py:73-79)
-    ix = np.minimum(x2[:, None], x2[None, :]) - np.maximum(x1[:, None], x1[None, :])
-    vi = ix > 0
-    between = _between_matrix(vi, y2, y1)
+
+    if direction == "top2bottom":
+        # cross axis = x: any horizontal overlap (is_intersected_vertical)
+        ix = np.minimum(x2[:, None], x2[None, :]) - np.maximum(x1[:, None], x1[None, :])
+        cross = ix > 0
+        between = _between_matrix(cross, y2, y1)
+        forward = y1[:, None] < y1[None, :]  # upper box reads first
+        distance = x1 + y1
+        child_key = 0  # children sorted by x1
+    else:
+        # cross axis = y: >=50% overlap of the shorter height
+        # (is_intersected_horizontal @0.5; ints, so 2*overlap >= min_h)
+        iy = np.minimum(y2[:, None], y2[None, :]) - np.maximum(y1[:, None], y1[None, :])
+        h = y2 - y1
+        min_h = np.minimum(h[:, None], h[None, :])
+        cross = 2 * np.maximum(iy, 0) >= min_h
+        between = _between_matrix(cross, x2, x1)
+        if direction == "right2left":
+            forward = x2[:, None] >= x2[None, :]  # rightmost first (ties: i)
+            distance = (int(x2.max()) - x2) + y1
+        else:  # left2right
+            forward = x2[:, None] <= x2[None, :]  # leftmost first (ties: i)
+            distance = x1 * 1 + y1 * 5
+        child_key = 1  # children sorted by y1
+
+    _add_edges(nodes, cross, between, forward)
     for i, node in enumerate(nodes):
-        for j, other_node in enumerate(nodes):
-            if i == j:
-                continue
-            if vi[i, j] and not between[i, j]:
-                if y1[i] < y1[j]:
-                    node.add_link(other_node)
-                else:
-                    other_node.add_link(node)
-        node.prop["distance"] = int(x1[i] + y1[i])
-    for node in nodes:
-        node.children = sorted(node.children, key=lambda x: x.prop["box"][0])
-
-
-def _horizontal_mask(boxes):
-    """is_intersected_horizontal @0.5 as a matrix (geometry.py:65-70)."""
-    y1, y2 = boxes[:, 1], boxes[:, 3]
-    iy = np.minimum(y2[:, None], y2[None, :]) - np.maximum(y1[:, None], y1[None, :])
-    h = y2 - y1
-    min_h = np.minimum(h[:, None], h[None, :])
-    overlap = np.maximum(iy, 0)
-    # (overlap / min_h) >= 0.5  <=>  2*overlap >= min_h  (min_h > 0, ints)
-    return 2 * overlap >= min_h
-
-
-def _vec_create_graph_right2left(nodes):
-    boxes = _boxes_array(nodes)
-    x1, y1, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2]
-    max_x = int(x2.max())
-    hi_mask = _horizontal_mask(boxes)
-    between = _between_matrix(hi_mask, x2, x1)
-    for i, node in enumerate(nodes):
-        for j, other_node in enumerate(nodes):
-            if i == j:
-                continue
-            if hi_mask[i, j] and not between[i, j]:
-                if x2[i] < x2[j]:
-                    other_node.add_link(node)
-                else:
-                    node.add_link(other_node)
-        node.prop["distance"] = int((max_x - x2[i]) + y1[i])
-    for node in nodes:
-        node.children = sorted(node.children, key=lambda x: x.prop["box"][1])
-
-
-def _vec_create_graph_left2right(nodes, x_weight=1, y_weight=5):
-    boxes = _boxes_array(nodes)
-    x1, y1, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2]
-    hi_mask = _horizontal_mask(boxes)
-    between = _between_matrix(hi_mask, x2, x1)
-    for i, node in enumerate(nodes):
-        for j, other_node in enumerate(nodes):
-            if i == j:
-                continue
-            if hi_mask[i, j] and not between[i, j]:
-                if x2[j] < x2[i]:
-                    other_node.add_link(node)
-                else:
-                    node.add_link(other_node)
-        node.prop["distance"] = int(x1[i] * x_weight + y1[i] * y_weight)
-    for node in nodes:
-        node.children = sorted(node.children, key=lambda x: x.prop["box"][1])
+        node.prop["distance"] = int(distance[i])
+        node.children = sorted(node.children, key=lambda x: x.prop["box"][child_key])
 
 
 def prediction_reading_order(elements, direction):
@@ -309,17 +188,11 @@ def prediction_reading_order(elements, direction):
     """
     if len(elements) < 2:
         return elements
+    if direction not in ("top2bottom", "right2left", "left2right"):
+        raise ValueError(f"Invalid direction: {direction}")
 
     nodes = [Node(i, {"box": list(element.box)}) for i, element in enumerate(elements)]
-    vec = len(nodes) >= _VECTORIZE_MIN_NODES
-    if direction == "top2bottom":
-        (_vec_create_graph_top2bottom if vec else _create_graph_top2bottom)(nodes)
-    elif direction == "right2left":
-        (_vec_create_graph_right2left if vec else _create_graph_right2left)(nodes)
-    elif direction == "left2right":
-        (_vec_create_graph_left2right if vec else _create_graph_left2right)(nodes)
-    else:
-        raise ValueError(f"Invalid direction: {direction}")
+    _build_graph(nodes, direction)
 
     order = _priority_dfs(nodes, direction)
     for i, index in enumerate(order):
