@@ -89,6 +89,27 @@ def run_bench() -> dict:
                 res.materialize()
             timings[name] = round(time.perf_counter() - t0, 3)
 
+        # Semantic pipeline sample: first 10k pages (full-sf semantic would
+        # double the bench; the per-row cost is what matters).
+        import ray.data
+
+        from yomitoku_ray.pipelines.semantic import semantic_pages
+        from yomitoku_ray.stages.semantic_stage import SemanticExtractStage
+        from yomitoku_ray.pipelines.extract import PAGES_COLUMNS
+
+        t0 = time.perf_counter()
+        sem_src = ray.data.read_parquet(pages_path, columns=list(PAGES_COLUMNS)).limit(
+            10_000
+        )
+        sem_ds = sem_src.map_batches(
+            SemanticExtractStage,
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=max(4, NUM_CPUS - 2),
+        )
+        sem_ds.materialize()
+        timings["semantic_10k"] = round(time.perf_counter() - t0, 3)
+
         timed("doc_stats", doc_stats)
         timed("quality_score", quality_score)
         timed("exact_dedup", exact_dedup)
