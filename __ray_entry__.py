@@ -78,7 +78,6 @@ def _extract_summary(sf_dir: str) -> pd.DataFrame:
 
 def _extract_match_rate(sf_dir: str, n_sample: int = 200) -> pd.DataFrame:
     """Live north-star metric: pipeline output vs oracle, byte match rate."""
-    import pyarrow.parquet as pq
     import ray.data
 
     from yomitoku_ray.oracle import analyze_html_bytes

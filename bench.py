@@ -93,7 +93,6 @@ def run_bench() -> dict:
         # double the bench; the per-row cost is what matters).
         import ray.data
 
-        from yomitoku_ray.pipelines.semantic import semantic_pages
         from yomitoku_ray.stages.semantic_stage import SemanticExtractStage
         from yomitoku_ray.pipelines.extract import PAGES_COLUMNS
 

@@ -2,7 +2,6 @@
 its own PYTHONHASHSEED; any set-iteration leak would make distributed
 output nondeterministic)."""
 
-import json
 import subprocess
 import sys
 

@@ -2,8 +2,6 @@
 stronger than the reference's fixture-only suite (SURVEY §5 notes it has no
 randomized tests)."""
 
-import copy
-
 from hypothesis import given, settings, strategies as st
 
 import yomitoku_ray.kernels.reading_order as ro

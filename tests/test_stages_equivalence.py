@@ -1,8 +1,5 @@
 """Fused vs staged pipeline: identical bytes; vectorized reading-order parity."""
 
-import copy
-import random
-
 import pyarrow.parquet as pq
 import pytest
 

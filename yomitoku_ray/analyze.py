@@ -26,7 +26,7 @@ from .kernels.geometry import (
     quad_to_xyxy,
 )
 from .kernels.reading_order import prediction_reading_order
-from .models import Figure, Paragraph, TableCell, Word
+from .models import Figure, Paragraph, TableCell
 
 _RE_HIRAGANA_ONLY = re.compile(r"^[\u3040-\u309F]+$")
 _RE_KATAKANA_ONLY = re.compile(r"^[\u30A0-\u30FF]+$")

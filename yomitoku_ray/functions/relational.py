@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 
 def _cents(x: pd.Series) -> pd.Series:

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import networkx as nx
 
-from ..detect import Detections
 from ..kernels.geometry import (
     calc_overlap_ratio,
     is_bottom_adjacent,
@@ -25,11 +24,8 @@ from ..models import Paragraph
 from .grid_parser import parse_grid_from_bottom_up
 from .kv_parser import parse_kv_items
 from .schemas import (
-    KvItem,
-    SemanticCell,
     SemanticDocument,
     SemanticParagraph,
-    TableGrid,
     TableSemanticContents,
 )
 
