@@ -205,7 +205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.relational import (
         events_hourly,
         events_sliding,
+        orders_priority_monthly,
+        part_type_stats,
         pricing_summary,
+        suppliers_per_region,
         revenue_by_segment,
         top_parts_by_revenue,
         user_sessions,
@@ -247,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": pricing_summary,
         "revenue_by_segment": revenue_by_segment,
         "top_parts_by_revenue": top_parts_by_revenue,
+        "suppliers_per_region": suppliers_per_region,
+        "orders_priority_monthly": orders_priority_monthly,
+        "part_type_stats": part_type_stats,
         "events_hourly": events_hourly,
         "events_sliding": events_sliding,
         "user_sessions": user_sessions,
@@ -374,6 +380,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_partkey
             ORDER BY revenue_cents DESC, l_partkey
             LIMIT 10
+        """,
+        "suppliers_per_region": """
+            SELECT coalesce(r.r_name, 'UNKNOWN') AS r_name,
+                   count(*) AS n_suppliers,
+                   CAST(sum(CAST(floor(s.s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM supplier s
+            LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+            LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "orders_priority_monthly": """
+            SELECT o_orderpriority,
+                   date_trunc('month', o_orderdate) AS month_start,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders
+            GROUP BY 1, 2
+        """,
+        "part_type_stats": """
+            SELECT p_type,
+                   count(*) AS n_parts,
+                   CAST(min(p_size) AS BIGINT) AS min_size,
+                   CAST(max(p_size) AS BIGINT) AS max_size,
+                   CAST(sum(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS retail_cents
+            FROM part
+            GROUP BY 1
         """,
         "events_sliding": """
             WITH hourly AS (

@@ -149,6 +149,114 @@ def top_parts_by_revenue(sf_dir: str, top_n: int = 10) -> pd.DataFrame:
     return top.to_pandas().reset_index(drop=True)
 
 
+def suppliers_per_region(sf_dir: str) -> pd.DataFrame:
+    """Two-hop broadcast join: region -> nation -> supplier rollup.
+
+    Both dimension tables ship once via ``ray.put``; the fact scan does a
+    vectorized two-step map lookup. Columns: r_name, n_suppliers,
+    acctbal_cents.
+    """
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nation_to_region = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    region_name = dict(zip(region["r_regionkey"], region["r_name"]))
+    maps_ref = ray.put((nation_to_region, region_name))
+
+    def _lookup(df: pd.DataFrame) -> pd.DataFrame:
+        n2r, rname = ray.get(maps_ref)
+        rkey = df["s_nationkey"].map(n2r)
+        work = pd.DataFrame(
+            {
+                "r_name": rkey.map(rname).fillna("UNKNOWN"),
+                "n_suppliers": np.ones(len(df), dtype="int64"),
+                "acctbal_cents": _cents(df["s_acctbal"]),
+            }
+        )
+        return work.groupby("r_name", as_index=False).sum()
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+    out = ds.map_batches(_lookup, batch_format="pandas").groupby("r_name").aggregate(
+        Sum("n_suppliers", alias_name="n_suppliers"),
+        Sum("acctbal_cents", alias_name="acctbal_cents"),
+    )
+    return out.to_pandas().sort_values("r_name").reset_index(drop=True)
+
+
+def orders_priority_monthly(sf_dir: str) -> pd.DataFrame:
+    """Order counts + revenue by (priority, month) — calendar bucketing.
+
+    Columns: o_orderpriority, month_start, n_orders, revenue_cents.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        work = pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "month_start": df["o_orderdate"].values.astype("datetime64[M]").astype("datetime64[us]"),
+                "n_orders": np.ones(len(df), dtype="int64"),
+                "revenue_cents": _cents(df["o_totalprice"]),
+            }
+        )
+        return work.groupby(["o_orderpriority", "month_start"], as_index=False).sum()
+
+    out = ds.map_batches(_partial, batch_format="pandas").groupby(
+        ["o_orderpriority", "month_start"]
+    ).aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["o_orderpriority", "month_start"])
+        .reset_index(drop=True)
+    )
+
+
+def part_type_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-type part stats: count, size extremes, retail price sum (ints).
+
+    Columns: p_type, n_parts, min_size, max_size, retail_cents.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_type", "p_size", "p_retailprice"]
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        work = pd.DataFrame(
+            {
+                "p_type": df["p_type"],
+                "n_parts": np.ones(len(df), dtype="int64"),
+                "min_size": df["p_size"].astype("int64"),
+                "max_size": df["p_size"].astype("int64"),
+                "retail_cents": _cents(df["p_retailprice"]),
+            }
+        )
+        return work.groupby("p_type", as_index=False).agg(
+            n_parts=("n_parts", "sum"),
+            min_size=("min_size", "min"),
+            max_size=("max_size", "max"),
+            retail_cents=("retail_cents", "sum"),
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    out = ds.map_batches(_partial, batch_format="pandas").groupby("p_type").aggregate(
+        Sum("n_parts", alias_name="n_parts"),
+        Min("min_size", alias_name="min_size"),
+        Max("max_size", alias_name="max_size"),
+        Sum("retail_cents", alias_name="retail_cents"),
+    )
+    return out.to_pandas().sort_values("p_type").reset_index(drop=True)
+
+
 def events_sliding(sf_dir: str, window_hours: int = 3) -> pd.DataFrame:
     """Sliding window counts per event_type (window = ``window_hours``,
     slide = 1h, window starts at every observed hour).
