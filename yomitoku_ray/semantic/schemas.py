@@ -323,6 +323,39 @@ class SemanticDocument:
                 return table
         return None
 
+    def search_words_by_position(self, bbox) -> str:
+        """Words contained@0.5 in bbox, reading-ordered, concatenated.
+
+        Parity: schemas/table_semantic_parser.py:620-646 (words joined with
+        "" — unlike the element join, which uses newline).
+        """
+        from ..kernels.geometry import is_contained, quad_to_xyxy
+        from ..kernels.reading_order import prediction_reading_order
+
+        hits = []
+        directions = []
+        for word in self.words:
+            word_box = quad_to_xyxy(word.points)
+            if is_contained(bbox, word_box, threshold=0.5):
+                hits.append(
+                    SemanticParagraph(
+                        id=None,
+                        box=list(word_box),
+                        score=1.0,
+                        role=None,
+                        contents=word.content,
+                    )
+                )
+                directions.append(word.direction)
+        cnt_h = directions.count("horizontal")
+        cnt_v = directions.count("vertical")
+        order = "left2right" if cnt_h > cnt_v else "right2left"
+        for h in hits:
+            h.order = 0
+        prediction_reading_order(hits, order)
+        hits = sorted(hits, key=lambda x: x.order)
+        return "".join(h.contents for h in hits)
+
     def find_table_by_position(self, box) -> Optional[TableSemanticContents]:
         """Parity: :680-692 (best-overlap-wins @0.5)."""
         ratios = [calc_overlap_ratio(box, t.box)[0] for t in self.tables]
