@@ -72,8 +72,18 @@ def run_bench() -> dict:
         read_num_blocks=NUM_CPUS * 8,
     )
     t0 = time.perf_counter()
-    extract_pages(pages_path, cfg).write_parquet(out_dir)
+    headline_ds = extract_pages(pages_path, cfg)
+    headline_ds.write_parquet(out_dir)
     timings["extract"] = round(time.perf_counter() - t0, 3)
+
+    # Per-stage breakdown for the headline run ("measure, don't guess"):
+    # dumped to a sidecar so BENCH stays one JSON line.
+    if os.environ.get("BENCH_STATS", "1") == "1":
+        try:
+            with open("/tmp/yomitoku_ray_bench_stats.txt", "w") as f:
+                f.write(headline_ds.stats())
+        except Exception:
+            pass
 
     if not HEADLINE_ONLY:
         from yomitoku_ray.functions.dedup import exact_dedup, minhash_lsh_pairs
