@@ -30,7 +30,7 @@ PAGES_COLUMNS = ["url", "warc_ts", "html", "lang"]
 class ExtractConfig:
     # Actor pool sizing: detection is the heavy stage; concurrency is a
     # (min, max) autoscaling range per the ActorPoolStrategy idiom.
-    detect_concurrency: tuple = (2, 8)
+    detect_concurrency: tuple = (2, 16)
     detect_batch_size: int = 64
     detect_num_cpus: float = 1.0
     aggregate_batch_size: int = 64

@@ -57,7 +57,7 @@ class OcrStage:
         )
 
 
-def ocr_pages(path, concurrency=(2, 8), batch_size=32) -> ray.data.Dataset:
+def ocr_pages(path, concurrency=(2, 16), batch_size=32) -> ray.data.Dataset:
     ds = ray.data.read_parquet(path, columns=list(PAGES_COLUMNS))
     return ds.map_batches(
         OcrStage,

@@ -11,7 +11,7 @@ from .extract import PAGES_COLUMNS
 def semantic_pages(
     path,
     extraction_schema: dict | None = None,
-    concurrency=(2, 8),
+    concurrency=(2, 16),
     batch_size: int = 32,
     read_num_blocks: int | None = None,
     merge_same_column_values: bool = False,
