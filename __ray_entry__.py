@@ -195,6 +195,59 @@ def _domain_skew(sf_dir: str) -> pd.DataFrame:
     return domain_skew_probe(ds, top_n=20)
 
 
+def _page_text_merge(sf_dir: str) -> pd.DataFrame:
+    """Skew-defused (prefix-range salted) ordered merge of the RAW page text
+    by host domain — the G4 shuffle shape with a full SQL oracle: DuckDB's
+    ``string_agg(text, '\\n' ORDER BY url)`` + sha256 must reproduce the
+    two-phase distributed merge byte-for-byte."""
+    import ray.data
+
+    from yomitoku_ray.functions.merge import merge_pages_by_domain_salted
+
+    ds = ray.data.read_parquet(_pages_path(sf_dir), columns=["url", "text"])
+    out = merge_pages_by_domain_salted(ds, text_column="text").to_pandas()
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+def _url_dedup_recrawl(sf_dir: str) -> pd.DataFrame:
+    """Url-keyed exact dedup, first (min warc_ts) wins, over a crawl plus a
+    synthetic 2h-later recrawl of every page (deterministic in both engines)."""
+    import ray.data
+
+    from yomitoku_ray.functions.merge import url_dedup_first_fast
+
+    cols = ["url", "warc_ts", "text", "lang"]
+    ds = ray.data.read_parquet(_pages_path(sf_dir), columns=cols)
+
+    def _recrawl(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ts = pc.add(t.column("warc_ts"), pa.scalar(7_200_000_000, type=pa.duration("us")))
+        txt = pc.binary_join_element_wise(t.column("text"), " recrawl", "")
+        t = t.set_column(t.schema.get_field_index("warc_ts"), "warc_ts", ts)
+        return t.set_column(t.schema.get_field_index("text"), "text", txt)
+
+    # Arrow-in, Arrow-out keeps both union branches on the same block type.
+    both = ds.union(ds.map_batches(_recrawl, batch_format="pyarrow"))
+    first = url_dedup_first_fast(both)
+
+    def _digest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": df["url"],
+                "warc_ts": df["warc_ts"],
+                "lang": df["lang"],
+                "text_sha256": [
+                    hashlib.sha256(t.encode("utf-8")).hexdigest() for t in df["text"]
+                ],
+            }
+        )
+
+    out = first.map_batches(_digest, batch_format="pandas").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.dedup import (
         exact_dedup,
@@ -232,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_summary": _semantic_summary,
         "page_merge_by_domain": _page_merge_by_domain,
         "domain_skew": _domain_skew,
+        "page_text_merge": _page_text_merge,
+        "url_dedup_recrawl": _url_dedup_recrawl,
         # text analysis (documents)
         "doc_stats": doc_stats,
         "quality_score": quality_score,
@@ -263,10 +318,124 @@ _STOP_SQL = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
 _CENTS = "CAST(floor({col}*100 + 0.5) AS BIGINT)"
 
 
+# Shared DuckDB CTE: k=3 token shingles per doc as distinct strings.
+# Jaccard over distinct shingle strings == the Ray engines' Jaccard over
+# 64-bit shingle hashes (hash injectivity at corpus test scale); both sides
+# use pure integer threshold/percentage arithmetic.
+_SHINGLES_CTE = r"""
+WITH d AS (
+    SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+    SELECT doc_id, source,
+           list_distinct(CASE WHEN len(toks) >= 3
+                THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      for i in generate_series(1, len(toks)-2)]
+                ELSE [array_to_string(toks, ' ')] END) AS s
+    FROM d
+)
+"""
+
+# DuckDB recomputation of the 64-bit SimHash: md5_number_upper(token) is
+# bit-identical to the engine's little-endian-first-8-bytes-of-md5 token
+# hash; per-bit majority vote, bit_or-packed, pairs via bit_count(xor()).
+_SIMHASH_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+    FROM documents WHERE length(trim(text)) > 0
+),
+th AS (SELECT doc_id, md5_number_upper(t) AS h FROM tok),
+bits AS (
+    SELECT doc_id, b.b AS b,
+           CASE WHEN 2*sum(CAST((h >> b.b) & 1 AS BIGINT)) > count(*)
+                THEN CASE WHEN b.b = 63 THEN CAST(9223372036854775808 AS UBIGINT)
+                          ELSE CAST(1 AS UBIGINT) << b.b END
+                ELSE CAST(0 AS UBIGINT) END AS bitval
+    FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+    GROUP BY doc_id, b.b
+),
+sig AS (SELECT doc_id, bit_or(bitval) AS s FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
+
+_DOMAIN_REGEX_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)"
+
+
+def _pages_glob_sf001() -> str:
+    """Pages-parquet glob for the driver's sf0.01 oracle runs.
+
+    The pages table is engine-synthesized (testdata ships none); ensuring it
+    here lets the DuckDB oracle read the exact same deterministic input via
+    read_parquet. Generation is a no-op when cached and needs no Ray session.
+    """
+    from yomitoku_ray.synth.pages import ensure_pages_parquet
+
+    return ensure_pages_parquet("/root/testdata/sf0.01") + "/*.parquet"
+
+
 def oracle_sql() -> dict[str, str]:
     base_cents = _CENTS.format(col="l_extendedprice")
     disc_pct = _CENTS.format(col="l_discount")
+    pages = _pages_glob_sf001()
     return {
+        "minhash_lsh_pairs": _SHINGLES_CTE
+        + """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST((100 * len(list_intersect(a.s, b.s)))
+                        // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS BIGINT) AS jaccard_pct
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE 100 * len(list_intersect(a.s, b.s))
+                  >= 50 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        """,
+        "ngram_jaccard_pairs": _SHINGLES_CTE
+        + """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST((100 * len(list_intersect(a.s, b.s)))
+                        // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS BIGINT) AS jaccard_pct
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE 100 * len(list_intersect(a.s, b.s))
+                  >= 20 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        """,
+        "simhash_dup_pairs": _SIMHASH_SQL,
+        "domain_skew": f"""
+            SELECT domain, n_pages FROM (
+                SELECT CASE WHEN d = '' THEN 'unknown' ELSE d END AS domain,
+                       count(*) AS n_pages
+                FROM (SELECT regexp_extract(url, '{_DOMAIN_REGEX_SQL}', 1) AS d
+                      FROM read_parquet('{pages}'))
+                GROUP BY 1
+            )
+            ORDER BY n_pages DESC, domain
+            LIMIT 20
+        """,
+        "page_text_merge": f"""
+            SELECT CASE WHEN d = '' THEN 'unknown' ELSE d END AS domain,
+                   count(*) AS n_pages,
+                   CAST(length(string_agg(text, chr(10) ORDER BY url)) AS BIGINT) AS total_chars,
+                   sha256(string_agg(text, chr(10) ORDER BY url)) AS merged_sha256
+            FROM (SELECT url, text, regexp_extract(url, '{_DOMAIN_REGEX_SQL}', 1) AS d
+                  FROM read_parquet('{pages}'))
+            GROUP BY 1
+        """,
+        "url_dedup_recrawl": f"""
+            WITH all_rows AS (
+                SELECT url, warc_ts, text, lang FROM read_parquet('{pages}')
+                UNION ALL
+                SELECT url, warc_ts + INTERVAL 7200 SECOND, text || ' recrawl', lang
+                FROM read_parquet('{pages}')
+            ),
+            ranked AS (
+                SELECT url, warc_ts, text, lang,
+                       row_number() OVER (PARTITION BY url ORDER BY warc_ts) AS rn
+                FROM all_rows
+            )
+            SELECT url, warc_ts, lang, sha256(text) AS text_sha256
+            FROM ranked WHERE rn = 1
+        """,
         "doc_stats": """
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,

@@ -1,23 +1,34 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
 Scale posture (the 100 TB story, per SURVEY §2.7 / the north rule):
+
 - exact dedup is a hash-partitioned groupby on a content hash computed
   vectorized in ``map_batches`` — the only shuffle, keyed by digest (uniform,
   no skew);
 - MinHash-LSH explodes each doc into (band, band_hash) keys and groups by
   the banded key — candidate generation is a shuffle whose key space is
-  uniform by construction; candidate *verification* re-reads only candidate
-  docs. In this repo the verification side is broadcast (``ray.put`` of the
-  candidate docs' shingle sets) because candidate sets are small; at corpus
-  scale the documented alternative is a hash-bucketed self-join on doc_id
-  (add bucket = hash(doc_id) % B to both sides, group and verify per
-  bucket).
+  uniform by construction. Candidate *verification* is fully distributed: a
+  reduce-side join keyed by doc_id attaches each candidate doc's shingle set
+  to its pairs, then a groupby(pair_key) computes exact Jaccard per pair —
+  no driver materialization, no broadcast of per-doc state. Empty-shingle
+  docs are dropped before banding (they would otherwise share one sentinel
+  signature and form a single O(n²) bucket), and buckets beyond
+  ``max_bucket`` emit representative-star pairs instead of all pairs
+  (transitively equivalent for duplicate-class discovery, bounds any one
+  reducer's emission).
 - SimHash uses the pigeonhole trick: any pair within Hamming distance d
   shares at least one of (d+1) signature chunks verbatim — grouping by chunk
-  value finds all candidates with a uniform shuffle key.
+  value finds ALL candidates (exact completeness, not probabilistic), and
+  the Hamming filter runs vectorized inside each bucket group, so only true
+  near-dup pairs ever leave a reducer.
 
-All signatures are computed from stable hashes (blake2b / crc32), never
-Python's salted ``hash()``.
+Hash discipline: every hash is a stable, cross-process-reproducible function
+— token/term hashes are the little-endian first 8 bytes of md5 (exactly
+DuckDB's ``md5_number_upper``, which lets the driver's DuckDB oracle recompute
+SimHash signatures bit-for-bit), shingle ids are a fixed-coefficient
+polynomial over token hashes (mod 2^64), and Jaccard comparisons/percentages
+use pure integer arithmetic (``100*inter >= thr_pct*union``) so the SQL
+oracle hashes identically with no float rounding hazards.
 """
 
 from __future__ import annotations
@@ -33,11 +44,42 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
-_MERSENNE = (1 << 61) - 1
+_U64 = np.uint64
+_BITS64 = np.arange(64, dtype=np.uint64)
+
+# Fixed odd 64-bit coefficients for the rolling-polynomial shingle hash.
+_SHINGLE_COEF = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63],
+    dtype=np.uint64,
+) | _U64(1)
 
 
-def _stable_u64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+def _md5_u64(s: str) -> int:
+    """Little-endian first 8 bytes of md5 == DuckDB ``md5_number_upper``."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+def _batch_token_codes(texts: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch and hash each *unique* token once.
+
+    Returns (uniq_hashes u64[U], codes int[T] indexing uniq, counts int64[D]).
+    Vectorization lever: md5 runs per unique token in the batch, not per
+    occurrence — web corpora have heavy token reuse inside a batch.
+    """
+    toks_per_doc = [(t or "").split() for t in texts]
+    counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc))
+    all_toks = np.array(list(itertools.chain.from_iterable(toks_per_doc)), dtype=object)
+    if len(all_toks) == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64), counts
+    codes, uniques = pd.factorize(all_toks)
+    uh = np.fromiter((_md5_u64(u) for u in uniques), dtype=np.uint64, count=len(uniques))
+    return uh, codes, counts
+
+
+def token_hashes(text: str) -> np.ndarray:
+    """Per-occurrence stable u64 token hashes (md5_number_upper parity)."""
+    uh, codes, _ = _batch_token_codes([text])
+    return uh[codes]
 
 
 # ---------------------------------------------------------------------------
@@ -71,19 +113,35 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
 # Shingles + MinHash-LSH
 # ---------------------------------------------------------------------------
 
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles_from_token_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """Unique shingle ids from a doc's token-hash sequence.
+
+    k-grams combine via a fixed-coefficient polynomial mod 2^64 (vectorized
+    slide, no per-shingle digest). Docs shorter than k collapse to one
+    shingle over the full token sequence — mirroring the reference semantics
+    of ``" ".join(toks)`` as the lone shingle.
+    """
+    n = len(th)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        if n < k:
+            v = _U64(0x9E3779B97F4A7C15)
+            for h in th:
+                v = v * _SHINGLE_COEF[0] + h
+            return np.array([v], dtype=np.uint64)
+        s = th[: n - k + 1] * _SHINGLE_COEF[0]
+        for j in range(1, k):
+            s = s + th[j : n - k + 1 + j] * _SHINGLE_COEF[j % len(_SHINGLE_COEF)]
+    return np.unique(s)
+
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """k-token shingles as stable u64 hashes (sorted unique)."""
-    toks = text.split()
-    if len(toks) < k:
-        shingles = {" ".join(toks)} if toks else set()
-    else:
-        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-    if not shingles:
-        return np.zeros(0, dtype=np.uint64)
-    return np.unique(
-        np.fromiter((_stable_u64(s) for s in shingles), dtype=np.uint64, count=len(shingles))
-    )
+    return _shingles_from_token_hashes(token_hashes(text), k)
 
 
 def _minhash_params(num_perm: int, seed: int = 7):
@@ -106,27 +164,43 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return m.min(axis=0)
 
 
-class _MinHashBands:
-    """Actor-pool stage: doc -> (band_id, band_hash, doc_id) rows."""
+def _pack_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(doc_a, doc_b) -> single int64 shuffle key (doc ids must fit 31 bits)."""
+    return (a.astype(np.int64) << 32) | b.astype(np.int64)
 
-    def __init__(self, num_perm: int, bands: int, shingle_k: int):
-        self.a, self.b = _minhash_params(num_perm)
-        self.bands = bands
-        self.rows_per_band = num_perm // bands
-        self.k = shingle_k
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+def _unpack_pair(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return key >> 32, key & 0xFFFFFFFF
+
+
+def _band_rows_fn(num_perm: int, bands: int, shingle_k: int):
+    """Task-pool stage: docs -> (band_id, band_hash, doc_id) rows.
+
+    Plain function (closure over the tiny permutation arrays) rather than an
+    actor pool: no model state to amortize, so the task pool gets full
+    cluster parallelism with zero actor-ramp cost.
+    """
+    a, b = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
+        uh, codes, counts = _batch_token_codes(texts)
+        H = uh[codes] if len(codes) else np.zeros(0, dtype=np.uint64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
         out_band, out_hash, out_doc = [], [], []
-        for doc_id, text in zip(doc_ids, texts):
-            sig = minhash_signature(shingle_hashes(text or "", self.k), self.a, self.b)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                h = zlib.crc32(chunk.tobytes())
+        for i in range(len(doc_ids)):
+            sh = _shingles_from_token_hashes(H[starts[i] : ends[i]], shingle_k)
+            if len(sh) == 0:
+                continue  # empty docs never band (sentinel-bucket guard)
+            sig = minhash_signature(sh, a, b)
+            sig_bytes = sig.reshape(bands, rows_per_band)
+            for band in range(bands):
                 out_band.append(band)
-                out_hash.append(h)
-                out_doc.append(doc_id)
+                out_hash.append(zlib.crc32(sig_bytes[band].tobytes()))
+                out_doc.append(int(doc_ids[i]))
         return pa.table(
             {
                 "band_id": pa.array(out_band, pa.int32()),
@@ -135,13 +209,125 @@ class _MinHashBands:
             }
         )
 
+    return _fn
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(group["doc_id"].tolist())
+
+def _bucket_pairs(group: pd.DataFrame, max_bucket: int = 64) -> pd.DataFrame:
+    """Candidate pair keys for one (band, band_hash) bucket.
+
+    Buckets beyond ``max_bucket`` emit representative-star pairs (everyone
+    vs the min doc_id) instead of all C(n,2) combinations: transitively
+    equivalent for duplicate-class discovery and bounds reducer emission to
+    O(n) — the giant-bucket guard the 100 TB run needs.
+    """
+    ids = np.sort(group["doc_id"].to_numpy())
     if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-    pairs = list(itertools.combinations(ids, 2))
-    return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+        return pd.DataFrame({"pair_key": pd.Series([], dtype="int64")})
+    if len(ids) > max_bucket:
+        keys = _pack_pair(np.full(len(ids) - 1, ids[0]), ids[1:])
+    else:
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keys = _pack_pair(ids[ai], ids[bi])
+    return pd.DataFrame({"pair_key": keys.astype("int64")})
+
+
+_SHINGLE_SIDE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("pair_key", pa.int64()),
+        ("shingles", pa.list_(pa.uint64())),
+    ]
+)
+
+
+def _doc_shingle_rows_fn(shingle_k: int):
+    def _fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        uh, codes, counts = _batch_token_codes(texts)
+        H = uh[codes] if len(codes) else np.zeros(0, dtype=np.uint64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        keep_ids, shingles = [], []
+        for i in range(len(doc_ids)):
+            sh = _shingles_from_token_hashes(H[starts[i] : ends[i]], shingle_k)
+            if len(sh) == 0:
+                continue
+            keep_ids.append(int(doc_ids[i]))
+            shingles.append(sh)
+        return pa.table(
+            {
+                "doc_id": pa.array(keep_ids, pa.int64()),
+                "pair_key": pa.array([-1] * len(keep_ids), pa.int64()),
+                "shingles": pa.array(shingles, pa.list_(pa.uint64())),
+            },
+            schema=_SHINGLE_SIDE_SCHEMA,
+        )
+
+    return _fn
+
+
+def _pair_need_rows(batch: pa.Table) -> pa.Table:
+    """Deduped pair keys -> two (doc_id, pair_key) need-rows per pair."""
+    keys = batch.column("pair_key").to_numpy()
+    a, b = _unpack_pair(keys)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "pair_key": pa.array(np.concatenate([keys, keys]), pa.int64()),
+            "shingles": pa.array([[]] * (2 * len(keys)), pa.list_(pa.uint64())),
+        },
+        schema=_SHINGLE_SIDE_SCHEMA,
+    )
+
+
+def _attach_shingles(group: pd.DataFrame) -> pd.DataFrame:
+    """Reduce-side join on doc_id: copy the doc's shingles onto its pairs."""
+    is_doc = group["pair_key"].to_numpy() == -1
+    need = group[~is_doc]
+    if is_doc.sum() == 0 or len(need) == 0:
+        return pd.DataFrame({"pair_key": pd.Series([], dtype="int64"), "shingles": pd.Series([], dtype=object)})
+    sh = group["shingles"][is_doc].iloc[0]
+    sh = np.asarray(sh, dtype=np.uint64)
+    return pd.DataFrame(
+        {
+            "pair_key": need["pair_key"].astype("int64").to_numpy(),
+            "shingles": [sh] * len(need),
+        }
+    )
+
+
+def _verify_pair_factory(thr_pct: int):
+    def _verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard_pct": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(group) != 2:
+            return empty
+        sa = np.asarray(group["shingles"].iloc[0], dtype=np.uint64)
+        sb = np.asarray(group["shingles"].iloc[1], dtype=np.uint64)
+        if len(sa) == 0 or len(sb) == 0:
+            return empty
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        # Integer-exact threshold + percentage: matches the DuckDB oracle
+        # with no float rounding at boundaries.
+        if 100 * inter < thr_pct * union:
+            return empty
+        key = int(group["pair_key"].iloc[0])
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([key >> 32], dtype="int64"),
+                "doc_b": pd.Series([key & 0xFFFFFFFF], dtype="int64"),
+                "jaccard_pct": pd.Series([(100 * inter) // union], dtype="int64"),
+            }
+        )
+
+    return _verify
 
 
 def minhash_lsh_pairs(
@@ -150,67 +336,49 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_bucket: int = 64,
 ) -> pd.DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
 
     shingle -> minhash -> band -> groupby(band, band_hash) -> candidate
-    pairs -> verify. Returns (doc_a, doc_b, jaccard_pct) with jaccard_pct an
-    exact integer percentage (floor), sorted — float-free output.
+    pair keys -> distributed verification. Every step is a Dataset stage:
+
+    1. banding shuffle keyed by (band, band_hash) — uniform by construction;
+    2. pair dedup via groupby(pair_key) (one row survives per pair);
+    3. reduce-side join keyed by doc_id attaches shingle sets to pairs
+       (the hash-bucketed self-join: the groupby IS the bucketing);
+    4. groupby(pair_key) brings each pair's two shingle sets together and
+       verifies exact Jaccard with integer arithmetic.
+
+    Nothing touches the driver until the final (output-sized) collection.
+    Returns (doc_a, doc_b, jaccard_pct), jaccard_pct = floor(100j), sorted.
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    banded = ds.map_batches(
-        _MinHashBands,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "bands": bands,
-            "shingle_k": shingle_k,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    thr_pct = int(round(threshold * 100))
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    banded = ds.map_batches(_band_rows_fn(num_perm, bands, shingle_k), batch_format="pyarrow")
     cand = banded.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+        lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
     )
-    cand_df = cand.to_pandas()
-    if len(cand_df) == 0:
+    # Distributed pair dedup: one row per pair_key survives.
+    uniq = cand.groupby("pair_key").aggregate(Count(alias_name="n_buckets"))
+    need = uniq.map_batches(_pair_need_rows, batch_format="pyarrow")
+
+    doc_side = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        _doc_shingle_rows_fn(shingle_k), batch_format="pyarrow"
+    )
+    paired = (
+        doc_side.union(need)
+        .groupby("doc_id")
+        .map_groups(_attach_shingles, batch_format="pandas")
+    )
+    verified = paired.groupby("pair_key").map_groups(
+        _verify_pair_factory(thr_pct), batch_format="pandas"
+    )
+    out = verified.to_pandas()
+    if len(out) == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_pct": []}).astype("int64")
-    cand_df = cand_df.drop_duplicates().reset_index(drop=True)
-
-    # Verification: broadcast the candidate docs' shingle sets (small side —
-    # see module docstring for the at-scale bucketed-join alternative).
-    need = sorted(set(cand_df["doc_a"]) | set(cand_df["doc_b"]))
-    docs = (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .filter(expr=f"doc_id in {need}")
-        .to_pandas()
-    )
-    sh = {r.doc_id: shingle_hashes(r.text or "", shingle_k) for r in docs.itertuples()}
-    sh_ref = ray.put(sh)
-
-    def _verify(df: pd.DataFrame) -> pd.DataFrame:
-        table = ray.get(sh_ref)
-        keep_a, keep_b, keep_j = [], [], []
-        for a_id, b_id in zip(df["doc_a"], df["doc_b"]):
-            sa, sb = table.get(a_id), table.get(b_id)
-            if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union
-            if j >= threshold:
-                keep_a.append(a_id)
-                keep_b.append(b_id)
-                keep_j.append(int(j * 100))
-        return pd.DataFrame(
-            {"doc_a": keep_a, "doc_b": keep_b, "jaccard_pct": keep_j}
-        ).astype("int64")
-
-    verified = (
-        ray.data.from_pandas(cand_df)
-        .map_batches(_verify, batch_format="pandas")
-        .to_pandas()
-    )
-    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -218,93 +386,129 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def simhash64_batch(texts: list) -> np.ndarray:
+    """Vectorized 64-bit SimHash per text (stable md5 token hashes, unit
+    weights). One bit-matrix is built per *unique* token in the batch; per-doc
+    bit sums come from a cumulative-sum difference — no per-token Python loop.
+    Empty texts hash to 0."""
+    uh, codes, counts = _batch_token_codes(texts)
+    if len(uh) == 0:
+        return np.zeros(len(counts), dtype=np.uint64)
+    bits_u = ((uh[:, None] >> _BITS64[None, :]) & _U64(1)).astype(np.int64)  # (U, 64)
+    rows = bits_u[codes]  # (T, 64)
+    cs = np.vstack([np.zeros((1, 64), dtype=np.int64), np.cumsum(rows, axis=0)])
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    ones = cs[ends] - cs[starts]  # (D, 64)
+    bits = (2 * ones) > counts[:, None]  # majority vote == sign(2*ones - n)
+    return np.bitwise_or.reduce(bits.astype(np.uint64) << _BITS64[None, :], axis=1)
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over token features (stable hashes, unit weights)."""
-    toks = text.split()
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = _stable_u64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += bits.astype(np.int64) * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    return int(simhash64_batch([text])[0])
 
 
-class _SimHashChunks:
-    """doc -> (chunk_id, chunk_value, doc_id, simhash) rows (pigeonhole)."""
+def _simhash_chunk_rows_fn(n_chunks: int):
+    chunk_bits = 64 // n_chunks
+    mask = _U64((1 << chunk_bits) - 1)
 
-    def __init__(self, n_chunks: int):
-        self.n_chunks = n_chunks
-        self.chunk_bits = 64 // n_chunks
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+    def _fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        rows = {"chunk_id": [], "chunk_value": [], "doc_id": [], "simhash": []}
-        mask = (1 << self.chunk_bits) - 1
-        for doc_id, text in zip(doc_ids, texts):
-            sh = simhash64(text or "")
-            for c in range(self.n_chunks):
-                rows["chunk_id"].append(c)
-                rows["chunk_value"].append((sh >> (c * self.chunk_bits)) & mask)
-                rows["doc_id"].append(doc_id)
-                rows["simhash"].append(sh - (1 << 63))  # signed storage
+        sig = simhash64_batch(texts)
+        n_tok = np.fromiter(((t or "").count(" ") + 1 if (t or "").strip() else 0 for t in texts), dtype=np.int64, count=len(texts))
+        keep = n_tok > 0  # empty docs never bucket (all-zero signature guard)
+        doc_ids = doc_ids[keep]
+        sig = sig[keep]
+        n = len(doc_ids)
+        chunk_id = np.repeat(np.arange(n_chunks, dtype=np.int64), n)
+        docs = np.tile(doc_ids, n_chunks)
+        sigs = np.tile(sig, n_chunks)
+        shifts = (chunk_id * chunk_bits).astype(np.uint64)
+        values = (sigs >> shifts) & mask
         return pa.table(
             {
-                "chunk_id": pa.array(rows["chunk_id"], pa.int32()),
-                "chunk_value": pa.array(rows["chunk_value"], pa.int64()),
-                "doc_id": pa.array(rows["doc_id"], pa.int64()),
-                "simhash": pa.array(rows["simhash"], pa.int64()),
+                "chunk_id": pa.array(chunk_id.astype(np.int32)),
+                "chunk_value": pa.array(values.astype(np.int64)),
+                "doc_id": pa.array(docs, pa.int64()),
+                "simhash": pa.array(sigs.view(np.int64)),  # bit-preserving signed storage
             }
         )
 
+    return _fn
 
-def _simhash_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    rows = sorted(zip(group["doc_id"], group["simhash"]))
-    out = {"doc_a": [], "doc_b": [], "sim_a": [], "sim_b": []}
-    for (a_id, a_sh), (b_id, b_sh) in itertools.combinations(rows, 2):
-        out["doc_a"].append(a_id)
-        out["doc_b"].append(b_id)
-        out["sim_a"].append(a_sh)
-        out["sim_b"].append(b_sh)
-    return pd.DataFrame(out).astype("int64")
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays (byte-table free)."""
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1).astype(np.int64)
+
+
+def _simhash_bucket_pairs_fn(hamming_max: int, max_bucket_compare: int = 4096):
+    def _fn(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"pair_key": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")}
+        )
+        order = np.argsort(group["doc_id"].to_numpy())
+        ids = group["doc_id"].to_numpy()[order]
+        sigs = group["simhash"].to_numpy()[order].view(np.uint64)
+        n = len(ids)
+        if n < 2:
+            return empty
+        if n > max_bucket_compare:
+            # Giant-bucket guard: compare against the representative only
+            # (O(n) work); members of one near-dup class still link through
+            # the representative. Never triggers at test scales.
+            a = np.zeros(n - 1, dtype=np.int64)
+            b = np.arange(1, n, dtype=np.int64)
+        else:
+            a, b = np.triu_indices(n, k=1)
+        ham = _popcount64(sigs[a] ^ sigs[b])
+        keep = ham <= hamming_max
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "pair_key": _pack_pair(ids[a[keep]], ids[b[keep]]).astype("int64"),
+                "hamming": ham[keep],
+            }
+        )
+
+    return _fn
 
 
 def simhash_dup_pairs(sf_dir: str, n_chunks: int = 4, hamming_max: int = 3) -> pd.DataFrame:
     """Near-dup pairs with Hamming(simhash) <= hamming_max.
 
-    n_chunks must be > hamming_max for pigeonhole completeness.
-    Returns (doc_a, doc_b, hamming) sorted; int-only output.
+    n_chunks > hamming_max gives pigeonhole *completeness*: the output is
+    exactly the set of all pairs within the Hamming radius (this is what the
+    driver's DuckDB oracle recomputes independently). The Hamming filter runs
+    vectorized inside each chunk-bucket group, so reducers emit only true
+    pairs; a final groupby(pair_key) dedups across the chunks. No driver
+    materialization before the output-sized collection.
     """
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    chunked = ds.map_batches(
-        _SimHashChunks,
-        fn_constructor_kwargs={"n_chunks": n_chunks},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+    chunked = ds.map_batches(_simhash_chunk_rows_fn(n_chunks), batch_format="pyarrow")
+    pairs = chunked.groupby(["chunk_id", "chunk_value"]).map_groups(
+        _simhash_bucket_pairs_fn(hamming_max), batch_format="pandas"
     )
-    cand = chunked.groupby(["chunk_id", "chunk_value"]).map_groups(
-        _simhash_bucket_pairs, batch_format="pandas"
-    )
-    df = cand.to_pandas()
-    if len(df) == 0:
+    uniq = pairs.groupby("pair_key").aggregate(Min("hamming", alias_name="hamming"))
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        keys = batch.column("pair_key").to_numpy()
+        a, b = _unpack_pair(keys)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(batch.column("hamming").to_numpy(), pa.int64()),
+            }
+        )
+
+    out = uniq.map_batches(_decode, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype("int64")
-    df = df.drop_duplicates(subset=["doc_a", "doc_b"]).reset_index(drop=True)
-    a = (df["sim_a"].to_numpy() + (1 << 63)).astype(np.uint64)
-    b = (df["sim_b"].to_numpy() + (1 << 63)).astype(np.uint64)
-    x = a ^ b
-    ham = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        ham += (x & 1).astype(np.int64)
-        x >>= 1
-    df["hamming"] = ham
-    df = df[df["hamming"] <= hamming_max][["doc_a", "doc_b", "hamming"]]
-    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -312,20 +516,26 @@ def simhash_dup_pairs(sf_dir: str, n_chunks: int = 4, hamming_max: int = 3) -> p
 # ---------------------------------------------------------------------------
 
 
-def _block_jaccard(group: pd.DataFrame, k: int, threshold: float) -> pd.DataFrame:
-    rows = sorted(zip(group["doc_id"], group["text"]))
-    shs = [(doc_id, shingle_hashes(t or "", k)) for doc_id, t in rows]
+def _block_jaccard(group: pd.DataFrame, k: int, thr_pct: int) -> pd.DataFrame:
+    order = np.argsort(group["doc_id"].to_numpy())
+    ids = group["doc_id"].to_numpy()[order]
+    texts = group["text"].to_numpy()[order]
+    uh, codes, counts = _batch_token_codes(list(texts))
+    H = uh[codes] if len(codes) else np.zeros(0, dtype=np.uint64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    shs = [_shingles_from_token_hashes(H[starts[i] : ends[i]], k) for i in range(len(ids))]
     out = {"doc_a": [], "doc_b": [], "jaccard_pct": []}
-    for (a_id, sa), (b_id, sb) in itertools.combinations(shs, 2):
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        sa, sb = shs[i], shs[j]
         if len(sa) == 0 or len(sb) == 0:
             continue
         inter = len(np.intersect1d(sa, sb, assume_unique=True))
         union = len(sa) + len(sb) - inter
-        j = inter / union
-        if j >= threshold:
-            out["doc_a"].append(a_id)
-            out["doc_b"].append(b_id)
-            out["jaccard_pct"].append(int(j * 100))
+        if 100 * inter >= thr_pct * union:
+            out["doc_a"].append(ids[i])
+            out["doc_b"].append(ids[j])
+            out["jaccard_pct"].append((100 * inter) // union)
     return pd.DataFrame(out).astype("int64")
 
 
@@ -333,11 +543,13 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.2) -> ray.
     """Exact k-token-shingle Jaccard within ``source`` blocks.
 
     Blocking on an existing key keeps the pairwise work per-group; the
-    groupby is the shuffle. Int-only output columns.
+    groupby is the shuffle. Int-only output columns; the integer-exact
+    threshold/percentage arithmetic matches the DuckDB oracle.
     """
+    thr_pct = int(round(threshold * 100))
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     return ds.groupby("source").map_groups(
-        lambda g: _block_jaccard(g, k, threshold), batch_format="pandas"
+        lambda g: _block_jaccard(g, k, thr_pct), batch_format="pandas"
     )

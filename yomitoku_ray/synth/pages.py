@@ -256,9 +256,12 @@ def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_pages
     shard_rows = 5_000
     shards = [(s, min(shard_rows, n - s)) for s in range(0, n, shard_rows)]
 
-    if n > shard_rows:
-        import ray
+    import ray
 
+    if n > shard_rows and ray.is_initialized():
+        # Parallel shard generation when a Ray session already exists; the
+        # serial path below keeps this callable from contexts that must not
+        # own (or implicitly start) a Ray session, e.g. oracle preparation.
         @ray.remote
         def _write(shard_idx, start, count):
             t = generate_pages_table(count, SEED, start)
