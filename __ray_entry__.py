@@ -267,7 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         user_sessions,
     )
     from yomitoku_ray.functions.similarity import (
+        ann_ivf,
         ann_lsh,
+        ann_recall,
         embedding_near_dup,
         knn_brute_force,
     )
@@ -300,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (embeddings)
         "knn_brute_force": knn_brute_force,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
+        "ann_recall": ann_recall,
         "embedding_near_dup": embedding_near_dup,
         # relational aggregate layer
         "pricing_summary": pricing_summary,
@@ -401,6 +405,14 @@ def oracle_sql() -> dict[str, str]:
                   >= 20 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         """,
         "simhash_dup_pairs": _SIMHASH_SQL,
+        # ann_recall: the Ray side measures recall@5 of the partitioned IVF
+        # index against exact brute force and reports whether the stated
+        # floor holds; the oracle pins the expected (floor, holds) row, so a
+        # recall regression hash-mismatches.
+        "ann_recall": """
+            SELECT CAST(70 AS BIGINT) AS floor_pct,
+                   CAST(1 AS BIGINT) AS meets_floor
+        """,
         "domain_skew": f"""
             SELECT domain, n_pages FROM (
                 SELECT CASE WHEN d = '' THEN 'unknown' ELSE d END AS domain,

@@ -15,7 +15,13 @@ from yomitoku_ray.functions.dedup import (
     simhash_dup_pairs,
     _minhash_params,
 )
-from yomitoku_ray.functions.similarity import embedding_near_dup, knn_brute_force
+from yomitoku_ray.functions.similarity import (
+    ann_ivf,
+    ann_lsh,
+    ann_recall,
+    embedding_near_dup,
+    knn_brute_force,
+)
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the data pipeline "
@@ -117,6 +123,32 @@ def test_embedding_near_dup_blocks(ray_session, emb_dir):
     # All within-label pairs are near-identical by construction: 4 labels x C(6,2)
     assert len(df) == 4 * 15
     assert (df["vec_a"] < df["vec_b"]).all()
+
+
+def test_ann_ivf_clustered_is_exact(ray_session, emb_dir):
+    # Tightly clustered fixture: every true neighbor lives in the query's
+    # own label partition, so IVF with nprobe=2 reproduces brute force.
+    exact = knn_brute_force(emb_dir, k=5, n_queries=3)
+    approx = ann_ivf(emb_dir, k=5, n_queries=3, nprobe=2)
+    assert approx.equals(exact)
+
+
+def test_ann_lsh_partitioned_recall(ray_session, emb_dir):
+    exact = knn_brute_force(emb_dir, k=5, n_queries=3)
+    approx = ann_lsh(emb_dir, k=5, n_queries=3)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(e & a) / len(e) >= 0.5  # clustered fixture: decent recall
+    # ranks well-formed per query
+    for q in approx["query_id"].unique():
+        assert approx[approx["query_id"] == q]["rank"].tolist() == list(
+            range(1, len(approx[approx["query_id"] == q]) + 1)
+        )
+
+
+def test_ann_recall_floor_row(ray_session, emb_dir):
+    row = ann_recall(emb_dir, floor_pct=70)
+    assert row.to_dict("records") == [{"floor_pct": 70, "meets_floor": 1}]
 
 
 def test_knn_brute_force_neighbors(ray_session, emb_dir):
