@@ -248,6 +248,26 @@ def _url_dedup_recrawl(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _paged_extract(sf_dir: str) -> pd.DataFrame:
+    """S2 multi-page source round trip: container docs -> page explosion ->
+    extraction -> per-document ordered merge (the reference's load_pdf ->
+    per-page analyze -> --combine flow as lazy Dataset stages)."""
+    import ray.data
+
+    from yomitoku_ray.functions.merge import merge_exploded_pages
+    from yomitoku_ray.pipelines.extract import ExtractConfig, build_extract_pipeline
+    from yomitoku_ray.sources.paged import (
+        ensure_paged_docs_parquet,
+        explode_paged_docs,
+    )
+
+    docs = ray.data.read_parquet(ensure_paged_docs_parquet(sf_dir))
+    pages = explode_paged_docs(docs).select_columns(["url", "warc_ts", "html", "lang"])
+    result = build_extract_pipeline(pages, ExtractConfig())
+    merged = merge_exploded_pages(result)
+    return merged.to_pandas().sort_values("doc_url").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.dedup import (
         exact_dedup,
@@ -289,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_skew": _domain_skew,
         "page_text_merge": _page_text_merge,
         "url_dedup_recrawl": _url_dedup_recrawl,
+        "paged_extract": _paged_extract,
         # text analysis (documents)
         "doc_stats": doc_stats,
         "quality_score": quality_score,

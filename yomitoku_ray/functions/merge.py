@@ -158,6 +158,49 @@ def merge_pages_by_domain_salted(
     return spans.groupby("domain").map_groups(_merge_domain, batch_format="pandas")
 
 
+def merge_exploded_pages(
+    result_ds: ray.data.Dataset, text_column: str = "extracted_text"
+) -> ray.data.Dataset:
+    """Merge per-page extraction rows back into documents (the ``--combine``
+    analogue for the S2 paged source: reference ``cli/main.py:24-59`` joins
+    per-page md/html with "\\n" in page order).
+
+    Rows carry ``doc_url``/``page_idx`` from
+    ``sources.paged.explode_paged_docs``, or — after the extraction stage,
+    which emits only its result schema — both are recovered from the
+    ``url#page=N`` convention with one vectorized regex. groupby(doc_url) is
+    the shuffle; page order inside a group comes from page_idx, matching
+    the reference's page iteration order. Output: doc_url, n_pages,
+    n_ok_pages, total_chars, merged_sha256.
+    """
+
+    if "doc_url" not in (result_ds.schema().names or []):
+
+        def _add_keys(df: pd.DataFrame) -> pd.DataFrame:
+            ext = df["url"].str.extract(r"^(.*)#page=(\d+)$")
+            df["doc_url"] = ext[0].fillna(df["url"])
+            df["page_idx"] = ext[1].fillna("0").astype("int64")
+            return df
+
+        result_ds = result_ds.map_batches(_add_keys, batch_format="pandas")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("page_idx")
+        ok = g["error"].isna() if "error" in g.columns else pd.Series(True, index=g.index)
+        merged = "\n".join(t or "" for t in g[text_column])
+        return pd.DataFrame(
+            {
+                "doc_url": [g["doc_url"].iloc[0]],
+                "n_pages": np.array([len(g)], dtype="int64"),
+                "n_ok_pages": np.array([int(ok.sum())], dtype="int64"),
+                "total_chars": np.array([len(merged)], dtype="int64"),
+                "merged_sha256": [hashlib.sha256(merged.encode("utf-8")).hexdigest()],
+            }
+        )
+
+    return result_ds.groupby("doc_url").map_groups(_merge, batch_format="pandas")
+
+
 def url_dedup_first(pages_ds: ray.data.Dataset) -> ray.data.Dataset:
     """Exact url dedup, first (min warc_ts) wins — hash-partitioned groupby.
 
