@@ -3,16 +3,22 @@
 Headline: the flagship extraction pipeline over the synthesized
 Common-Crawl-style pages table at $GRAFT_SF_DIR (default sf0.1 -> 100k
 pages), consumed by write_parquet to /tmp (a real sink, not count()).
-Plus the main training-data operators at the same sf.
+Plus the main training-data operators at the same sf, and the semantic
+table-parsing pipeline at FULL bench scale.
 
 Prints ONE JSON line:
   {"metric": ..., "value": headline_sec, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "pages_per_sec": ...}
 
---scaling: runs the headline pipeline in two fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and reports throughputs +
-scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
-cluster sizes).
+--scaling: the sandbox stand-in for the north rule's N vs 4N cluster
+sizes. Each leg is a fresh process pinned to num_cpus (8 then 32) over the
+SAME input, sized to ~3x the headline workload (default 300k pages,
+$BENCH_SCALING_PAGES to override) and preceded by an untimed warm-up pass
+(actor-pool spin-up + page cache) so the measured leg is steady-state, not
+startup-amortized. Reports both throughputs + scaling efficiency.
+
+Env knobs: RAY_GRAFT_CPUS, BENCH_N_PAGES (row-count override),
+BENCH_WARMUP=1 (untimed warm-up pass first), BENCH_HEADLINE_ONLY=1.
 """
 
 from __future__ import annotations
@@ -27,6 +33,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 HEADLINE_ONLY = os.environ.get("BENCH_HEADLINE_ONLY", "0") == "1"
+WARMUP = os.environ.get("BENCH_WARMUP", "0") == "1"
 
 
 def _sf_label(sf_dir: str) -> str:
@@ -49,10 +56,13 @@ def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from yomitoku_ray.pipelines.extract import ExtractConfig, extract_pages
-    from yomitoku_ray.synth.pages import ensure_pages_parquet, rows_for_sf_dir
+    from yomitoku_ray.synth.pages import (
+        ensure_pages_parquet_n,
+        rows_for_sf_dir,
+    )
 
-    pages_path = ensure_pages_parquet(SF_DIR)
-    n_pages = rows_for_sf_dir(SF_DIR)
+    n_pages = int(os.environ.get("BENCH_N_PAGES", "0")) or rows_for_sf_dir(SF_DIR)
+    pages_path = ensure_pages_parquet_n(n_pages)
 
     # Warm the OS page cache so we measure compute+pipeline, not cold disk.
     import pyarrow.dataset as pads
@@ -62,15 +72,23 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    # Headline: extraction -> parquet sink.
-    out_dir = "/tmp/yomitoku_ray_bench_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
     # Fixed-size pool: autoscaling ramp cost ~2x wall at this job length.
     cfg = ExtractConfig(
         detect_concurrency=max(4, NUM_CPUS - 2),
         detect_batch_size=16,
         read_num_blocks=NUM_CPUS * 8,
     )
+
+    if WARMUP:
+        # Untimed steady-state warm-up: spins up the actor pool, imports,
+        # JIT-y first-call costs; ~10% of the input.
+        warm = extract_pages(pages_path, cfg).limit(max(2000, n_pages // 10))
+        for _ in warm.iter_batches(batch_size=1024):
+            pass
+
+    # Headline: extraction -> parquet sink.
+    out_dir = "/tmp/yomitoku_ray_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     headline_ds = extract_pages(pages_path, cfg)
     headline_ds.write_parquet(out_dir)
@@ -86,9 +104,17 @@ def run_bench() -> dict:
             pass
 
     if not HEADLINE_ONLY:
-        from yomitoku_ray.functions.dedup import exact_dedup, minhash_lsh_pairs
+        from yomitoku_ray.functions.dedup import (
+            exact_dedup,
+            minhash_lsh_pairs,
+            simhash_dup_pairs,
+        )
         from yomitoku_ray.functions.relational import events_hourly, pricing_summary
-        from yomitoku_ray.functions.similarity import embedding_near_dup, knn_brute_force
+        from yomitoku_ray.functions.similarity import (
+            ann_ivf,
+            embedding_near_dup,
+            knn_brute_force,
+        )
         from yomitoku_ray.functions.text_stats import doc_stats, quality_score
 
         def timed(name, fn):
@@ -99,17 +125,15 @@ def run_bench() -> dict:
                 res.materialize()
             timings[name] = round(time.perf_counter() - t0, 3)
 
-        # Semantic pipeline sample: first 10k pages (full-sf semantic would
-        # double the bench; the per-row cost is what matters).
+        # Semantic table-parsing pipeline at FULL bench scale (same page
+        # count as the headline).
         import ray.data
 
         from yomitoku_ray.stages.semantic_stage import SemanticExtractStage
         from yomitoku_ray.pipelines.extract import PAGES_COLUMNS
 
         t0 = time.perf_counter()
-        sem_src = ray.data.read_parquet(pages_path, columns=list(PAGES_COLUMNS)).limit(
-            10_000
-        )
+        sem_src = ray.data.read_parquet(pages_path, columns=list(PAGES_COLUMNS))
         sem_ds = sem_src.map_batches(
             SemanticExtractStage,
             batch_format="pyarrow",
@@ -117,13 +141,15 @@ def run_bench() -> dict:
             concurrency=max(4, NUM_CPUS - 2),
         )
         sem_ds.materialize()
-        timings["semantic_10k"] = round(time.perf_counter() - t0, 3)
+        timings[f"semantic_{n_pages // 1000}k"] = round(time.perf_counter() - t0, 3)
 
         timed("doc_stats", doc_stats)
         timed("quality_score", quality_score)
         timed("exact_dedup", exact_dedup)
         timed("minhash_lsh_pairs", minhash_lsh_pairs)
+        timed("simhash_dup_pairs", simhash_dup_pairs)
         timed("knn_brute_force", knn_brute_force)
+        timed("ann_ivf", ann_ivf)
         timed("embedding_near_dup", embedding_near_dup)
         timed("pricing_summary", pricing_summary)
         timed("events_hourly", events_hourly)
@@ -143,10 +169,15 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     lo, hi = 8, 32
+    n_pages = int(os.environ.get("BENCH_SCALING_PAGES", "300000"))
 
     def run(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1"
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_HEADLINE_ONLY="1",
+            BENCH_N_PAGES=str(n_pages),
+            BENCH_WARMUP="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -162,14 +193,14 @@ def run_scaling() -> dict:
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency (same input, num_cpus 8 vs 32)",
+        "metric": "scaling efficiency (same input, warm-started legs, num_cpus 8 vs 32)",
         "sec_8": t_lo,
         "sec_32": t_hi,
         "pages_per_sec_8": r_lo["pages_per_sec"],
         "pages_per_sec_32": r_hi["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "sf": r_hi["sf"],
-        "n_pages": r_hi["n_pages"],
+        "n_pages": n_pages,
     }
 
 

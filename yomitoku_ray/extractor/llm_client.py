@@ -69,23 +69,62 @@ def build_messages(semantic_info, schema, table_id=None) -> List[dict]:
 
 
 class OpenAiCompatClient:
-    """Real transport seam — requires an OpenAI-compatible client library."""
+    """Real transport against any OpenAI-compatible /chat/completions server.
 
-    def __init__(self, api_base="http://localhost:8000/v1", api_key="", model=""):
-        try:
-            import openai  # noqa: F401
-        except ImportError as e:
+    Config-gated: the base url comes from the constructor or the
+    ``YOMITOKU_RAY_LLM_BASE_URL`` env var; with neither set, construction
+    raises and callers fall back to :class:`FakeLlmClient` (the default in
+    :func:`run_llm_extraction`). Uses stdlib urllib — no client-library
+    dependency. Request contract mirrors the reference
+    (``llm_client.py:18-56``): JSON mode first, plain-text retry when the
+    server rejects ``response_format``, fence-tolerant JSON parse.
+    """
+
+    def __init__(self, api_base=None, api_key="", model="", timeout=60.0):
+        import os
+
+        api_base = api_base or os.environ.get("YOMITOKU_RAY_LLM_BASE_URL")
+        if not api_base:
             raise NotImplementedError(
-                "LLM extraction needs an OpenAI-compatible client library, "
-                "not available in this container; use FakeLlmClient for the "
-                "deterministic stand-in"
-            ) from e
-        self.api_base = api_base
-        self.api_key = api_key
-        self.model = model
+                "LLM extraction needs an OpenAI-compatible endpoint: pass "
+                "api_base or set YOMITOKU_RAY_LLM_BASE_URL; use "
+                "FakeLlmClient for the deterministic stand-in"
+            )
+        self.api_base = api_base.rstrip("/")
+        self.api_key = api_key or os.environ.get("YOMITOKU_RAY_LLM_API_KEY", "EMPTY")
+        self.model = model or os.environ.get("YOMITOKU_RAY_LLM_MODEL", "")
+        self.timeout = timeout
+
+    def _post(self, payload: dict) -> dict:
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.api_base}/chat/completions",
+            data=json.dumps(payload).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
 
     def chat(self, messages, temperature=0.0, max_tokens=4096) -> dict:
-        raise NotImplementedError("no network in this environment")
+        payload = {
+            "model": self.model,
+            "messages": messages,
+            "temperature": temperature,
+            "max_tokens": max_tokens,
+        }
+        try:
+            body = self._post({**payload, "response_format": {"type": "json_object"}})
+        except Exception:
+            # Reference parity: servers without JSON mode get a plain retry
+            # (llm_client.py:44-50).
+            body = self._post(payload)
+        content = body["choices"][0]["message"]["content"]
+        return parse_llm_json(content)
 
 
 class FakeLlmClient:

@@ -236,7 +236,12 @@ def rows_for_sf_dir(sf_dir: str) -> int:
 
 
 def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_pages") -> str:
-    """Generate (once, cached) the pages parquet for a testdata sf dir.
+    """Generate (once, cached) the pages parquet for a testdata sf dir."""
+    return ensure_pages_parquet_n(rows_for_sf_dir(sf_dir), cache_root)
+
+
+def ensure_pages_parquet_n(n: int, cache_root: str = "/tmp/yomitoku_ray_pages") -> str:
+    """Generate (once, cached) a pages parquet with exactly ``n`` rows.
 
     Written as multiple row-grouped files via parallel Ray tasks so the
     bench's read stage has enough input blocks to parallelize over.
@@ -244,8 +249,6 @@ def ensure_pages_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_pages
     import os
 
     import pyarrow.parquet as pq
-
-    n = rows_for_sf_dir(sf_dir)
     out_dir = os.path.join(cache_root, f"n{n}_seed{SEED}")
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
