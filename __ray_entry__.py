@@ -160,23 +160,33 @@ def _page_merge_by_domain(sf_dir: str) -> pd.DataFrame:
     (prefix-range) two-phase merge and asserts byte-equality — the skew
     path must be semantically invisible.
     """
+    import shutil
+
+    import ray.data
+
     from yomitoku_ray.functions.merge import (
         merge_pages_by_domain,
         merge_pages_by_domain_salted,
     )
     from yomitoku_ray.pipelines.extract import ExtractConfig, extract_pages
 
-    ds = extract_pages(_pages_path(sf_dir), ExtractConfig())
-    ds = ds.select_columns(["url", "extracted_text"]).materialize()
+    # The extraction feeds BOTH merge variants: compute it once into a
+    # parquet temp and stream each merge from the files (no mid-pipeline
+    # materialize of the full dataset in object-store memory).
+    tmp = "/tmp/yomitoku_ray_merge_input"
+    shutil.rmtree(tmp, ignore_errors=True)
+    extract_pages(_pages_path(sf_dir), ExtractConfig()).select_columns(
+        ["url", "extracted_text"]
+    ).write_parquet(tmp)
     cols = ["domain", "n_pages", "total_chars", "merged_sha256"]
     plain = (
-        merge_pages_by_domain(ds, max_pages_per_domain=10**9)
+        merge_pages_by_domain(ray.data.read_parquet(tmp), max_pages_per_domain=10**9)
         .to_pandas()[cols]
         .sort_values("domain")
         .reset_index(drop=True)
     )
     salted = (
-        merge_pages_by_domain_salted(ds)
+        merge_pages_by_domain_salted(ray.data.read_parquet(tmp))
         .to_pandas()[cols]
         .sort_values("domain")
         .reset_index(drop=True)

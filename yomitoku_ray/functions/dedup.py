@@ -174,11 +174,12 @@ def _unpack_pair(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _band_rows_fn(num_perm: int, bands: int, shingle_k: int):
-    """Task-pool stage: docs -> (band_id, band_hash, doc_id) rows.
+    """Task-pool stage: docs -> (pbucket, band_id, band_hash, doc_id) rows.
 
     Plain function (closure over the tiny permutation arrays) rather than an
     actor pool: no model state to amortize, so the task pool gets full
-    cluster parallelism with zero actor-ramp cost.
+    cluster parallelism with zero actor-ramp cost. ``pbucket`` is the
+    coarse shuffle key (hash of band_id+band_hash masked to ~1k values).
     """
     a, b = _minhash_params(num_perm)
     rows_per_band = num_perm // bands
@@ -201,10 +202,14 @@ def _band_rows_fn(num_perm: int, bands: int, shingle_k: int):
                 out_band.append(band)
                 out_hash.append(zlib.crc32(sig_bytes[band].tobytes()))
                 out_doc.append(int(doc_ids[i]))
+        band_arr = np.asarray(out_band, dtype=np.int64)
+        hash_arr = np.asarray(out_hash, dtype=np.int64)
+        pbucket = ((hash_arr * 1000003) ^ band_arr) & _COARSE_MASK
         return pa.table(
             {
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "pbucket": pa.array(pbucket),
+                "band_id": pa.array(band_arr),
+                "band_hash": pa.array(hash_arr),
                 "doc_id": pa.array(out_doc, pa.int64()),
             }
         )
@@ -212,27 +217,45 @@ def _band_rows_fn(num_perm: int, bands: int, shingle_k: int):
     return _fn
 
 
-def _bucket_pairs(group: pd.DataFrame, max_bucket: int = 64) -> pd.DataFrame:
-    """Candidate pair keys for one (band, band_hash) bucket.
+_COARSE_MASK = 1023  # ~1k coarse shuffle groups: amortizes per-group overhead
+
+
+def _bucket_pair_keys(ids: np.ndarray, max_bucket: int) -> np.ndarray:
+    """Pair keys for one bucket's sorted doc ids.
 
     Buckets beyond ``max_bucket`` emit representative-star pairs (everyone
     vs the min doc_id) instead of all C(n,2) combinations: transitively
     equivalent for duplicate-class discovery and bounds reducer emission to
     O(n) — the giant-bucket guard the 100 TB run needs.
     """
-    ids = np.sort(group["doc_id"].to_numpy())
-    if len(ids) < 2:
-        return pd.DataFrame({"pair_key": pd.Series([], dtype="int64")})
     if len(ids) > max_bucket:
-        keys = _pack_pair(np.full(len(ids) - 1, ids[0]), ids[1:])
-    else:
-        ai, bi = np.triu_indices(len(ids), k=1)
-        keys = _pack_pair(ids[ai], ids[bi])
-    return pd.DataFrame({"pair_key": keys.astype("int64")})
+        return _pack_pair(np.full(len(ids) - 1, ids[0]), ids[1:])
+    ai, bi = np.triu_indices(len(ids), k=1)
+    return _pack_pair(ids[ai], ids[bi])
+
+
+def _bucket_pairs(group: pd.DataFrame, max_bucket: int = 64) -> pd.DataFrame:
+    """Candidate pair keys for one coarse partition of band buckets.
+
+    The shuffle key is a COARSE hash of (band_id, band_hash) — ~1k groups
+    regardless of bucket count — and the exact per-bucket grouping happens
+    vectorized inside the partition (duplicated-mask prefilter + local
+    groupby). A per-(band,hash)-group shuffle would pay the per-group
+    map_groups overhead ~80k times at sf0.1 (measured 7.6s); this shape
+    pays it ~1k times.
+    """
+    multi = group[group.duplicated(subset=["band_id", "band_hash"], keep=False)]
+    if len(multi) == 0:
+        return pd.DataFrame({"pair_key": pd.Series([], dtype="int64")})
+    keys = []
+    for _, sub in multi.groupby(["band_id", "band_hash"], sort=False):
+        keys.append(_bucket_pair_keys(np.sort(sub["doc_id"].to_numpy()), max_bucket))
+    return pd.DataFrame({"pair_key": np.concatenate(keys).astype("int64")})
 
 
 _SHINGLE_SIDE_SCHEMA = pa.schema(
     [
+        ("dbucket", pa.int64()),
         ("doc_id", pa.int64()),
         ("pair_key", pa.int64()),
         ("shingles", pa.list_(pa.uint64())),
@@ -255,9 +278,11 @@ def _doc_shingle_rows_fn(shingle_k: int):
                 continue
             keep_ids.append(int(doc_ids[i]))
             shingles.append(sh)
+        ids = np.asarray(keep_ids, dtype=np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(keep_ids, pa.int64()),
+                "dbucket": pa.array(ids & _COARSE_MASK),
+                "doc_id": pa.array(ids),
                 "pair_key": pa.array([-1] * len(keep_ids), pa.int64()),
                 "shingles": pa.array(shingles, pa.list_(pa.uint64())),
             },
@@ -268,12 +293,18 @@ def _doc_shingle_rows_fn(shingle_k: int):
 
 
 def _pair_need_rows(batch: pa.Table) -> pa.Table:
-    """Deduped pair keys -> two (doc_id, pair_key) need-rows per pair."""
-    keys = batch.column("pair_key").to_numpy()
+    """Candidate pair keys -> two (doc_id, pair_key) need-rows per pair.
+
+    Per-batch ``np.unique`` removes most cross-band duplicate pairs here
+    without a dedicated dedup shuffle; the verify stage dedups stragglers
+    (duplicate rows are idempotent there)."""
+    keys = np.unique(batch.column("pair_key").to_numpy())
     a, b = _unpack_pair(keys)
+    doc_id = np.concatenate([a, b])
     return pa.table(
         {
-            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dbucket": pa.array(doc_id & _COARSE_MASK),
+            "doc_id": pa.array(doc_id, pa.int64()),
             "pair_key": pa.array(np.concatenate([keys, keys]), pa.int64()),
             "shingles": pa.array([[]] * (2 * len(keys)), pa.list_(pa.uint64())),
         },
@@ -282,48 +313,57 @@ def _pair_need_rows(batch: pa.Table) -> pa.Table:
 
 
 def _attach_shingles(group: pd.DataFrame) -> pd.DataFrame:
-    """Reduce-side join on doc_id: copy the doc's shingles onto its pairs."""
+    """Reduce-side join for one coarse doc partition: one vectorized pandas
+    merge copies each doc's shingles onto all pair rows needing them (no
+    per-doc group calls)."""
     is_doc = group["pair_key"].to_numpy() == -1
-    need = group[~is_doc]
-    if is_doc.sum() == 0 or len(need) == 0:
-        return pd.DataFrame({"pair_key": pd.Series([], dtype="int64"), "shingles": pd.Series([], dtype=object)})
-    sh = group["shingles"][is_doc].iloc[0]
-    sh = np.asarray(sh, dtype=np.uint64)
+    docs = group[is_doc][["doc_id", "shingles"]]
+    need = group[~is_doc][["doc_id", "pair_key"]]
+    if len(docs) == 0 or len(need) == 0:
+        return pd.DataFrame(
+            {
+                "vbucket": pd.Series([], dtype="int64"),
+                "pair_key": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "shingles": pd.Series([], dtype=object),
+            }
+        )
+    m = need.merge(docs, on="doc_id", how="inner")
     return pd.DataFrame(
         {
-            "pair_key": need["pair_key"].astype("int64").to_numpy(),
-            "shingles": [sh] * len(need),
+            "vbucket": (m["pair_key"].to_numpy() & _COARSE_MASK).astype("int64"),
+            "pair_key": m["pair_key"].astype("int64").to_numpy(),
+            "doc_id": m["doc_id"].astype("int64").to_numpy(),
+            "shingles": m["shingles"].to_numpy(),
         }
     )
 
 
-def _verify_pair_factory(thr_pct: int):
+def _verify_pairs_factory(thr_pct: int):
     def _verify(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "doc_a": pd.Series([], dtype="int64"),
-                "doc_b": pd.Series([], dtype="int64"),
-                "jaccard_pct": pd.Series([], dtype="int64"),
-            }
-        )
-        if len(group) != 2:
-            return empty
-        sa = np.asarray(group["shingles"].iloc[0], dtype=np.uint64)
-        sb = np.asarray(group["shingles"].iloc[1], dtype=np.uint64)
-        if len(sa) == 0 or len(sb) == 0:
-            return empty
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        # Integer-exact threshold + percentage: matches the DuckDB oracle
-        # with no float rounding at boundaries.
-        if 100 * inter < thr_pct * union:
-            return empty
-        key = int(group["pair_key"].iloc[0])
+        """Verify every pair in one coarse pair partition: exact Jaccard,
+        integer-exact threshold/percentage arithmetic matching the DuckDB
+        oracle (no float rounding at boundaries)."""
+        out_a, out_b, out_j = [], [], []
+        for pair_key, sub in group.groupby("pair_key", sort=False):
+            sub = sub.drop_duplicates("doc_id")
+            if len(sub) != 2:
+                continue
+            sa = np.asarray(sub["shingles"].iloc[0], dtype=np.uint64)
+            sb = np.asarray(sub["shingles"].iloc[1], dtype=np.uint64)
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if 100 * inter >= thr_pct * union:
+                out_a.append(int(pair_key) >> 32)
+                out_b.append(int(pair_key) & 0xFFFFFFFF)
+                out_j.append((100 * inter) // union)
         return pd.DataFrame(
             {
-                "doc_a": pd.Series([key >> 32], dtype="int64"),
-                "doc_b": pd.Series([key & 0xFFFFFFFF], dtype="int64"),
-                "jaccard_pct": pd.Series([(100 * inter) // union], dtype="int64"),
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "jaccard_pct": pd.Series(out_j, dtype="int64"),
             }
         )
 
@@ -340,40 +380,49 @@ def minhash_lsh_pairs(
 ) -> pd.DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
 
-    shingle -> minhash -> band -> groupby(band, band_hash) -> candidate
-    pair keys -> distributed verification. Every step is a Dataset stage:
+    shingle -> minhash -> band -> candidate pair keys -> distributed
+    verification. Three shuffles, each keyed COARSELY (~1k hash buckets,
+    see ``_COARSE_MASK``) with the exact grouping done vectorized inside
+    each partition — per-bucket map_groups calls would pay Python/pandas
+    overhead once per band bucket (~80k at sf0.1, measured 7.6s; this
+    shape pays it ~1k times):
 
-    1. banding shuffle keyed by (band, band_hash) — uniform by construction;
-    2. pair dedup via groupby(pair_key) (one row survives per pair);
-    3. reduce-side join keyed by doc_id attaches shingle sets to pairs
-       (the hash-bucketed self-join: the groupby IS the bucketing);
-    4. groupby(pair_key) brings each pair's two shingle sets together and
-       verifies exact Jaccard with integer arithmetic.
+    1. pair generation keyed by hash(band_id, band_hash);
+    2. reduce-side join keyed by hash(doc_id) attaches shingle sets to
+       pairs via one vectorized merge per partition (the hash-bucketed
+       self-join: the groupby IS the bucketing);
+    3. verification keyed by hash(pair_key) brings each pair's two shingle
+       sets together and checks exact Jaccard with integer arithmetic.
 
     Nothing touches the driver until the final (output-sized) collection.
     Returns (doc_a, doc_b, jaccard_pct), jaccard_pct = floor(100j), sorted.
     """
     thr_pct = int(round(threshold * 100))
     path = f"{sf_dir}/documents.parquet"
-    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
-    banded = ds.map_batches(_band_rows_fn(num_perm, bands, shingle_k), batch_format="pyarrow")
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
+    # Fine-grained read blocks + small batches keep the signature stage on
+    # every core even when the input is one parquet file.
+    read_kw = {"columns": ["doc_id", "text"], "override_num_blocks": 32}
+    ds = ray.data.read_parquet(path, **read_kw)
+    banded = ds.map_batches(
+        _band_rows_fn(num_perm, bands, shingle_k),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    cand = banded.groupby("pbucket").map_groups(
         lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
     )
-    # Distributed pair dedup: one row per pair_key survives.
-    uniq = cand.groupby("pair_key").aggregate(Count(alias_name="n_buckets"))
-    need = uniq.map_batches(_pair_need_rows, batch_format="pyarrow")
+    need = cand.map_batches(_pair_need_rows, batch_format="pyarrow")
 
-    doc_side = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
-        _doc_shingle_rows_fn(shingle_k), batch_format="pyarrow"
+    doc_side = ray.data.read_parquet(path, **read_kw).map_batches(
+        _doc_shingle_rows_fn(shingle_k), batch_format="pyarrow", batch_size=256
     )
     paired = (
         doc_side.union(need)
-        .groupby("doc_id")
+        .groupby("dbucket")
         .map_groups(_attach_shingles, batch_format="pandas")
     )
-    verified = paired.groupby("pair_key").map_groups(
-        _verify_pair_factory(thr_pct), batch_format="pandas"
+    verified = paired.groupby("vbucket").map_groups(
+        _verify_pairs_factory(thr_pct), batch_format="pandas"
     )
     out = verified.to_pandas()
     if len(out) == 0:
@@ -427,9 +476,11 @@ def _simhash_chunk_rows_fn(n_chunks: int):
         sigs = np.tile(sig, n_chunks)
         shifts = (chunk_id * chunk_bits).astype(np.uint64)
         values = (sigs >> shifts) & mask
+        cbucket = ((values.view(np.int64) * 1000003) ^ chunk_id) & _COARSE_MASK
         return pa.table(
             {
-                "chunk_id": pa.array(chunk_id.astype(np.int32)),
+                "cbucket": pa.array(cbucket),
+                "chunk_id": pa.array(chunk_id),
                 "chunk_value": pa.array(values.astype(np.int64)),
                 "doc_id": pa.array(docs, pa.int64()),
                 "simhash": pa.array(sigs.view(np.int64)),  # bit-preserving signed storage
@@ -445,16 +496,8 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def _simhash_bucket_pairs_fn(hamming_max: int, max_bucket_compare: int = 4096):
-    def _fn(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"pair_key": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")}
-        )
-        order = np.argsort(group["doc_id"].to_numpy())
-        ids = group["doc_id"].to_numpy()[order]
-        sigs = group["simhash"].to_numpy()[order].view(np.uint64)
+    def _one_bucket(ids: np.ndarray, sigs: np.ndarray):
         n = len(ids)
-        if n < 2:
-            return empty
         if n > max_bucket_compare:
             # Giant-bucket guard: compare against the representative only
             # (O(n) work); members of one near-dup class still link through
@@ -465,12 +508,34 @@ def _simhash_bucket_pairs_fn(hamming_max: int, max_bucket_compare: int = 4096):
             a, b = np.triu_indices(n, k=1)
         ham = _popcount64(sigs[a] ^ sigs[b])
         keep = ham <= hamming_max
-        if not keep.any():
-            return empty
+        return _pack_pair(ids[a[keep]], ids[b[keep]]), ham[keep]
+
+    def _fn(group: pd.DataFrame) -> pd.DataFrame:
+        """All near-dup pairs in one coarse partition of chunk buckets;
+        the exact (chunk_id, chunk_value) grouping happens inside, only
+        for buckets with >= 2 members (duplicated-mask prefilter)."""
+        multi = group[
+            group.duplicated(subset=["chunk_id", "chunk_value"], keep=False)
+        ]
+        out_keys, out_ham = [], []
+        for _, sub in multi.groupby(["chunk_id", "chunk_value"], sort=False):
+            order = np.argsort(sub["doc_id"].to_numpy())
+            ids = sub["doc_id"].to_numpy()[order]
+            sigs = sub["simhash"].to_numpy()[order].view(np.uint64)
+            keys, ham = _one_bucket(ids, sigs)
+            out_keys.append(keys)
+            out_ham.append(ham)
+        if not out_keys:
+            return pd.DataFrame(
+                {
+                    "pair_key": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
         return pd.DataFrame(
             {
-                "pair_key": _pack_pair(ids[a[keep]], ids[b[keep]]).astype("int64"),
-                "hamming": ham[keep],
+                "pair_key": np.concatenate(out_keys).astype("int64"),
+                "hamming": np.concatenate(out_ham).astype("int64"),
             }
         )
 
@@ -487,9 +552,15 @@ def simhash_dup_pairs(sf_dir: str, n_chunks: int = 4, hamming_max: int = 3) -> p
     pairs; a final groupby(pair_key) dedups across the chunks. No driver
     materialization before the output-sized collection.
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    chunked = ds.map_batches(_simhash_chunk_rows_fn(n_chunks), batch_format="pyarrow")
-    pairs = chunked.groupby(["chunk_id", "chunk_value"]).map_groups(
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=32,
+    )
+    chunked = ds.map_batches(
+        _simhash_chunk_rows_fn(n_chunks), batch_format="pyarrow", batch_size=256
+    )
+    pairs = chunked.groupby("cbucket").map_groups(
         _simhash_bucket_pairs_fn(hamming_max), batch_format="pandas"
     )
     uniq = pairs.groupby("pair_key").aggregate(Min("hamming", alias_name="hamming"))
