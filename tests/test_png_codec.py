@@ -1,0 +1,159 @@
+"""Pure-stdlib PNG codec: round trips, filter decoding, real image features."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from yomitoku_ray.kernels.png import (
+    PngError,
+    block_mean_embedding,
+    decode_png,
+    encode_png,
+    resize_nearest,
+    to_gray,
+)
+from yomitoku_ray.stages.multimodal import ImageFeatureStage, ImageResizeStage
+
+
+def _rand_px(h, w, c, seed):
+    return np.random.RandomState(seed).randint(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_round_trip_exact(channels):
+    px = _rand_px(13, 7, channels, seed=channels)
+    out = decode_png(encode_png(px))
+    assert out.shape == px.shape
+    assert (out == px).all()
+
+
+def test_rejects_garbage():
+    with pytest.raises(PngError):
+        decode_png(b"not a png")
+    with pytest.raises(PngError):
+        decode_png(encode_png(_rand_px(4, 4, 3, 0))[:30])  # truncated
+
+
+def _filtered_png(px, filter_type):
+    """Assemble a PNG whose rows use the given filter, by applying the
+    forward filter to known pixels (exercises the decoder's unfilter path
+    beyond the encoder's filter-0)."""
+    import struct
+    import zlib
+
+    h, w, ch = px.shape
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 1:
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+            enc = (cur - left) & 0xFF
+        elif filter_type == 2:
+            enc = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            enc = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                enc[x] = (cur[x] - pred) & 0xFF
+        else:
+            enc = cur
+        raw.append(filter_type)
+        raw.extend(int(v) for v in enc)
+        prev = cur
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6, 2: 4}[ch], 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [1, 2, 3, 4])
+def test_all_filters_decode(filter_type):
+    px = _rand_px(9, 6, 3, seed=10 + filter_type)
+    out = decode_png(_filtered_png(px, filter_type))
+    assert (out == px).all()
+
+
+def test_palette_expansion():
+    import struct
+    import zlib
+
+    # 2x2 palette image: indices 0..3 into a 4-color palette.
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    idx = bytes([0, 0, 1, 0, 2, 3])  # two rows: filter0+2 indices each
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(idx))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[1, 1].tolist() == [9, 9, 9]
+
+
+def test_real_features_white_vs_black():
+    white = np.full((8, 8, 3), 255, dtype=np.uint8)
+    black = np.zeros((8, 8, 3), dtype=np.uint8)
+    batch = pa.table(
+        {"image": pa.array([encode_png(white), encode_png(black)], pa.binary())}
+    )
+    feats = (
+        ImageFeatureStage(backend_mode="strict")(batch)
+        .column("image_features")
+        .to_pylist()
+    )
+    assert feats[0]["mean_luma"] == pytest.approx(1.0, abs=1e-3)
+    assert feats[1]["mean_luma"] == pytest.approx(0.0, abs=1e-3)
+    assert all(v > 0.99 for v in feats[0]["embedding"])
+    assert all(v < -0.99 for v in feats[1]["embedding"])
+
+
+def test_resize_stage_real_and_passthrough():
+    px = _rand_px(8, 8, 3, seed=5)
+    batch = pa.table(
+        {"image": pa.array([encode_png(px), b"not png"], pa.binary())}
+    )
+    out = ImageResizeStage(4, 4)(batch)
+    assert out.column("resized").to_pylist() == [True, False]
+    small = decode_png(out.column("image").to_pylist()[0])
+    assert small.shape == (4, 4, 3)
+    assert (small == resize_nearest(px, 4, 4)).all()
+    assert out.column("image").to_pylist()[1] == b"not png"
+
+
+def test_gray_and_embedding_kernels():
+    px = np.zeros((4, 8, 3), dtype=np.uint8)
+    px[:, 4:] = 255  # left half black, right half white
+    g = to_gray(px)
+    assert g[:, :4].max() == 0.0 and g[:, 4:].min() == 1.0
+    emb = block_mean_embedding(px, grid=2)
+    assert emb[0] == pytest.approx(-1.0) and emb[1] == pytest.approx(1.0)

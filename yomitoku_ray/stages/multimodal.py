@@ -1,18 +1,19 @@
 """Multimodal column stages: opaque binary payloads + typed metadata.
 
-Images/audio/video ride as ``binary`` columns with struct metadata; the
-decode/feature kernels themselves are STUBBED (the codec libraries are not
-in this container) behind ``DecoderBackend`` — either raising
-NotImplementedError (strict mode) or producing a deterministic fake (test
-mode). The Ray-side plumbing is real and tested: schema, actor-pool stage
-shape, small batch sizes for large payloads, metadata extraction without
-full decode.
+Images/audio/video ride as ``binary`` columns with struct metadata. PNG
+pixel decode, resize and feature extraction are REAL (pure zlib+numpy
+codec, ``kernels/png.py``); JPEG/GIF pixel decode stays a seam behind
+``DecoderBackend`` — raising NotImplementedError (strict mode) or
+producing a deterministic fake (fake mode) — because a DCT pipeline needs
+codec libraries this container doesn't ship. The Ray-side plumbing is real
+and tested: schema, actor-pool stage shape, small batch sizes for large
+payloads, metadata extraction without full decode.
 
 Reference anchor: the engine's image path (figure crops,
 ``/root/reference/src/yomitoku/export/export_markdown.py:70-111``) emits
 binary blobs as columns instead of side files (SURVEY S9), and these stages
-are the continuation of that column into decode / resize / feature-extract /
-frame-sample operators a training-data pipeline needs.
+are the continuation of that column into decode / resize / feature-extract
+operators a training-data pipeline needs.
 """
 
 from __future__ import annotations
@@ -21,7 +22,17 @@ import hashlib
 import struct
 import zlib
 
+import numpy as np
 import pyarrow as pa
+
+from ..kernels.png import (
+    PngError,
+    block_mean_embedding,
+    decode_png,
+    encode_png,
+    resize_nearest,
+    to_gray,
+)
 
 IMAGE_META = pa.struct(
     [
@@ -76,27 +87,42 @@ def sniff_image_meta(blob: bytes) -> dict:
 
 
 class DecoderBackend:
-    """Pixel-decode seam. The real backend would wrap PIL/cv2/ffmpeg."""
+    """Pixel-decode: REAL for PNG (pure zlib+numpy codec); a seam for
+    formats needing codec libraries (JPEG/GIF) — NotImplementedError in
+    strict mode, deterministic fake pixels in fake mode."""
 
     def __init__(self, mode: str = "strict"):
         if mode not in ("strict", "fake"):
             raise ValueError(mode)
         self.mode = mode
 
-    def decode_image(self, blob: bytes):
+    def decode_image(self, blob: bytes) -> np.ndarray:
+        """blob -> (H, W, C) uint8 pixels."""
+        try:
+            return decode_png(blob)
+        except PngError:
+            pass
         if self.mode == "strict":
             raise NotImplementedError(
-                "image decode requires an image library not present in this "
-                "container; run with DecoderBackend(mode='fake') for the "
-                "deterministic stand-in"
+                "non-PNG image decode requires a codec library not present "
+                "in this container; run with DecoderBackend(mode='fake') "
+                "for the deterministic stand-in"
             )
-        # Deterministic fake: a 16-dim 'embedding' + luma derived from a
-        # stable digest of the bytes — stands in for model features so the
-        # downstream plumbing (ANN, dedup on embeddings) is exercisable.
-        h = hashlib.blake2b(blob, digest_size=36).digest()
-        emb = [(b - 128) / 128.0 for b in h[:16]]
-        luma = (zlib.crc32(blob) % 256) / 255.0
-        return {"embedding": emb, "mean_luma": luma}
+        # Deterministic fake pixels from a stable digest of the bytes —
+        # stands in for a real decode so downstream feature plumbing
+        # (ANN, dedup on embeddings) is exercisable for any format.
+        h = hashlib.blake2b(blob, digest_size=48).digest()
+        px = np.frombuffer(h, dtype=np.uint8)[: 4 * 4 * 3].reshape(4, 4, 3)
+        return px.copy()
+
+    def image_features(self, blob: bytes) -> dict:
+        """Pixels -> real features: Rec.601 mean luma + 4x4 block-mean
+        gray signature (16-dim, [-1, 1])."""
+        px = self.decode_image(blob)
+        return {
+            "embedding": block_mean_embedding(px, grid=4).tolist(),
+            "mean_luma": float(to_gray(px).mean()),
+        }
 
 
 class ImageMetaStage:
@@ -119,11 +145,12 @@ class ImageMetaStage:
 
 
 class ImageFeatureStage:
-    """Actor stage: binary image column -> feature struct (decode STUB).
+    """Actor stage: binary image column -> feature struct.
 
-    ``backend_mode='fake'`` yields deterministic features; 'strict' raises at
-    first batch — the correct behavior when a real decoder is required but
-    absent.
+    PNG payloads get REAL pixel features (decode + luma + block-mean
+    signature); other formats follow the backend mode — deterministic fake
+    pixels ('fake') or a raise at first batch ('strict', the correct
+    behavior when a real decoder is required but absent).
     """
 
     def __init__(self, blob_column: str = "image", backend_mode: str = "fake"):
@@ -132,10 +159,39 @@ class ImageFeatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [
-            self.backend.decode_image(blob or b"")
+            self.backend.image_features(blob or b"")
             for blob in batch.column(self.blob_column).to_pylist()
         ]
         return batch.append_column("image_features", pa.array(feats, IMAGE_FEATURES))
+
+
+class ImageResizeStage:
+    """Actor stage: real PNG resize (decode -> nearest-neighbor -> re-encode).
+
+    Non-PNG payloads pass through unchanged with ``resized=False`` — resize
+    without a decoder would be a lie. Small batches: payloads are re-encoded
+    in-stage and both copies briefly coexist.
+    """
+
+    def __init__(self, out_w: int, out_h: int, blob_column: str = "image"):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.blob_column = blob_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_blobs, flags = [], []
+        for blob in batch.column(self.blob_column).to_pylist():
+            try:
+                px = decode_png(blob or b"")
+            except PngError:
+                out_blobs.append(blob)
+                flags.append(False)
+                continue
+            out_blobs.append(encode_png(resize_nearest(px, self.out_w, self.out_h)))
+            flags.append(True)
+        idx = batch.schema.get_field_index(self.blob_column)
+        batch = batch.set_column(idx, self.blob_column, pa.array(out_blobs, pa.binary()))
+        return batch.append_column("resized", pa.array(flags, pa.bool_()))
 
 
 def make_fake_png(width: int, height: int, seed: int = 0) -> bytes:
