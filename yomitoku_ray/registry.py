@@ -80,6 +80,13 @@ def _register_builtins():
     register_stage(
         "image_features", {"blob_column": "image", "backend_mode": "fake"}, ImageFeatureStage
     )
+    from .stages.multimodal import ImageResizeStage
+
+    register_stage(
+        "image_resize",
+        {"out_w": 64, "out_h": 64, "blob_column": "image"},
+        ImageResizeStage,
+    )
 
 
 _register_builtins()
