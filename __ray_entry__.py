@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         doc_stats,
         lang_id,
         quality_score,
+        token_count_bpe,
+        winnow_fingerprints,
     )
 
     return {
@@ -325,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": quality_score,
         "lang_id": lang_id,
         "corpus_prep": corpus_prep,
+        "token_count_bpe": token_count_bpe,
+        "winnow_fingerprints": winnow_fingerprints,
         # dedup family
         "exact_dedup": exact_dedup,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -436,6 +440,33 @@ def oracle_sql() -> dict[str, str]:
                   >= 20 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         """,
         "simhash_dup_pairs": _SIMHASH_SQL,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
+            FROM documents
+        """,
+        # Winnowing fingerprints: window-minima over md5_number_upper token
+        # hashes — the exact numbers the Ray kernel computes.
+        "winnow_fingerprints": r"""
+            WITH th AS (
+                SELECT doc_id,
+                       [md5_number_upper(t) for t in string_split_regex(trim(text), '\s+')] AS hs
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            fp AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(hs) >= 4
+                            THEN [list_min(hs[i:i+3]) for i in generate_series(1, len(hs)-3)]
+                            ELSE [list_min(hs)] END) AS fps
+                FROM th
+            )
+            SELECT doc_id,
+                   CAST(len(fps) AS BIGINT) AS n_fp,
+                   CAST(list_sum(fps) % 2305843009213693951 AS BIGINT) AS fp_checksum
+            FROM fp
+        """,
         # ann_recall: the Ray side measures recall@5 of the partitioned IVF
         # index against exact brute force and reports whether the stated
         # floor holds; the oracle pins the expected (floor, holds) row, so a

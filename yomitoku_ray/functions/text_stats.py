@@ -160,3 +160,83 @@ def corpus_prep(
         )
 
     return feats.groupby("fingerprint").map_groups(_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subtoken counting + winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+# BPE-style pre-tokenization classes (letter runs / digit runs / punctuation
+# runs — the GPT-2 pre-tokenizer's shape restricted to classes both Python
+# re and DuckDB's RE2 express identically; alternatives match disjoint
+# character sets, so leftmost-first vs leftmost-longest cannot diverge).
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+_BPE_RE = re.compile(BPE_TOKEN_REGEX)
+
+
+def token_count_bpe(sf_dir: str) -> ray.data.Dataset:
+    """Subword-style token counts: whitespace tokens vs BPE-ish pre-token
+    runs per doc (both counts SQL-replicated verbatim by the oracle)."""
+
+    def _batch(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_ws_tokens": text.str.strip().str.split(_TOKEN_SPLIT).map(
+                    lambda t: len(t) if t != [""] else 0
+                ).astype("int64"),
+                "n_bpe_tokens": text.str.count(BPE_TOKEN_REGEX).astype("int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_batch, batch_format="pandas")
+
+
+_WINNOW_MOD = (1 << 61) - 1
+
+
+def winnow_fingerprints(sf_dir: str, w: int = 4) -> ray.data.Dataset:
+    """Winnowing document fingerprints (rolling window-minimum over stable
+    token hashes — the MOSS scheme's selection rule).
+
+    Token hashes are md5_number_upper-compatible, so DuckDB recomputes the
+    identical fingerprint set; output per doc is (n_fp, fp_checksum) with
+    the checksum an exact integer (sum of distinct minima mod 2^61-1).
+    Docs shorter than the window collapse to one whole-doc window.
+    """
+    import numpy as np
+
+    from .dedup import _batch_token_codes
+
+    def _batch(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").tolist()
+        uh, codes, counts = _batch_token_codes(texts)
+        H = uh[codes] if len(codes) else np.zeros(0, dtype=np.uint64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        doc_ids, n_fps, checks = [], [], []
+        for i in range(len(texts)):
+            h = H[starts[i] : ends[i]]
+            if len(h) == 0:
+                continue  # empty docs have no fingerprint row (SQL WHERE)
+            if len(h) < w:
+                mins = np.array([h.min()], dtype=np.uint64)
+            else:
+                stack = np.stack([h[j : len(h) - w + 1 + j] for j in range(w)])
+                mins = stack.min(axis=0)
+            fps = np.unique(mins)
+            doc_ids.append(int(df["doc_id"].iloc[i]))
+            n_fps.append(len(fps))
+            checks.append(int(sum(int(v) for v in fps) % _WINNOW_MOD))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "n_fp": pd.Series(n_fps, dtype="int64"),
+                "fp_checksum": pd.Series(checks, dtype="int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_batch, batch_format="pandas")
