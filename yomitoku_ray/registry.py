@@ -80,12 +80,17 @@ def _register_builtins():
     register_stage(
         "image_features", {"blob_column": "image", "backend_mode": "fake"}, ImageFeatureStage
     )
-    from .stages.multimodal import ImageResizeStage
+    from .stages.multimodal import FrameSampleStage, ImageResizeStage
 
     register_stage(
         "image_resize",
         {"out_w": 64, "out_h": 64, "blob_column": "image"},
         ImageResizeStage,
+    )
+    register_stage(
+        "frame_sample",
+        {"n_frames": 4, "blob_column": "doc_bytes", "key_column": "doc_url"},
+        FrameSampleStage,
     )
 
 

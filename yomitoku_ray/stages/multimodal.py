@@ -194,6 +194,66 @@ class ImageResizeStage:
         return batch.append_column("resized", pa.array(flags, pa.bool_()))
 
 
+class FrameSampleStage:
+    """Flat-map actor stage: container column -> sampled frame rows.
+
+    The video-decode analogue over this repo's binary page containers (the
+    sandbox ships no video codecs, so the container IS the multi-frame
+    stand-in; the stage shape — one row in, ``n_frames`` uniformly-sampled
+    frame rows out, per-row error isolation — is the real Ray-side contract
+    a video pipeline needs). Frames index uniformly across the container:
+    positions floor(i * (N-1) / (n_frames-1)) for i in 0..n_frames-1,
+    deduplicated for short containers.
+    """
+
+    def __init__(self, n_frames: int = 4, blob_column: str = "doc_bytes", key_column: str = "doc_url"):
+        self.n_frames = n_frames
+        self.blob_column = blob_column
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.paged import decode_paged_doc
+
+        keys, idxs, totals, frames, errs = [], [], [], [], []
+        for key, blob in zip(
+            batch.column(self.key_column).to_pylist(),
+            batch.column(self.blob_column).to_pylist(),
+        ):
+            try:
+                pages = decode_paged_doc(blob or b"")
+            except ValueError as e:
+                keys.append(key)
+                idxs.append(-1)
+                totals.append(0)
+                frames.append(b"")
+                errs.append(str(e))
+                continue
+            if not pages:
+                continue
+            n = min(self.n_frames, len(pages))
+            if n == 1:
+                positions = [0]
+            else:
+                positions = sorted(
+                    {i * (len(pages) - 1) // (n - 1) for i in range(n)}
+                )
+            for p in positions:
+                keys.append(key)
+                idxs.append(p)
+                totals.append(len(pages))
+                frames.append(pages[p])
+                errs.append(None)
+        return pa.table(
+            {
+                self.key_column: pa.array(keys, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "n_total_frames": pa.array(totals, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+                "sample_error": pa.array(errs, pa.string()),
+            }
+        )
+
+
 def make_fake_png(width: int, height: int, seed: int = 0) -> bytes:
     """Minimal valid PNG header + deterministic junk payload (for tests)."""
     ihdr_data = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
