@@ -88,3 +88,30 @@ def test_domain_skew_probe(ray_session, result_ds_rows):
     probe = domain_skew_probe(ds, top_n=2)
     assert probe.iloc[0]["domain"] == "hot.example.jp"
     assert probe.iloc[0]["n_pages"] == 40
+
+
+def test_url_dedup_fast_equals_slow(ray_session, tmp_path):
+    """Join-based url dedup reproduces the per-group map_groups dedup
+    exactly on a synthetic recrawl (unique (url, warc_ts) pairs)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yomitoku_ray.functions.merge import url_dedup_first, url_dedup_first_fast
+
+    rows = []
+    for i in range(200):
+        rows.append({"url": f"https://x/{i:04d}", "warc_ts": 1000 + i, "lang": "ja", "text": f"v1-{i}"})
+        if i % 3 == 0:  # recrawl later
+            rows.append({"url": f"https://x/{i:04d}", "warc_ts": 5000 + i, "lang": "ja", "text": f"v2-{i}"})
+        if i % 7 == 0:  # recrawl EARLIER than the base row
+            rows.append({"url": f"https://x/{i:04d}", "warc_ts": 10 + i, "lang": "ja", "text": f"v0-{i}"})
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(tmp_path / "pages.parquet"))
+    ds = ray.data.read_parquet(str(tmp_path / "pages.parquet"))
+    cols = ["url", "warc_ts", "lang", "text"]
+    slow = url_dedup_first(ds).to_pandas()[cols].sort_values("url").reset_index(drop=True)
+    fast = url_dedup_first_fast(ds, num_partitions=4).to_pandas()[cols].sort_values("url").reset_index(drop=True)
+    assert fast.equals(slow)
+    assert (fast[fast["url"] == "https://x/0000"]["text"] == "v0-0").all()
