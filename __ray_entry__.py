@@ -338,6 +338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": knn_brute_force,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        # IVF invariant: probing every partition must reproduce brute force
+        # exactly (partition+route plumbing changes nothing but scan scope);
+        # hash-checked against the same SQL oracle as knn_brute_force.
+        "ann_ivf_exhaustive": lambda sf_dir: ann_ivf(sf_dir, nprobe=1_000_000),
         "ann_recall": ann_recall,
         "embedding_near_dup": embedding_near_dup,
         # relational aggregate layer
@@ -402,6 +406,22 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
 """
 
 _DOMAIN_REGEX_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)"
+
+# Shared by knn_brute_force and the ann_ivf_exhaustive invariant (IVF with
+# every partition probed must hash-match exact top-k).
+_KNN_SQL = """
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                            e.vec_id
+               ) AS rank
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q,
+             embeddings e
+        WHERE e.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+"""
 
 
 def _pages_glob_sf001() -> str:
@@ -579,19 +599,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY md5(text)
         """,
-        "knn_brute_force": """
-            SELECT query_id, neighbor_id, rank FROM (
-                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
-                                    e.vec_id
-                       ) AS rank
-                FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q,
-                     embeddings e
-                WHERE e.vec_id <> q.vec_id
-            ) WHERE rank <= 5
-        """,
+        "knn_brute_force": _KNN_SQL,
+        "ann_ivf_exhaustive": _KNN_SQL,
         "embedding_near_dup": """
             SELECT CAST(a.label AS BIGINT) AS label,
                    a.vec_id AS vec_a, b.vec_id AS vec_b
