@@ -92,6 +92,9 @@ def _register_builtins():
         {"n_frames": 4, "blob_column": "doc_bytes", "key_column": "doc_url"},
         FrameSampleStage,
     )
+    from .stages.multimodal import AudioFeatureStage
+
+    register_stage("audio_features", {"blob_column": "audio"}, AudioFeatureStage)
 
 
 _register_builtins()

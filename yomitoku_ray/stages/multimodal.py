@@ -194,6 +194,51 @@ class ImageResizeStage:
         return batch.append_column("resized", pa.array(flags, pa.bool_()))
 
 
+AUDIO_FEATURES = pa.struct(
+    [
+        ("duration_ms", pa.int64()),
+        ("sample_rate", pa.int64()),
+        ("rms_milli", pa.int64()),
+        ("zcr_per_sec_milli", pa.int64()),
+        ("dominant_hz", pa.int64()),
+        ("error", pa.string()),
+    ]
+)
+
+
+class AudioFeatureStage:
+    """Actor stage: binary WAV column -> REAL signal features.
+
+    PCM decode + RMS/ZCR/rFFT-dominant-frequency run with stdlib wave +
+    numpy — no audio library, no stub. Undecodable payloads get a per-row
+    error field (the batch never fails). Integer (milli-scaled) outputs
+    keep downstream hashing float-free.
+    """
+
+    def __init__(self, blob_column: str = "audio"):
+        self.blob_column = blob_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.audio import AudioError, audio_features
+
+        feats = []
+        for blob in batch.column(self.blob_column).to_pylist():
+            try:
+                f = audio_features(blob or b"")
+                f["error"] = None
+            except AudioError as e:
+                f = {
+                    "duration_ms": 0,
+                    "sample_rate": 0,
+                    "rms_milli": 0,
+                    "zcr_per_sec_milli": 0,
+                    "dominant_hz": 0,
+                    "error": str(e),
+                }
+            feats.append(f)
+        return batch.append_column("audio_features", pa.array(feats, AUDIO_FEATURES))
+
+
 class FrameSampleStage:
     """Flat-map actor stage: container column -> sampled frame rows.
 
