@@ -97,16 +97,22 @@ class DecoderBackend:
         self.mode = mode
 
     def decode_image(self, blob: bytes) -> np.ndarray:
-        """blob -> (H, W, C) uint8 pixels."""
+        """blob -> (H, W, C) uint8 pixels (PNG and GIF decode for real)."""
         try:
             return decode_png(blob)
         except PngError:
             pass
+        from ..kernels.gif import GifError, decode_gif
+
+        try:
+            return decode_gif(blob)
+        except GifError:
+            pass
         if self.mode == "strict":
             raise NotImplementedError(
-                "non-PNG image decode requires a codec library not present "
-                "in this container; run with DecoderBackend(mode='fake') "
-                "for the deterministic stand-in"
+                "non-PNG/GIF image decode requires a codec library not "
+                "present in this container; run with "
+                "DecoderBackend(mode='fake') for the deterministic stand-in"
             )
         # Deterministic fake pixels from a stable digest of the bytes —
         # stands in for a real decode so downstream feature plumbing
