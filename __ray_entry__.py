@@ -278,6 +278,50 @@ def _paged_extract(sf_dir: str) -> pd.DataFrame:
     return merged.to_pandas().sort_values("doc_url").reset_index(drop=True)
 
 
+def _image_features_summary(sf_dir: str) -> pd.DataFrame:
+    """Multimodal pipeline over the synthesized images table: header-sniff
+    metadata + REAL pixel decode (PNG/GIF, repo-native codecs) + features,
+    one actor-pool pass each; junk rows isolate per-row. Rows-only check
+    (pixel decode has no SQL form); exact feature values are pinned by
+    pytest against analytically-known images."""
+    import ray.data
+
+    from yomitoku_ray.stages.multimodal import ImageFeatureStage, ImageMetaStage
+    from yomitoku_ray.synth.images import ensure_images_parquet
+
+    # num_cpus=0.5 per actor: two small stages must co-schedule with read
+    # tasks even in a 4-cpu test session (full-reservation would starve the
+    # read and wedge the pipeline).
+    ds = ray.data.read_parquet(ensure_images_parquet(sf_dir))
+    ds = ds.map_batches(
+        ImageMetaStage, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=0.5
+    )
+    ds = ds.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs={"backend_mode": "fake"},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    rows = ds.take_all()
+    out = pd.DataFrame(
+        {
+            "img_id": [r["img_id"] for r in rows],
+            "kind": [r["kind"] for r in rows],
+            "format": [r["image_meta"]["format"] for r in rows],
+            "width": [r["image_meta"]["width"] for r in rows],
+            "height": [r["image_meta"]["height"] for r in rows],
+            "mean_luma_milli": [
+                int(round(1000 * r["image_features"]["mean_luma"])) for r in rows
+            ],
+        }
+    )
+    return out.sort_values("img_id").reset_index(drop=True).astype(
+        {"img_id": "int64", "width": "int64", "height": "int64", "mean_luma_milli": "int64"}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.dedup import (
         exact_dedup,
@@ -322,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_text_merge": _page_text_merge,
         "url_dedup_recrawl": _url_dedup_recrawl,
         "paged_extract": _paged_extract,
+        "image_features_summary": _image_features_summary,
         # text analysis (documents)
         "doc_stats": doc_stats,
         "quality_score": quality_score,

@@ -157,3 +157,25 @@ def test_gray_and_embedding_kernels():
     assert g[:, :4].max() == 0.0 and g[:, 4:].min() == 1.0
     emb = block_mean_embedding(px, grid=2)
     assert emb[0] == pytest.approx(-1.0) and emb[1] == pytest.approx(1.0)
+
+
+def test_images_query_pins_known_values(ray_session):
+    """The image_features_summary driver query: formats sniffed, REAL luma
+    for analytically-known images, junk isolated."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __ray_entry__ import _image_features_summary
+    from yomitoku_ray.synth.images import gen_image
+
+    df = _image_features_summary("/root/testdata/sf0.001").set_index("img_id")
+    assert len(df) >= 200
+    assert set(df["format"]) == {"png", "gif", "unknown"}
+    assert (df[df["kind"] == "junk"]["format"] == "unknown").all()
+    # pin one solid image's luma analytically (img 0 is a solid png)
+    row0 = gen_image(0)
+    assert row0["kind"] == "png"
+    px = decode_png(row0["image"])
+    luma = to_gray(px).mean()
+    assert df.loc[0, "mean_luma_milli"] == round(1000 * luma)
+    assert (df.loc[0, ["height", "width"]].to_numpy() == px.shape[:2]).all()

@@ -1,0 +1,72 @@
+"""Deterministic synthetic images table (PNG/GIF/junk binary blobs).
+
+Every row is a pure function of its index: solid fills, horizontal
+gradients and 2x2 checkerboards encoded with the repo's own PNG/GIF
+codecs, plus ~4% undecodable junk rows exercising the per-row error
+policy. Ground-truth luma is computable analytically, which the tests pin.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.gif import encode_gif
+from ..kernels.png import encode_png
+
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("img_id", pa.int64()),
+        ("image", pa.binary()),
+        ("kind", pa.string()),
+    ]
+)
+
+
+def gen_image(i: int) -> dict:
+    rng = np.random.RandomState(0xC0FFEE ^ i)
+    roll = i % 25
+    if roll == 24:
+        return {"img_id": i, "image": bytes(rng.randint(0, 256, 64, dtype=np.uint8)), "kind": "junk"}
+    h, w = int(rng.randint(4, 24)), int(rng.randint(4, 24))
+    style = i % 3
+    if style == 0:  # solid
+        px = np.full((h, w, 3), rng.randint(0, 256, 3, dtype=np.uint8)[None, None, :])
+    elif style == 1:  # horizontal gradient (quantized to 8 steps for gif)
+        steps = (np.linspace(0, 255, 8).astype(np.uint8))[
+            (np.arange(w) * 8 // max(w, 1)).clip(0, 7)
+        ]
+        px = np.repeat(steps[None, :, None], h, axis=0).repeat(3, axis=2)
+    else:  # checkerboard
+        a, b = rng.randint(0, 256, 3, dtype=np.uint8), rng.randint(0, 256, 3, dtype=np.uint8)
+        mask = ((np.arange(h)[:, None] // 2 + np.arange(w)[None, :] // 2) % 2).astype(bool)
+        px = np.where(mask[:, :, None], a[None, None, :], b[None, None, :]).astype(np.uint8)
+    if i % 2 == 0:
+        return {"img_id": i, "image": encode_png(px), "kind": "png"}
+    return {"img_id": i, "image": encode_gif(px), "kind": "gif"}
+
+
+def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images") -> str:
+    import pyarrow.parquet as pq
+
+    from .pages import rows_for_sf_dir
+
+    n = max(200, rows_for_sf_dir(sf_dir) // 20)
+    out_dir = os.path.join(cache_root, f"n{n}")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    tmp = out_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    t = pa.Table.from_pylist([gen_image(i) for i in range(n)], schema=IMAGES_SCHEMA)
+    pq.write_table(t, os.path.join(tmp, "part-00000.parquet"))
+    import shutil
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    with open(done, "w") as f:
+        f.write(str(n))
+    return out_dir
