@@ -322,6 +322,36 @@ def _image_features_summary(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _audio_features_summary(sf_dir: str) -> pd.DataFrame:
+    """Audio pipeline over the synthesized WAV table: real PCM decode +
+    RMS/ZCR/rFFT features in one actor-pool pass; junk rows isolate
+    per-row. Rows-only check (no SQL FFT); tests pin dominant frequencies
+    against the generator's analytic ground truth."""
+    import ray.data
+
+    from yomitoku_ray.stages.multimodal import AudioFeatureStage
+    from yomitoku_ray.synth.audio import ensure_audio_parquet
+
+    ds = ray.data.read_parquet(ensure_audio_parquet(sf_dir))
+    ds = ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=0.5
+    )
+    rows = ds.take_all()
+    out = pd.DataFrame(
+        {
+            "clip_id": [r["clip_id"] for r in rows],
+            "kind": [r["kind"] for r in rows],
+            "ok": [int(r["audio_features"]["error"] is None) for r in rows],
+            "duration_ms": [r["audio_features"]["duration_ms"] for r in rows],
+            "dominant_hz": [r["audio_features"]["dominant_hz"] for r in rows],
+            "rms_milli": [r["audio_features"]["rms_milli"] for r in rows],
+        }
+    )
+    return out.sort_values("clip_id").reset_index(drop=True).astype(
+        {c: "int64" for c in ("clip_id", "ok", "duration_ms", "dominant_hz", "rms_milli")}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.dedup import (
         exact_dedup,
@@ -367,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_recrawl": _url_dedup_recrawl,
         "paged_extract": _paged_extract,
         "image_features_summary": _image_features_summary,
+        "audio_features_summary": _audio_features_summary,
         # text analysis (documents)
         "doc_stats": doc_stats,
         "quality_score": quality_score,

@@ -68,3 +68,29 @@ def test_multichannel_and_8bit():
         w.writeframes(stereo.tobytes())
     got, rate = decode_wav(buf.getvalue())
     assert np.abs(got - x).max() < 1e-3
+
+
+def test_audio_query_pins_ground_truth(ray_session):
+    """The audio_features_summary driver query: real rFFT dominant
+    frequencies match the generator's analytic ground truth for every
+    decodable sine/twotone clip."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import pyarrow.parquet as pq
+
+    from __ray_entry__ import _audio_features_summary
+    from yomitoku_ray.synth.audio import ensure_audio_parquet
+
+    df = _audio_features_summary("/root/testdata/sf0.001").set_index("clip_id")
+    truth = (
+        pq.read_table(ensure_audio_parquet("/root/testdata/sf0.001"))
+        .to_pandas()
+        .set_index("clip_id")
+    )
+    assert len(df) >= 200
+    assert (df[df["kind"] == "junk"]["ok"] == 0).all()
+    tonal = truth[truth["kind"].isin(["sine", "twotone"])]
+    got = df.loc[tonal.index]
+    assert (got["ok"] == 1).all()
+    assert (got["dominant_hz"] == tonal["true_hz"]).all()
