@@ -382,7 +382,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         doc_stats,
         lang_id,
         quality_score,
+        doc_length_percentiles,
         token_count_bpe,
+        top_terms,
         winnow_fingerprints,
     )
 
@@ -405,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": corpus_prep,
         "token_count_bpe": token_count_bpe,
         "winnow_fingerprints": winnow_fingerprints,
+        "top_terms": top_terms,
+        "doc_length_percentiles": doc_length_percentiles,
         # dedup family
         "exact_dedup": exact_dedup,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -536,6 +540,38 @@ def oracle_sql() -> dict[str, str]:
                   >= 20 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         """,
         "simhash_dup_pairs": _SIMHASH_SQL,
+        "top_terms": r"""
+            SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                FROM documents WHERE length(trim(text)) > 0
+            )
+            GROUP BY term
+            ORDER BY n DESC, term
+            LIMIT 20
+        """,
+        # Type-1 percentile replicated exactly: smallest n_tokens whose
+        # cumulative doc count >= ceil(p/100 * total).
+        "doc_length_percentiles": r"""
+            WITH lens AS (
+                SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+                FROM documents
+            ),
+            hist AS (
+                SELECT n_tokens, count(*) AS cnt FROM lens GROUP BY n_tokens
+            ),
+            cum AS (
+                SELECT n_tokens,
+                       sum(cnt) OVER (ORDER BY n_tokens
+                                      ROWS UNBOUNDED PRECEDING) AS c,
+                       (SELECT sum(cnt) FROM hist) AS total
+                FROM hist
+            )
+            SELECT p.pct, CAST(min(cum.n_tokens) AS BIGINT) AS n_tokens
+            FROM (SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct) p
+            JOIN cum ON cum.c >= -((-p.pct * cum.total) // 100)
+            GROUP BY p.pct
+        """,
         "token_count_bpe": r"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

@@ -52,3 +52,28 @@ def test_winnow_fingerprints_manual(ray_session, docs_dir):
     mins = {int(hs[i : i + 4].min()) for i in range(len(hs) - 3)}
     assert df.loc[2, "n_fp"] == len(mins)
     assert df.loc[2, "fp_checksum"] == sum(mins) % ((1 << 61) - 1)
+
+
+def test_top_terms_and_percentiles(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yomitoku_ray.functions.text_stats import doc_length_percentiles, top_terms
+
+    rows = [
+        {"doc_id": 0, "text": "a a a b b c"},      # 6 tokens
+        {"doc_id": 1, "text": "a b"},               # 2
+        {"doc_id": 2, "text": "c c c c"},           # 4
+        {"doc_id": 3, "text": ""},                  # 0
+    ]
+    d = tmp_path / "tt"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    tt = top_terms(str(d), k=3)
+    assert list(zip(tt["term"], tt["n"])) == [("c", 5), ("a", 4), ("b", 3)]
+
+    pcts = doc_length_percentiles(str(d)).set_index("pct")["n_tokens"]
+    # lengths sorted: 0, 2, 4, 6 (n=4). ceil ranks: p50 -> rank 2 -> 2;
+    # p75 -> rank 3 -> 4; p99 -> rank 4 -> 6; p10 -> rank 1 -> 0.
+    assert pcts[50] == 2 and pcts[75] == 4 and pcts[99] == 6 and pcts[10] == 0

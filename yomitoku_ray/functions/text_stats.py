@@ -240,3 +240,88 @@ def winnow_fingerprints(sf_dir: str, w: int = 4) -> ray.data.Dataset:
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_batch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level rollups: heavy hitters + exact distributed percentiles
+# ---------------------------------------------------------------------------
+
+
+def top_terms(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k most frequent whitespace tokens over the corpus.
+
+    The scale shape for heavy hitters: a vectorized per-batch value_counts
+    COMBINER shrinks each batch to its distinct terms before the only
+    shuffle (groupby(term) sum); the final top-k sort runs on the
+    aggregated (vocabulary-sized) table. Ties break by term ascending —
+    replicated exactly in the SQL oracle.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.strip().str.split(_TOKEN_SPLIT).explode()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        return pd.DataFrame({"term": vc.index.astype(str), "n": vc.values.astype("int64")})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    agg = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out = agg.to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["n", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def doc_length_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus percentiles of doc token counts via a pre-aggregated
+    value histogram.
+
+    Scale shape: token counts are small integers, so each batch combines to
+    (n_tokens, count) rows; one tiny groupby sums the histogram and the
+    exact cumulation runs over the value space (bounded), never the corpus.
+    Percentile definition (replicated verbatim in SQL): smallest value v
+    whose cumulative count >= ceil(p/100 * n_total) — classic type-1.
+    Output: (pct, n_tokens).
+    """
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_tokens = text.str.strip().str.split(_TOKEN_SPLIT).map(
+            lambda t: len(t) if t != [""] else 0
+        )
+        vc = n_tokens.value_counts()
+        return pd.DataFrame(
+            {"n_tokens": vc.index.astype("int64"), "cnt": vc.values.astype("int64")}
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    hist = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("n_tokens")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # value-space-sized, not corpus-sized
+        .sort_values("n_tokens")
+        .reset_index(drop=True)
+    )
+    total = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    values = hist["n_tokens"].to_numpy()
+    pcts = [10, 25, 50, 75, 90, 99]
+    out_v = []
+    for p in pcts:
+        rank = -(-p * total // 100)  # ceil(p*n/100) in int arithmetic
+        out_v.append(int(values[int(np.searchsorted(cum, rank))]))
+    return pd.DataFrame(
+        {"pct": pd.Series(pcts, dtype="int64"), "n_tokens": pd.Series(out_v, dtype="int64")}
+    )
