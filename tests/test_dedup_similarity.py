@@ -159,3 +159,49 @@ def test_knn_brute_force_neighbors(ray_session, emb_dir):
         assert neigh == {v for v in range(6) if v != q}
         ranks = df[df["query_id"] == q]["rank"].tolist()
         assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_bucket_pair_cap_representative_star():
+    """Giant band buckets emit O(n) representative-star pairs, small ones
+    emit all combinations — the 100TB sentinel-bucket guard."""
+    import pandas as pd
+
+    from yomitoku_ray.functions.dedup import _bucket_pairs, _unpack_pair
+
+    big = pd.DataFrame(
+        {"band_id": [1] * 100, "band_hash": [7] * 100, "doc_id": list(range(100))}
+    )
+    out = _bucket_pairs(big, max_bucket=64)
+    assert len(out) == 99  # star, not C(100,2)=4950
+    a, b = _unpack_pair(out["pair_key"].to_numpy())
+    assert (a == 0).all()  # representative = min doc_id
+    assert sorted(b) == list(range(1, 100))
+
+    small = pd.DataFrame(
+        {"band_id": [1] * 5, "band_hash": [7] * 5, "doc_id": [3, 1, 4, 1, 5]}
+    )
+    out2 = _bucket_pairs(small.drop_duplicates("doc_id"), max_bucket=64)
+    assert len(out2) == 6  # C(4,2)
+
+
+def test_simhash_bucket_compare_cap():
+    import numpy as np
+    import pandas as pd
+
+    from yomitoku_ray.functions.dedup import _simhash_bucket_pairs_fn, _unpack_pair
+
+    n = 50
+    g = pd.DataFrame(
+        {
+            "chunk_id": [0] * n,
+            "chunk_value": [5] * n,
+            "doc_id": np.arange(n, dtype=np.int64),
+            "simhash": np.zeros(n, dtype=np.int64),  # all identical -> ham 0
+        }
+    )
+    capped = _simhash_bucket_pairs_fn(3, max_bucket_compare=10)(g)
+    assert len(capped) == n - 1  # star through the representative
+    a, _ = _unpack_pair(capped["pair_key"].to_numpy())
+    assert (a == 0).all()
+    full = _simhash_bucket_pairs_fn(3, max_bucket_compare=4096)(g)
+    assert len(full) == n * (n - 1) // 2
