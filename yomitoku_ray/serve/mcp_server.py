@@ -47,7 +47,7 @@ _TOOLS = [
                 "filename": {"type": "string"},
                 "output_format": {
                     "type": "string",
-                    "enum": ["json", "markdown", "html", "csv", "text"],
+                    "enum": ["json", "markdown", "html", "csv", "text", "pdf"],
                 },
             },
             "required": ["filename", "output_format"],
@@ -97,6 +97,25 @@ def process_document(filename: str, output_format: str) -> str:
     if not os.path.exists(path):
         raise FileNotFoundError(filename)
     pages = _load_pages(path)
+
+    if output_format == "pdf":
+        # Searchable PDF (S8): per-page invisible text layer, one document,
+        # base64 over the JSON-RPC transport.
+        import base64
+
+        from ..dom import decode_html
+        from ..detect import detect_page
+        from ..analyze import aggregate_document
+        from ..export.searchable_pdf import create_searchable_pdf, document_to_pdf_page
+
+        pdf_pages = []
+        for i, page in enumerate(pages):
+            text = decode_html(page)
+            det = detect_page(text)
+            document = aggregate_document(det.words, det.paragraphs, det.tables, det.figures)
+            pdf_pages.append(document_to_pdf_page(document))
+        return base64.b64encode(create_searchable_pdf(pdf_pages)).decode("ascii")
+
     results = []
     for i, page in enumerate(pages):
         out, err = analyze_html_bytes(page, f"{filename}#page={i + 1}")
