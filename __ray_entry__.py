@@ -599,6 +599,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(fps) % 2305843009213693951 AS BIGINT) AS fp_checksum
             FROM fp
         """,
+        # extract_match_rate: the Ray side live-compares the distributed
+        # pipeline's full output (text/markdown/doc_json) against the
+        # single-process oracle for a 200-page sample; the expected row is
+        # a 100% byte-identity match, pinned here so any divergence
+        # hash-mismatches the north-star metric.
+        "extract_match_rate": """
+            SELECT CAST(200 AS BIGINT) AS n_checked,
+                   CAST(200 AS BIGINT) AS n_match,
+                   CAST(100 AS BIGINT) AS match_rate_pct
+        """,
         # ann_recall: the Ray side measures recall@5 of the partitioned IVF
         # index against exact brute force and reports whether the stated
         # floor holds; the oracle pins the expected (floor, holds) row, so a
