@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         simhash_dup_pairs,
     )
     from yomitoku_ray.functions.relational import (
+        events_asof_orders,
         events_hourly,
         events_sliding,
         orders_priority_monthly,
@@ -433,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": part_type_stats,
         "events_hourly": events_hourly,
         "events_sliding": events_sliding,
+        "events_asof_orders": events_asof_orders,
         "user_sessions": user_sessions,
     }
 
@@ -812,6 +814,13 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY user_id, session_id
+        """,
+        "events_asof_orders": """
+            SELECT e.event_id, e.user_id,
+                   CAST(epoch_us(o.o_orderdate) AS BIGINT) AS order_t_us,
+                   CAST((epoch_us(e.ts) - epoch_us(o.o_orderdate)) // 3600000000 AS BIGINT) AS lag_hours
+            FROM events e ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "events_hourly": f"""
             SELECT event_type,

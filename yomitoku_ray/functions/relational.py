@@ -373,3 +373,77 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         .sort_values(["event_type", "window_start"])
         .reset_index(drop=True)
     )
+
+
+def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
+    """Distributed AS-OF join: each event matched to the most recent order
+    (by the same key) at or before the event time.
+
+    The custom-operator pattern Ray Data lacks natively: tag both sides,
+    union, hash-shuffle once on the join key, then resolve each group with
+    one vectorized ``np.searchsorted`` over the sorted order times — no
+    per-row loops, no broadcast of the large side. Output is tie-safe
+    (the matched ORDER TIME, unique by the max-<= definition, never an
+    arbitrary row id) and integer-exact (lag in whole hours from
+    microsecond arithmetic), so DuckDB's native ASOF JOIN hash-verifies it.
+    """
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def _tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["user_id"].astype("int64"),
+                "side": np.zeros(len(df), dtype="int8"),
+                "event_id": df["event_id"].astype("int64"),
+                "t_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    def _tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_custkey"].astype("int64"),
+                "side": np.ones(len(df), dtype="int8"),
+                "event_id": np.full(len(df), -1, dtype="int64"),
+                "t_us": df["o_orderdate"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    both = events.map_batches(_tag_events, batch_format="pandas").union(
+        orders.map_batches(_tag_orders, batch_format="pandas")
+    )
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        ev = g[side == 0]
+        od_t = np.sort(g["t_us"].to_numpy()[side == 1])
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "order_t_us": pd.Series([], dtype="int64"),
+                "lag_hours": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(ev) == 0 or len(od_t) == 0:
+            return empty
+        ev_t = ev["t_us"].to_numpy()
+        pos = np.searchsorted(od_t, ev_t, side="right") - 1  # latest <= ts
+        keep = pos >= 0
+        matched = od_t[pos[keep]]
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy()[keep],
+                "user_id": ev["key"].to_numpy()[keep],
+                "order_t_us": matched,
+                "lag_hours": (ev_t[keep] - matched) // 3_600_000_000,
+            }
+        )
+
+    return both.groupby("key").map_groups(_resolve, batch_format="pandas")
