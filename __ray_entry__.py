@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from yomitoku_ray.functions.relational import (
         events_asof_orders,
+        events_close_pairs,
         events_hourly,
         events_sliding,
         orders_priority_monthly,
@@ -435,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         "events_sliding": events_sliding,
         "events_asof_orders": events_asof_orders,
+        "events_close_pairs": events_close_pairs,
         "user_sessions": user_sessions,
     }
 
@@ -821,6 +823,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST((epoch_us(e.ts) - epoch_us(o.o_orderdate)) // 3600000000 AS BIGINT) AS lag_hours
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "events_close_pairs": """
+            SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+                   CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT) AS gap_seconds
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+             AND b.ts <= a.ts + INTERVAL 5 MINUTE
         """,
         "events_hourly": f"""
             SELECT event_type,

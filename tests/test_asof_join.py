@@ -44,3 +44,24 @@ def test_asof_semantics(ray_session, tmp_path):
     assert out.loc[2, "lag_hours"] == 0
     assert out.loc[4, "order_t_us"] == base + 2 * US_PER_H  # tie-safe: the time
     assert out.loc[4, "lag_hours"] == 7
+
+
+def test_range_self_join_band(ray_session, tmp_path):
+    from yomitoku_ray.functions.relational import events_close_pairs
+
+    events = [
+        {"event_id": 1, "user_id": 10, "ts": _ts(0)},
+        {"event_id": 2, "user_id": 10, "ts": _ts(0)},            # tie with 1
+        {"event_id": 3, "user_id": 10, "ts": _ts(0.05)},          # 3 min after
+        {"event_id": 4, "user_id": 10, "ts": _ts(1)},             # out of band
+        {"event_id": 5, "user_id": 20, "ts": _ts(0.04)},          # other user
+    ]
+    pq.write_table(pa.Table.from_pylist(events), str(tmp_path / "events.parquet"))
+    out = (
+        events_close_pairs(str(tmp_path), max_gap_minutes=5)
+        .to_pandas()
+        .sort_values(["event_a", "event_b"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["event_a"], out["event_b"], out["gap_seconds"]))
+    assert got == [(1, 2, 0), (1, 3, 180), (2, 3, 180)]

@@ -447,3 +447,54 @@ def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
         )
 
     return both.groupby("key").map_groups(_resolve, batch_format="pandas")
+
+
+def events_close_pairs(sf_dir: str, max_gap_minutes: int = 5) -> ray.data.Dataset:
+    """Range self-join: ordered pairs of same-user events within a time
+    band (0 <= gap <= max_gap; later-by-(time, id) side is event_b).
+
+    The range-join pattern over one hash shuffle: groupby(user) co-locates
+    each key, then a per-group vectorized two-pointer (searchsorted over
+    the sorted times) emits only in-band pairs — never the O(n^2) cross
+    product. Ties and self-pairs excluded by (time, event_id) ordering;
+    integer-second gaps keep the SQL oracle hash-exact.
+    """
+    gap_us = max_gap_minutes * 60 * 1_000_000
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = g["event_id"].astype("int64").to_numpy()
+        order = np.lexsort((eid, t))
+        t, eid = t[order], eid[order]
+        hi = np.searchsorted(t, t + gap_us, side="right")
+        out_a, out_b, out_gap = [], [], []
+        for i in range(len(t)):
+            j0, j1 = i + 1, hi[i]
+            if j1 > j0 - 1:
+                sl = slice(j0, j1)
+                out_a.append(np.full(j1 - j0, eid[i]))
+                out_b.append(eid[sl])
+                out_gap.append((t[sl] - t[i]) // 1_000_000)
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_a": pd.Series([], dtype="int64"),
+                    "event_b": pd.Series([], dtype="int64"),
+                    "gap_seconds": pd.Series([], dtype="int64"),
+                }
+            )
+        a = np.concatenate(out_a)
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(a), int(g["user_id"].iloc[0]), dtype="int64"),
+                "event_a": a.astype("int64"),
+                "event_b": np.concatenate(out_b).astype("int64"),
+                "gap_seconds": np.concatenate(out_gap).astype("int64"),
+            }
+        )
+
+    return events.groupby("user_id").map_groups(_pairs, batch_format="pandas")
