@@ -101,8 +101,12 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
 
     groupby on the digest: uniform key distribution, no salting needed.
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = ds.map_batches(_md5_batch, batch_format="pandas")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=32,
+    )
+    ds = ds.map_batches(_md5_batch, batch_format="pandas", batch_size=256)
     return ds.groupby("text_hash").aggregate(
         Min("doc_id", alias_name="keep_doc_id"),
         Count(alias_name="n_copies"),
