@@ -413,7 +413,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_percentiles": doc_length_percentiles,
         # dedup family
         "exact_dedup": exact_dedup,
-        "minhash_lsh_pairs": minhash_lsh_pairs,
+        # max_bucket sized so the LSH pair set is exact at test scale (the
+        # DuckDB oracle computes the full >=threshold pair set; the default
+        # 64-doc skew guard would drop pairs if a duplicate class ever grew
+        # past it — see minhash_lsh_pairs docstring).
+        "minhash_lsh_pairs": lambda sf_dir: minhash_lsh_pairs(sf_dir, max_bucket=4096),
         "simhash_dup_pairs": simhash_dup_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         # similarity search (embeddings)

@@ -205,3 +205,53 @@ def test_simhash_bucket_compare_cap():
     assert (a == 0).all()
     full = _simhash_bucket_pairs_fn(3, max_bucket_compare=4096)(g)
     assert len(full) == n * (n - 1) // 2
+
+
+def test_block_jaccard_giant_block_rep_star():
+    """A source block over max_block emits representative-star pairs (O(n)),
+    not all-pairs — the skew guard for one hot source key."""
+    import pandas as pd
+
+    from yomitoku_ray.functions.dedup import _block_jaccard
+
+    n = 30
+    g = pd.DataFrame(
+        {"doc_id": list(range(n)), "text": ["alpha beta gamma delta epsilon"] * n}
+    )
+    capped = _block_jaccard(g, k=3, thr_pct=50, max_block=10)
+    assert len(capped) == n - 1  # star through min doc_id
+    assert (capped["doc_a"] == 0).all()
+    assert sorted(capped["doc_b"]) == list(range(1, n))
+    full = _block_jaccard(g, k=3, thr_pct=50, max_block=8192)
+    assert len(full) == n * (n - 1) // 2
+
+
+def test_embedding_near_dup_chunked_matches_unchunked(ray_session, emb_dir):
+    """Row-chunked matmul must reproduce the single-matmul pair set exactly,
+    and the giant-label guard must degrade to a representative star."""
+    tiny_chunks = embedding_near_dup(emb_dir, threshold=0.99, chunk_rows=2).to_pandas()
+    one_shot = embedding_near_dup(emb_dir, threshold=0.99, chunk_rows=4096).to_pandas()
+    key = ["label", "vec_a", "vec_b"]
+    assert (
+        tiny_chunks.sort_values(key).reset_index(drop=True).to_dict("records")
+        == one_shot.sort_values(key).reset_index(drop=True).to_dict("records")
+    )
+    starred = embedding_near_dup(emb_dir, threshold=0.99, max_block=3).to_pandas()
+    # 6 vectors per label, all mutually similar -> star = 5 pairs per label
+    assert len(starred) == 4 * 5
+    reps = starred.groupby("label")["vec_a"].unique()
+    assert all(len(r) == 1 for r in reps)
+
+
+def test_pack_pair_rejects_wide_ids():
+    import numpy as np
+    import pytest as _pytest
+
+    from yomitoku_ray.functions.dedup import _pack_pair
+
+    with _pytest.raises(ValueError):
+        _pack_pair(np.array([1 << 31], dtype=np.int64), np.array([1], dtype=np.int64))
+    with _pytest.raises(ValueError):
+        _pack_pair(np.array([1], dtype=np.int64), np.array([-1], dtype=np.int64))
+    ok = _pack_pair(np.array([5], dtype=np.int64), np.array([9], dtype=np.int64))
+    assert ok[0] == (5 << 32) | 9

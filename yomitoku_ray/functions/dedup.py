@@ -169,8 +169,21 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
 
 
 def _pack_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(doc_a, doc_b) -> single int64 shuffle key (doc ids must fit 31 bits)."""
-    return (a.astype(np.int64) << 32) | b.astype(np.int64)
+    """(doc_a, doc_b) -> single int64 shuffle key (doc ids must fit 31 bits).
+
+    Enforced, not assumed: an id >= 2^31 would silently collide pair keys
+    across unrelated pairs. Id spaces beyond 2^31 need a two-column key
+    (doc_a, doc_b) instead; failing loudly here keeps that a visible
+    migration instead of corrupt output.
+    """
+    a = a.astype(np.int64)
+    b = b.astype(np.int64)
+    hi = 1 << 31
+    if (len(a) and (a.max() >= hi or a.min() < 0)) or (
+        len(b) and (b.max() >= hi or b.min() < 0)
+    ):
+        raise ValueError("_pack_pair: doc ids must fit in 31 bits (0 <= id < 2^31)")
+    return (a << 32) | b
 
 
 def _unpack_pair(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -400,6 +413,17 @@ def minhash_lsh_pairs(
 
     Nothing touches the driver until the final (output-sized) collection.
     Returns (doc_a, doc_b, jaccard_pct), jaccard_pct = floor(100j), sorted.
+
+    ``max_bucket`` caveat (completeness contract): a band bucket larger than
+    ``max_bucket`` emits representative-star pairs only (min-id doc paired
+    with every other member) instead of all C(n,2) pairs — qualifying pairs
+    not adjacent to the representative are DROPPED for that bucket. This is
+    the deliberate skew guard for pathological buckets (a shingle shared by
+    millions of docs); for dedup-by-connected-component it is lossless
+    (the star spans the component), but for the raw pair *set* it is lossy.
+    Callers that need the exact >= threshold pair set (e.g. the DuckDB
+    oracle gate) must pass ``max_bucket`` >= the largest true duplicate
+    class in the corpus.
     """
     thr_pct = int(round(threshold * 100))
     path = f"{sf_dir}/documents.parquet"
@@ -591,7 +615,9 @@ def simhash_dup_pairs(sf_dir: str, n_chunks: int = 4, hamming_max: int = 3) -> p
 # ---------------------------------------------------------------------------
 
 
-def _block_jaccard(group: pd.DataFrame, k: int, thr_pct: int) -> pd.DataFrame:
+def _block_jaccard(
+    group: pd.DataFrame, k: int, thr_pct: int, max_block: int = 8192
+) -> pd.DataFrame:
     order = np.argsort(group["doc_id"].to_numpy())
     ids = group["doc_id"].to_numpy()[order]
     texts = group["text"].to_numpy()[order]
@@ -600,8 +626,15 @@ def _block_jaccard(group: pd.DataFrame, k: int, thr_pct: int) -> pd.DataFrame:
     ends = np.cumsum(counts)
     starts = ends - counts
     shs = [_shingles_from_token_hashes(H[starts[i] : ends[i]], k) for i in range(len(ids))]
+    if len(ids) > max_block:
+        # Skew guard: a giant source block would be O(n^2) in one reducer.
+        # Same rep-star policy as _bucket_pair_keys — min-id doc vs the rest
+        # (lossless for component-dedup, lossy for the raw pair set).
+        pair_iter = ((0, j) for j in range(1, len(ids)))
+    else:
+        pair_iter = itertools.combinations(range(len(ids)), 2)
     out = {"doc_a": [], "doc_b": [], "jaccard_pct": []}
-    for i, j in itertools.combinations(range(len(ids)), 2):
+    for i, j in pair_iter:
         sa, sb = shs[i], shs[j]
         if len(sa) == 0 or len(sb) == 0:
             continue
@@ -614,17 +647,23 @@ def _block_jaccard(group: pd.DataFrame, k: int, thr_pct: int) -> pd.DataFrame:
     return pd.DataFrame(out).astype("int64")
 
 
-def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.2) -> ray.data.Dataset:
+def ngram_jaccard_pairs(
+    sf_dir: str, k: int = 3, threshold: float = 0.2, max_block: int = 8192
+) -> ray.data.Dataset:
     """Exact k-token-shingle Jaccard within ``source`` blocks.
 
     Blocking on an existing key keeps the pairwise work per-group; the
     groupby is the shuffle. Int-only output columns; the integer-exact
     threshold/percentage arithmetic matches the DuckDB oracle.
+
+    A block larger than ``max_block`` falls back to representative-star
+    pairs (see ``_block_jaccard``) instead of all-pairs — the skew guard
+    that keeps one hot ``source`` from pinning a reducer at O(n^2).
     """
     thr_pct = int(round(threshold * 100))
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     return ds.groupby("source").map_groups(
-        lambda g: _block_jaccard(g, k, thr_pct), batch_format="pandas"
+        lambda g: _block_jaccard(g, k, thr_pct, max_block), batch_format="pandas"
     )

@@ -310,12 +310,24 @@ def ann_recall(sf_dir: str, floor_pct: int = 70) -> pd.DataFrame:
     )
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.25) -> ray.data.Dataset:
+def embedding_near_dup(
+    sf_dir: str,
+    threshold: float = 0.25,
+    chunk_rows: int = 1024,
+    max_block: int = 65536,
+) -> ray.data.Dataset:
     """Within-label near-dup pairs at cosine >= threshold.
 
     Blocking on ``label`` = the bucketed/IVF scale path: each block's exact
     cosine is a vectorized matmul inside ``map_groups``; the groupby is the
     only shuffle. Output: (label, vec_a, vec_b) — int-only.
+
+    Scale guards: the matmul is row-chunked (``chunk_rows`` x n at a time)
+    so a block never materializes an n^2 similarity matrix, and a label
+    block larger than ``max_block`` emits representative-star pairs only
+    (min-id vector vs the rest) — the same skew policy as
+    ``dedup.minhash_lsh_pairs``; lossless for connected-component dedup,
+    lossy for the raw pair set (raise ``max_block`` when exactness matters).
     """
 
     def _block(g: pd.DataFrame) -> pd.DataFrame:
@@ -323,15 +335,31 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.25) -> ray.data.Dataset
         ids = g["vec_id"].to_numpy()
         mat = _emb_matrix(g)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sim = mat @ mat.T
-        ai, bi = np.triu_indices(len(ids), k=1)
-        keep = sim[ai, bi] >= threshold
+        n = len(ids)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        if n > max_block:
+            # Giant-label guard: one matvec instead of a matmul.
+            sims = mat[1:] @ mat[0]
+            keep = sims >= threshold
+            out_a.append(np.full(int(keep.sum()), ids[0], dtype=np.int64))
+            out_b.append(ids[1:][keep].astype(np.int64))
+        else:
+            for s in range(0, n, chunk_rows):
+                e = min(s + chunk_rows, n)
+                sim = mat[s:e] @ mat.T  # (chunk, n) — bounded memory
+                ai, bi = np.nonzero(sim >= threshold)
+                keep = bi > ai + s  # strict upper triangle in global indices
+                out_a.append(ids[ai[keep] + s].astype(np.int64))
+                out_b.append(ids[bi[keep]].astype(np.int64))
+        a = np.concatenate(out_a) if out_a else np.zeros(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, dtype=np.int64)
         # Typed even when empty: map_groups concat must keep the schema.
         return pd.DataFrame(
             {
-                "label": np.full(int(keep.sum()), int(g["label"].iloc[0]), dtype=np.int64),
-                "vec_a": ids[ai[keep]].astype(np.int64),
-                "vec_b": ids[bi[keep]].astype(np.int64),
+                "label": np.full(len(a), int(g["label"].iloc[0]), dtype=np.int64),
+                "vec_a": a,
+                "vec_b": b,
             },
             columns=["label", "vec_a", "vec_b"],
         ).astype("int64")

@@ -113,6 +113,11 @@ def decode_png(blob: bytes) -> np.ndarray:
     if color_type == 3:
         if plte is None:
             raise PngError("palette png without PLTE")
+        # PLTE may legally carry fewer than 256 entries; out-of-range pixel
+        # indices must fail as PngError (per-row fallback policy), not a raw
+        # IndexError that kills the whole batch.
+        if px[:, :, 0].max(initial=0) >= len(plte):
+            raise PngError("palette index out of range")
         px = plte[px[:, :, 0]]
     return px
 

@@ -79,6 +79,20 @@ def _resource_dir() -> str:
         raise ValueError("Environment variable 'RESOURCE_DIR' is not set.")
 
 
+def _resolve_resource(filename: str) -> str:
+    """Join ``filename`` onto RESOURCE_DIR with confinement enforced.
+
+    Untrusted JSON-RPC input must not escape the resource root: ``../``
+    sequences and absolute filenames (which make os.path.join discard the
+    root entirely) are rejected after realpath resolution.
+    """
+    root = os.path.realpath(_resource_dir())
+    path = os.path.realpath(os.path.join(root, filename))
+    if os.path.commonpath([root, path]) != root:
+        raise ValueError(f"filename escapes resource dir: {filename!r}")
+    return path
+
+
 def _load_pages(path: str) -> list[bytes]:
     """File -> per-page html payloads (paged container or single page)."""
     with open(path, "rb") as f:
@@ -93,7 +107,7 @@ def _load_pages(path: str) -> list[bytes]:
 def process_document(filename: str, output_format: str) -> str:
     from ..oracle import analyze_html_bytes
 
-    path = os.path.join(_resource_dir(), filename)
+    path = _resolve_resource(filename)
     if not os.path.exists(path):
         raise FileNotFoundError(filename)
     pages = _load_pages(path)
@@ -147,7 +161,7 @@ def extract_fields(filename: str, schema: dict) -> str:
     from ..extractor.schema import ExtractionSchema
     from ..semantic import parse_semantic_html_bytes
 
-    path = os.path.join(_resource_dir(), filename)
+    path = _resolve_resource(filename)
     if not os.path.exists(path):
         raise FileNotFoundError(filename)
     pages = _load_pages(path)
