@@ -90,3 +90,80 @@ def test_convert_table_array_roundtrip():
     assert arr == [["h1", "h2"], ["v", "v"]]
     d = convert_table_array_to_dict(arr)
     assert d == [{"h1": "v", "h2": "v"}]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized kernels: element-wise parity with the scalar predicates
+# ---------------------------------------------------------------------------
+
+
+import numpy as np
+
+
+def _random_boxes(rng, n, big=200):
+    x1 = rng.randint(0, big, n)
+    y1 = rng.randint(0, big, n)
+    w = rng.randint(1, 60, n)
+    h = rng.randint(1, 40, n)
+    return np.stack([x1, y1, x1 + w, y1 + h], axis=1).astype(float)
+
+
+def test_adjacency_matrices_match_scalar_exhaustive():
+    import numpy as _np
+
+    from yomitoku_ray.kernels.geometry import is_bottom_adjacent, is_right_adjacent
+    from yomitoku_ray.kernels.geometry_vec import (
+        bottom_adjacency_matrix,
+        right_adjacency_matrix,
+    )
+
+    rng = _np.random.RandomState(7)
+    A = _random_boxes(rng, 40)
+    # include touching/degenerate-ish cases: clones and shifted copies
+    A[5] = A[4] + [60, 0, 60, 0]
+    A[6] = A[4] + [0, 40, 0, 40]
+    A[7] = A[4]
+    kwargs_grid = [
+        dict(dist_threshold=15, overlap_ratio_th=0.1, ignore_dist_threshold=10),
+        dict(dist_threshold=20, overlap_ratio_th=0.25, ignore_dist_threshold=10),
+    ]
+    for kw in kwargs_grid:
+        for rule in ("soft", "hard", "nest"):
+            M = right_adjacency_matrix(A, A, rule=rule, **kw)
+            for i in range(len(A)):
+                for j in range(len(A)):
+                    assert M[i, j] == is_right_adjacent(A[i], A[j], rule=rule, **kw), (
+                        rule,
+                        kw,
+                        i,
+                        j,
+                    )
+        for rule in ("soft", "hard", "nest", "child"):
+            M = bottom_adjacency_matrix(A, A, rule=rule, **kw)
+            for i in range(len(A)):
+                for j in range(len(A)):
+                    assert M[i, j] == is_bottom_adjacent(A[i], A[j], rule=rule, **kw), (
+                        rule,
+                        kw,
+                        i,
+                        j,
+                    )
+
+
+def test_overlap_ratio_matrix_matches_scalar():
+    import numpy as _np
+
+    from yomitoku_ray.kernels.geometry import calc_overlap_ratio
+    from yomitoku_ray.kernels.geometry_vec import overlap_ratio_matrix
+
+    rng = _np.random.RandomState(11)
+    A = _random_boxes(rng, 30)
+    B = _random_boxes(rng, 25)
+    # float boxes exercise the truncate-intersection / raw-b_area asymmetry
+    B[3] = [10.7, 11.2, 40.9, 30.4]
+    A[2] = [10.0, 11.0, 41.0, 31.0]
+    M = overlap_ratio_matrix(A, B)
+    for i in range(len(A)):
+        for j in range(len(B)):
+            want, _ = calc_overlap_ratio(list(A[i]), list(B[j]))
+            assert M[i, j] == want, (i, j, M[i, j], want)

@@ -22,9 +22,11 @@ from __future__ import annotations
 from collections import deque
 from itertools import count
 
-import networkx as nx
+import numpy as np
 
 from ..kernels.geometry import is_bottom_adjacent, is_right_adjacent
+from ..kernels.geometry_vec import bottom_adjacency_matrix, right_adjacency_matrix
+from ..kernels.graph import LabeledDiGraph
 from ..kernels.union_find import UnionFind
 from .schemas import TableGrid
 
@@ -43,27 +45,44 @@ def get_line_with_head(dag, head, dir_value):
         if u not in dag.nodes:
             continue
         line_nodes.append(u)
-        queue.extend(v for v in dag.successors(u) if dag[u][v].get("dir") == dir_value)
+        queue.extend(dag.succ_by(u, dir_value))
     return line_nodes
 
 
 def _get_grid_dag(nodes):
-    """Soft-adjacency DAG over cell/empty/header nodes (grid_parser.py:17-54)."""
-    dag = nx.DiGraph()
+    """Soft-adjacency DAG over cell/empty/header nodes (grid_parser.py:17-54).
+
+    Adjacency is evaluated as two broadcasted boolean matrices
+    (kernels/geometry_vec, bit-identical to the scalar predicates); the
+    Python loop below runs only over the TRUE entries, in the exact
+    (row-major, bottom-before-right) insertion order of the original
+    nested-loop construction so downstream traversal order is unchanged.
+    """
+    dag = LabeledDiGraph()
     cells = nodes["cell"] + nodes["empty"] + nodes["header"]
     for cell in cells:
         dag.add_node(cell.id, bbox=cell.box, role=cell.role, contents=cell.contents)
+    if not cells:
+        return dag
+    boxes = np.asarray([c.box for c in cells], dtype=np.float64)
     soft = dict(rule="soft", dist_threshold=20, overlap_ratio_th=0.25)
-    for cell1 in cells:
-        for cell2 in cells:
-            if cell1.id == cell2.id:
+    bot = bottom_adjacency_matrix(boxes, boxes, **soft)
+    rgt = right_adjacency_matrix(boxes, boxes, **soft)
+    np.fill_diagonal(bot, False)
+    np.fill_diagonal(rgt, False)
+    ids = [c.id for c in cells]
+    either = bot | rgt
+    for i in range(len(ids)):
+        row_b, row_r = bot[i], rgt[i]
+        for j in np.nonzero(either[i])[0]:
+            if ids[i] == ids[j]:
                 continue
-            if is_bottom_adjacent(cell1.box, cell2.box, **soft):
-                dag.add_edge(cell1.id, cell2.id, dir="D")
-                dag.add_edge(cell2.id, cell1.id, dir="U")
-            if is_right_adjacent(cell1.box, cell2.box, **soft):
-                dag.add_edge(cell1.id, cell2.id, dir="R")
-                dag.add_edge(cell2.id, cell1.id, dir="L")
+            if row_b[j]:
+                dag.add_edge(ids[i], ids[j], dir="D")
+                dag.add_edge(ids[j], ids[i], dir="U")
+            if row_r[j]:
+                dag.add_edge(ids[i], ids[j], dir="R")
+                dag.add_edge(ids[j], ids[i], dir="L")
     return dag
 
 
@@ -169,8 +188,8 @@ _MODES = {
 
 def _neighbors(G, u, kind, label):
     if kind == "pred":
-        return [p for p in G.predecessors(u) if G[p][u].get("dir") == label]
-    return [v for v in G.successors(u) if G[u][v].get("dir") == label]
+        return G.pred_by(u, label)
+    return G.succ_by(u, label)
 
 
 def _normalize_line(dag, head, out_dir):
@@ -243,26 +262,16 @@ def _normalize_line(dag, head, out_dir):
 def _components_with_isolates(dag, dir_value):
     """Connected components of the dir_value-only undirected view, isolates
     included (grid_parser.py:457-467)."""
-    G = nx.Graph()
-    G.add_nodes_from(dag.nodes())
-    G.add_edges_from(
-        (u, v) for u, v, d in dag.edges(data=True) if d.get("dir") == dir_value
-    )
-    return list(nx.connected_components(G))
+    return dag.components_by(dir_value)
 
 
 def _cluster_heads_by_in_degree(dag, dir_value):
     """Line heads: in-degree-0 nodes of each dir_value component (or the
     lexicographic min for cycles). Parity: grid_parser.py:470-490."""
     comps = _components_with_isolates(dag, dir_value)
-    H = nx.DiGraph(
-        (u, v, d) for u, v, d in dag.edges(data=True) if d.get("dir") == dir_value
-    )
-    H.add_nodes_from(dag.nodes())
-
     heads = []
     for comp in comps:
-        roots = [n for n in comp if H.in_degree(n) == 0]
+        roots = [n for n in comp if dag.in_degree_by(n, dir_value) == 0]
         heads.extend(sorted(roots) if roots else [min(comp)])
     return heads, comps
 

@@ -14,14 +14,17 @@ reference's per-role copies.
 
 from __future__ import annotations
 
-import networkx as nx
+import numpy as np
 
 from ..kernels.geometry import (
     calc_overlap_ratio,
-    is_bottom_adjacent,
     is_contained,
-    is_right_adjacent,
 )
+from ..kernels.geometry_vec import (
+    bottom_adjacency_matrix,
+    right_adjacency_matrix,
+)
+from ..kernels.graph import LabeledDiGraph
 from .schemas import KvItem
 
 PSEUDO_GROUP_ID = "__unmatched__"
@@ -84,26 +87,21 @@ def match_groups(nodes, groups) -> dict:
     return match
 
 
-def _wire(dag, a, b):
-    """Directional edge pair(s) between two boxes if adjacent."""
-    if is_right_adjacent(a.box, b.box):
-        dag.add_edge(a.id, b.id, dir="R")
-        dag.add_edge(b.id, a.id, dir="L")
-    if is_bottom_adjacent(a.box, b.box):
-        dag.add_edge(a.id, b.id, dir="D")
-        dag.add_edge(b.id, a.id, dir="U")
-
-
-def _wire_pairs(dag, sources, targets, group_of_src, group_of_tgt, pseudo_ok):
+def _wire_pairs(dag, sources, targets, group_of_src, group_of_tgt, pseudo_ok, adj):
     """Add adjacency edges for same-group pairs.
 
     ``pseudo_ok``: also allow a pair when either side sits in the
     pseudo-group (the header-header rule, kv_parser.py:143-149).
+    ``adj``: (right_matrix, bottom_matrix, index) precomputed over ALL nodes
+    (kernels/geometry_vec, default-threshold soft rules — bit-identical to
+    the scalar is_right_adjacent/is_bottom_adjacent pair loop it replaced).
     """
+    rgt, bot, idx = adj
     for src in sources:
         sg = group_of_src.get(src.id)
         if sg is None:
             continue
+        si = idx[id(src)]
         for tgt in targets:
             if src.id == tgt.id:
                 continue
@@ -113,23 +111,39 @@ def _wire_pairs(dag, sources, targets, group_of_src, group_of_tgt, pseudo_ok):
             same = sg == tg
             pseudo = pseudo_ok and (sg == PSEUDO_GROUP_ID or tg == PSEUDO_GROUP_ID)
             if same or pseudo:
-                _wire(dag, src, tgt)
+                ti = idx[id(tgt)]
+                if rgt[si, ti]:
+                    dag.add_edge(src.id, tgt.id, dir="R")
+                    dag.add_edge(tgt.id, src.id, dir="L")
+                if bot[si, ti]:
+                    dag.add_edge(src.id, tgt.id, dir="D")
+                    dag.add_edge(tgt.id, src.id, dir="U")
 
 
 def get_kv_items_dag(nodes, groups):
     """Build the within-group adjacency DAG. Parity: kv_parser.py:199-229."""
     match = match_groups(nodes, groups)
-    dag = nx.DiGraph()
-    for node in nodes["header"] + nodes["cell"] + nodes["empty"]:
+    dag = LabeledDiGraph()
+    all_nodes = nodes["header"] + nodes["cell"] + nodes["empty"]
+    for node in all_nodes:
         dag.add_node(
             node.id, id=node.id, bbox=node.box, role=node.role, contents=node.contents
         )
+    if all_nodes:
+        boxes = np.asarray([n.box for n in all_nodes], dtype=np.float64)
+        adj = (
+            right_adjacency_matrix(boxes, boxes),
+            bottom_adjacency_matrix(boxes, boxes),
+            {id(n): i for i, n in enumerate(all_nodes)},
+        )
+    else:
+        adj = (None, None, {})
     h2g = match["header_to_group"]
     c2g = match["cell_to_group"]
-    _wire_pairs(dag, nodes["header"], nodes["cell"], h2g, c2g, pseudo_ok=False)
-    _wire_pairs(dag, nodes["header"], nodes["empty"], h2g, c2g, pseudo_ok=False)
-    _wire_pairs(dag, nodes["header"], nodes["header"], h2g, h2g, pseudo_ok=True)
-    _wire_pairs(dag, nodes["cell"], nodes["cell"], c2g, c2g, pseudo_ok=False)
+    _wire_pairs(dag, nodes["header"], nodes["cell"], h2g, c2g, False, adj)
+    _wire_pairs(dag, nodes["header"], nodes["empty"], h2g, c2g, False, adj)
+    _wire_pairs(dag, nodes["header"], nodes["header"], h2g, h2g, True, adj)
+    _wire_pairs(dag, nodes["cell"], nodes["cell"], c2g, c2g, False, adj)
     return dag
 
 
@@ -151,10 +165,8 @@ def _root_headers(dag, direction, node_set):
         if dag.nodes[h]["role"] != "header":
             continue
         shadowed = any(
-            u in node_set
-            and dag.nodes[u]["role"] == "header"
-            and dag[u][h].get("dir") == direction
-            for u in dag.predecessors(h)
+            u in node_set and dag.nodes[u]["role"] == "header"
+            for u in dag.pred_by(h, direction)
         )
         if not shadowed:
             roots.append(h)
@@ -178,11 +190,10 @@ def _collect(dag, node_id, key_path, sink, cells, used, direction):
             used[k] = cells[k]
         return
     deeper = key_path + [node_id]
-    for nxt in dag.successors(node_id):
+    for nxt in dag.succ_by(node_id, direction):
         if nxt in deeper:
             continue
-        if dag[node_id][nxt].get("dir") == direction:
-            _collect(dag, nxt, deeper, sink, cells, used, direction)
+        _collect(dag, nxt, deeper, sink, cells, used, direction)
 
 
 def parse_kv_items(clustered_nodes, nodes, cells):
@@ -196,7 +207,7 @@ def parse_kv_items(clustered_nodes, nodes, cells):
     kv_items = []
     kv_cells = {}
 
-    for component in nx.weakly_connected_components(dag):
+    for component in dag.weakly_connected_components():
         node_set = set(component)
         candidates = {}
         for direction in ("R", "D"):
@@ -214,8 +225,9 @@ def parse_kv_items(clustered_nodes, nodes, cells):
         dag.remove_edges_from(
             [
                 (u, v)
-                for u, v, d in dag.edges(node_set, data=True)
-                if v in node_set and d.get("dir") in loser_dirs
+                for u in node_set
+                for v in dag.successors(u)
+                if v in node_set and dag.edge_dir(u, v) in loser_dirs
             ]
         )
 

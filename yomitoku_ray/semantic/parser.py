@@ -11,7 +11,7 @@ table_cell_detector.py:185-474).
 
 from __future__ import annotations
 
-import networkx as nx
+import numpy as np
 
 from ..kernels.geometry import (
     calc_overlap_ratio,
@@ -19,6 +19,11 @@ from ..kernels.geometry import (
     is_right_adjacent,
     quad_to_xyxy,
 )
+from ..kernels.geometry_vec import (
+    bottom_adjacency_matrix,
+    right_adjacency_matrix,
+)
+from ..kernels.graph import LabeledDiGraph
 from ..kernels.reading_order import prediction_reading_order
 from ..models import Paragraph
 from .grid_parser import parse_grid_from_bottom_up
@@ -63,93 +68,140 @@ def _get_cluster_nodes(clusters, nodes):
     return clustered_nodes_list
 
 
-def drop_single_out_edge_by_type(G, edge_type, type_key="type"):
+def drop_single_out_edge_by_type(G, edge_type):
     """Parity: table_semantic_parser.py:84-92."""
     to_remove = []
-    for u in G.nodes():
-        outs = [(u, v) for v in G.successors(u) if G[u][v].get(type_key) == edge_type]
+    for u in G.nodes:
+        outs = [(u, v) for v in G.succ_by(u, edge_type)]
         if len(outs) == 1:
             to_remove.append(outs[0])
     G.remove_edges_from(to_remove)
     return to_remove
 
 
-def replace_edge_type(G, from_type, to_type, key="type"):
-    for _, _, d in G.edges(data=True):
-        if d.get(key) == from_type:
-            d[key] = to_type
-
-
 def _weakly_cluster_nodes_with_graph(nodes):
     """Heuristic adjacency DAG + weakly connected components.
 
-    Parity: table_semantic_parser.py:101-187.
+    Parity: table_semantic_parser.py:101-187 — edge insertion order and
+    same-pair label overwrites match the reference's nested loops exactly;
+    the adjacency predicates themselves are evaluated as broadcasted
+    matrices (kernels/geometry_vec) instead of O(n^2) scalar calls.
     """
-    dag = nx.DiGraph()
+    dag = LabeledDiGraph()
     for role in nodes:
         for node in nodes[role]:
             if role not in ["header", "cell", "empty"]:
                 continue
             dag.add_node(node.id, bbox=node.box, role=node.role)
 
-    for header in nodes["header"]:
-        for cell in nodes["cell"] + nodes["empty"]:
-            if is_bottom_adjacent(header.box, cell.box, rule="nest"):
-                dag.add_edge(header.id, cell.id, dir="D")
-            if is_right_adjacent(header.box, cell.box, rule="soft"):
-                dag.add_edge(header.id, cell.id, dir="D")
+    H = nodes["header"]
+    CE = nodes["cell"] + nodes["empty"]
+    E = nodes["empty"]
+    hb = np.asarray([h.box for h in H], dtype=np.float64) if H else None
+    ceb = np.asarray([c.box for c in CE], dtype=np.float64) if CE else None
 
-        for header2 in nodes["header"]:
+    if H:
+        if CE:
+            hc_nest = bottom_adjacency_matrix(hb, ceb, rule="nest")
+            hc_soft = right_adjacency_matrix(hb, ceb, rule="soft")
+        hh_soft = right_adjacency_matrix(hb, hb, rule="soft")
+        hh_child = bottom_adjacency_matrix(hb, hb, rule="child")
+    for i, header in enumerate(H):
+        if CE:
+            for j in np.nonzero(hc_nest[i] | hc_soft[i])[0]:
+                cell = CE[j]
+                if hc_nest[i, j]:
+                    dag.add_edge(header.id, cell.id, dir="D")
+                if hc_soft[i, j]:
+                    dag.add_edge(header.id, cell.id, dir="D")
+        for j in np.nonzero(hh_soft[i] | hh_child[i])[0]:
+            header2 = H[j]
             if header.id == header2.id:
                 continue
-            if is_right_adjacent(header.box, header2.box, rule="soft"):
+            if hh_soft[i, j]:
                 dag.add_edge(header.id, header2.id, dir="D")
-            if is_bottom_adjacent(header.box, header2.box, rule="child"):
+            if hh_child[i, j]:
                 dag.add_edge(header.id, header2.id, dir="nest")
 
-    drop_single_out_edge_by_type(dag, edge_type="nest", type_key="dir")
-    replace_edge_type(dag, from_type="nest", to_type="D", key="dir")
+    drop_single_out_edge_by_type(dag, edge_type="nest")
+    dag.relabel_edges("nest", "D")
 
-    for cell1 in nodes["cell"] + nodes["empty"]:
-        for cell2 in nodes["cell"] + nodes["empty"]:
-            if cell1.id == cell2.id:
-                continue
-            if is_right_adjacent(cell1.box, cell2.box, rule="soft"):
-                dag.add_edge(cell1.id, cell2.id, dir="D")
-            if is_bottom_adjacent(cell1.box, cell2.box, rule="hard"):
-                dag.add_edge(cell1.id, cell2.id, dir="D")
+    if CE:
+        cc_soft = right_adjacency_matrix(ceb, ceb, rule="soft")
+        cc_hard = bottom_adjacency_matrix(ceb, ceb, rule="hard")
+        for i, cell1 in enumerate(CE):
+            for j in np.nonzero(cc_soft[i] | cc_hard[i])[0]:
+                cell2 = CE[j]
+                if cell1.id == cell2.id:
+                    continue
+                if cc_soft[i, j]:
+                    dag.add_edge(cell1.id, cell2.id, dir="D")
+                if cc_hard[i, j]:
+                    dag.add_edge(cell1.id, cell2.id, dir="D")
 
-    for empty in nodes["empty"]:
-        for header in nodes["header"]:
-            if is_bottom_adjacent(empty.box, header.box, rule="hard"):
-                dag.add_edge(empty.id, header.id, dir="D")
-            if is_right_adjacent(empty.box, header.box, rule="hard"):
-                dag.add_edge(empty.id, header.id, dir="D")
+    if E and H:
+        eb = np.asarray([e.box for e in E], dtype=np.float64)
+        eh_bot = bottom_adjacency_matrix(eb, hb, rule="hard")
+        eh_rgt = right_adjacency_matrix(eb, hb, rule="hard")
+        for i, empty in enumerate(E):
+            for j in np.nonzero(eh_bot[i] | eh_rgt[i])[0]:
+                header = H[j]
+                if eh_bot[i, j]:
+                    dag.add_edge(empty.id, header.id, dir="D")
+                if eh_rgt[i, j]:
+                    dag.add_edge(empty.id, header.id, dir="D")
 
-    return list(nx.weakly_connected_components(dag)), dag
+    return list(dag.weakly_connected_components()), dag
+
+
+def _count_edge_components(pairs):
+    """Connected-component count over ONLY the nodes incident to ``pairs``
+    (the nx.Graph(edge_list) semantics: isolates excluded)."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    return len({find(u) for u in parent})
 
 
 def is_grid_cluster(nodes):
-    """Parity: table_semantic_parser.py:190-224."""
-    G = nx.DiGraph()
-    for cell in nodes["cell"] + nodes["empty"]:
-        G.add_node(cell.id, bbox=cell.box, role=cell.role)
-    for cell1 in nodes["cell"] + nodes["empty"]:
-        for cell2 in nodes["cell"] + nodes["empty"]:
-            if cell1.id == cell2.id:
-                continue
-            if is_bottom_adjacent(cell1.box, cell2.box, rule="hard"):
-                G.add_edge(cell1.id, cell2.id, dir="V")
-            if is_right_adjacent(cell1.box, cell2.box, rule="hard"):
-                G.add_edge(cell1.id, cell2.id, dir="H")
+    """Parity: table_semantic_parser.py:190-224.
 
-    VG = nx.Graph((u, v, d) for u, v, d in G.edges(data=True) if d.get("dir") == "V")
-    HG = nx.Graph((u, v, d) for u, v, d in G.edges(data=True) if d.get("dir") == "H")
+    The reference builds a DiGraph where a later right-hard edge OVERWRITES
+    a bottom-hard edge on the same ordered pair (single dir attr); the V
+    subgraph therefore contains bottom-hard pairs that are NOT right-hard.
+    """
+    CE = nodes["cell"] + nodes["empty"]
+    if not CE:
+        return False
+    boxes = np.asarray([c.box for c in CE], dtype=np.float64)
+    bot = bottom_adjacency_matrix(boxes, boxes, rule="hard")
+    rgt = right_adjacency_matrix(boxes, boxes, rule="hard")
+    np.fill_diagonal(bot, False)
+    np.fill_diagonal(rgt, False)
+    ids = [c.id for c in CE]
+    # same-id (not just same-index) pairs are skipped, as in the reference
+    if len(set(ids)) != len(ids):
+        for i in range(len(ids)):
+            for j in range(len(ids)):
+                if i != j and ids[i] == ids[j]:
+                    bot[i, j] = rgt[i, j] = False
 
-    h_components = list(nx.connected_components(HG))
-    v_components = list(nx.connected_components(VG))
-
-    return len(h_components) > 1 and len(v_components) > 1
+    v_pairs = [
+        (ids[i], ids[j]) for i, j in zip(*np.nonzero(bot & ~rgt))
+    ]
+    h_pairs = [(ids[i], ids[j]) for i, j in zip(*np.nonzero(rgt))]
+    return _count_edge_components(h_pairs) > 1 and _count_edge_components(v_pairs) > 1
 
 
 def sort_cells(cells, offset=0):
@@ -215,40 +267,52 @@ def _assign_ids(table_information, cell_offset=0):
     return cell_offset + len(cells)
 
 
-def aggregate_cells(words, cells, overlap_th=0.2):
+def aggregate_cells(words, cells, overlap_th=0.2, word_boxes=None):
     """Best-overlap word->cell assignment + per-cell ordered join.
 
     Parity: table_semantic_parser.py:471-517 (note: cell text strips
     newlines and spaces at the edges, unlike the DocumentAnalyzer join).
     ``cells`` may be SemanticCells or paragraph Elements (anything with
     box/contents and not role 'group').
+
+    The assignment is one broadcasted overlap-ratio matrix
+    (kernels/geometry_vec.overlap_ratio_matrix, bit-identical to the scalar
+    calc_overlap_ratio loop it replaced — the reference's per-word-per-cell
+    nested loop was the top profile entry of the semantic pipeline).
+    argmax picks the first maximal cell, matching the scalar strict-``>``
+    first-winner rule.
     """
+    import numpy as np
     from collections import defaultdict
+
+    from ..kernels.geometry_vec import overlap_ratio_matrix
 
     cell_words = defaultdict(list)
 
-    for word in words:
-        word_box = quad_to_xyxy(word.points)
-        best_cell = None
-        best_ratio = 0
-        for cell in cells:
-            if cell.role == "group":
-                continue
-            ratio, _ = calc_overlap_ratio(cell.box, word_box)
-            if ratio > best_ratio:
-                best_ratio = ratio
-                best_cell = cell
-        if best_cell is None or best_ratio < overlap_th:
-            continue
-        cell_words[id(best_cell)].append(
-            Paragraph(
-                box=list(word_box),
-                contents=word.content,
-                direction=word.direction,
-                order=0,
-                role=None,
-            )
+    value_cells = [c for c in cells if c.role != "group"]
+    if word_boxes is None:
+        word_boxes = [quad_to_xyxy(w.points) for w in words]
+    if value_cells and word_boxes:
+        # (cells, words) ratio matrix; scalar loop order = cells inner.
+        ratios = overlap_ratio_matrix(
+            np.asarray([c.box for c in value_cells], dtype=np.float64),
+            np.asarray(word_boxes, dtype=np.float64),
         )
+        best_idx = np.argmax(ratios, axis=0)  # first max == first strict-> winner
+        best_ratio = ratios[best_idx, np.arange(len(word_boxes))]
+        for w_i, word in enumerate(words):
+            if best_ratio[w_i] < overlap_th or best_ratio[w_i] <= 0:
+                continue
+            best_cell = value_cells[best_idx[w_i]]
+            cell_words[id(best_cell)].append(
+                Paragraph(
+                    box=list(word_boxes[w_i]),
+                    contents=word.content,
+                    direction=word.direction,
+                    order=0,
+                    role=None,
+                )
+            )
 
     for cell in cells:
         contained = cell_words.get(id(cell), [])
@@ -300,9 +364,13 @@ def parse_semantic_tables(
     ``semantic_tables``: list of dicts {box, cells: list[SemanticCell]}
     (cells include group regions); ``paragraphs``: list[SemanticParagraph].
     """
+    # Word boxes are table-independent: compute once per page, not once per
+    # aggregate_cells call (the quad_to_xyxy-per-table repeat was a top
+    # profile entry at 100k-page scale).
+    word_boxes = [quad_to_xyxy(w.points) for w in words]
     for table in semantic_tables:
-        aggregate_cells(words, table["cells"])
-    aggregate_cells(words, paragraphs)
+        aggregate_cells(words, table["cells"], word_boxes=word_boxes)
+    aggregate_cells(words, paragraphs, word_boxes=word_boxes)
 
     semantic_tables = replace_table_to_paragraphs(semantic_tables, paragraphs)
 
