@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Sum
@@ -24,6 +26,15 @@ from ray.data.aggregate import Sum
 
 def _cents(x: pd.Series) -> pd.Series:
     return np.floor(x * 100 + 0.5).astype("int64")
+
+
+# ~1k coarse shuffle groups for per-entity operators (sessionize, as-of,
+# range join): groupby on the raw entity key costs ~90 us of map_groups
+# overhead PER GROUP (measured round 2) — hours of pure overhead at 1e8
+# users. Shuffling on ``key & _COARSE_MASK`` instead pays that overhead
+# ~1k times total, with the exact per-entity grouping done vectorized
+# (pandas groupby / merge_asof / segment searchsorted) inside each bucket.
+_COARSE_MASK = 1023
 
 
 def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pd.DataFrame:
@@ -312,28 +323,42 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
     Streaming-shaped op per the ray guide: partition by key, order by ts
     within the group, split on inactivity gaps > ``gap_minutes``. The
-    groupby(user_id) is the shuffle; per-group work is vectorized pandas.
-    Columns: user_id, session_id, n_events, session_start, session_end.
+    shuffle key is COARSE (``user_id & _COARSE_MASK``, ~1k buckets) — the
+    exact per-user sessionization runs as one vectorized pandas groupby
+    inside each bucket, so Ray's per-group overhead is paid ~1k times, not
+    once per user. Columns: user_id, session_id, n_events, session_start,
+    session_end.
     """
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def _sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        new_session = (g["ts"].diff() > gap).astype("int64")
-        g["session_id"] = new_session.cumsum()
-        out = g.groupby("session_id", as_index=False).agg(
-            user_id=("user_id", "first"),
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        # zero-copy Arrow: append the coarse key without touching data cols
+        key = pc.cast(batch.column("user_id"), pa.int64())
+        return batch.append_column("bucket", pc.bit_wise_and(key, _COARSE_MASK))
+
+    def _sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        # session break: inactivity gap within the SAME user (per-user diff)
+        brk = (g.groupby("user_id")["ts"].diff() > gap).astype("int64")
+        g["session_id"] = brk.groupby(g["user_id"].to_numpy()).cumsum()
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
             n_events=("ts", "size"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
         )
         out["n_events"] = out["n_events"].astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        out["session_id"] = out["session_id"].astype("int64")
         return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
-    out = ds.groupby("user_id").map_groups(_sessionize, batch_format="pandas")
+    out = (
+        ds.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_sessionize_bucket, batch_format="pandas")
+    )
     return (
         out.to_pandas()
         .sort_values(["user_id", "session_id"])
@@ -380,9 +405,11 @@ def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
     (by the same key) at or before the event time.
 
     The custom-operator pattern Ray Data lacks natively: tag both sides,
-    union, hash-shuffle once on the join key, then resolve each group with
-    one vectorized ``np.searchsorted`` over the sorted order times — no
-    per-row loops, no broadcast of the large side. Output is tie-safe
+    union, hash-shuffle once on a COARSE key (``key & _COARSE_MASK``,
+    ~1k buckets — per-entity map_groups overhead would be hours at 1e8
+    users), then resolve every key of a bucket at once with one
+    ``pd.merge_asof(by='key')`` — no per-row loops, no broadcast of the
+    large side. Output is tie-safe
     (the matched ORDER TIME, unique by the max-<= definition, never an
     arbitrary row id) and integer-exact (lag in whole hours from
     microsecond arithmetic), so DuckDB's native ASOF JOIN hash-verifies it.
@@ -396,9 +423,11 @@ def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
     )
 
     def _tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["user_id"].astype("int64")
         return pd.DataFrame(
             {
-                "key": df["user_id"].astype("int64"),
+                "key": key,
+                "bucket": key.to_numpy() & _COARSE_MASK,
                 "side": np.zeros(len(df), dtype="int8"),
                 "event_id": df["event_id"].astype("int64"),
                 "t_us": df["ts"].astype("datetime64[us]").astype("int64"),
@@ -406,9 +435,11 @@ def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
         )
 
     def _tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_custkey"].astype("int64")
         return pd.DataFrame(
             {
-                "key": df["o_custkey"].astype("int64"),
+                "key": key,
+                "bucket": key.to_numpy() & _COARSE_MASK,
                 "side": np.ones(len(df), dtype="int8"),
                 "event_id": np.full(len(df), -1, dtype="int64"),
                 "t_us": df["o_orderdate"].astype("datetime64[us]").astype("int64"),
@@ -419,10 +450,12 @@ def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
         orders.map_batches(_tag_orders, batch_format="pandas")
     )
 
-    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+    def _resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """All keys of one coarse bucket at once: pd.merge_asof with
+        ``by='key'`` is the vectorized per-key backward as-of."""
         side = g["side"].to_numpy()
-        ev = g[side == 0]
-        od_t = np.sort(g["t_us"].to_numpy()[side == 1])
+        ev = g.loc[side == 0, ["key", "event_id", "t_us"]]
+        od = g.loc[side == 1, ["key", "t_us"]]
         empty = pd.DataFrame(
             {
                 "event_id": pd.Series([], dtype="int64"),
@@ -431,70 +464,118 @@ def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
                 "lag_hours": pd.Series([], dtype="int64"),
             }
         )
-        if len(ev) == 0 or len(od_t) == 0:
+        if len(ev) == 0 or len(od) == 0:
             return empty
-        ev_t = ev["t_us"].to_numpy()
-        pos = np.searchsorted(od_t, ev_t, side="right") - 1  # latest <= ts
-        keep = pos >= 0
-        matched = od_t[pos[keep]]
+        ev = ev.sort_values("t_us", kind="mergesort").reset_index(drop=True)
+        od = (
+            od.rename(columns={"t_us": "order_t_us"})
+            .sort_values("order_t_us", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        m = pd.merge_asof(
+            ev,
+            od,
+            left_on="t_us",
+            right_on="order_t_us",
+            by="key",
+            direction="backward",
+        )
+        m = m[m["order_t_us"].notna()]
+        if len(m) == 0:
+            return empty
+        # unmatched rows introduce NaN -> float64; epoch-us values are far
+        # below 2^53 so the round-trip back to int64 is exact
+        matched = m["order_t_us"].to_numpy().astype("int64")
+        ev_t = m["t_us"].to_numpy()
         return pd.DataFrame(
             {
-                "event_id": ev["event_id"].to_numpy()[keep],
-                "user_id": ev["key"].to_numpy()[keep],
+                "event_id": m["event_id"].to_numpy(),
+                "user_id": m["key"].to_numpy(),
                 "order_t_us": matched,
-                "lag_hours": (ev_t[keep] - matched) // 3_600_000_000,
+                "lag_hours": (ev_t - matched) // 3_600_000_000,
             }
         )
 
-    return both.groupby("key").map_groups(_resolve, batch_format="pandas")
+    return both.groupby("bucket").map_groups(_resolve_bucket, batch_format="pandas")
 
 
 def events_close_pairs(sf_dir: str, max_gap_minutes: int = 5) -> ray.data.Dataset:
     """Range self-join: ordered pairs of same-user events within a time
     band (0 <= gap <= max_gap; later-by-(time, id) side is event_b).
 
-    The range-join pattern over one hash shuffle: groupby(user) co-locates
-    each key, then a per-group vectorized two-pointer (searchsorted over
-    the sorted times) emits only in-band pairs — never the O(n^2) cross
-    product. Ties and self-pairs excluded by (time, event_id) ordering;
-    integer-second gaps keep the SQL oracle hash-exact.
+    The range-join pattern over one COARSE hash shuffle
+    (``user_id & _COARSE_MASK``): each bucket co-locates ~1/1k of the
+    users; inside a bucket, rows are lexsorted by (user, time, id), each
+    user's segment gets its in-band window via one ``searchsorted``, and
+    pairs are emitted with vectorized ragged-range arithmetic (np.repeat +
+    flat-index construction) — no per-row Python loop, never the O(n^2)
+    cross product. Ties and self-pairs excluded by (time, event_id)
+    ordering; integer-second gaps keep the SQL oracle hash-exact.
     """
     gap_us = max_gap_minutes * 60 * 1_000_000
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        # zero-copy Arrow: append the coarse key without touching data cols
+        key = pc.cast(batch.column("user_id"), pa.int64())
+        return batch.append_column("bucket", pc.bit_wise_and(key, _COARSE_MASK))
+
+    def _pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "event_a": pd.Series([], dtype="int64"),
+                "event_b": pd.Series([], dtype="int64"),
+                "gap_seconds": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].astype("int64").to_numpy()
         t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         eid = g["event_id"].astype("int64").to_numpy()
-        order = np.lexsort((eid, t))
-        t, eid = t[order], eid[order]
-        hi = np.searchsorted(t, t + gap_us, side="right")
-        out_a, out_b, out_gap = [], [], []
-        for i in range(len(t)):
-            j0, j1 = i + 1, hi[i]
-            if j1 > j0 - 1:
-                sl = slice(j0, j1)
-                out_a.append(np.full(j1 - j0, eid[i]))
-                out_b.append(eid[sl])
-                out_gap.append((t[sl] - t[i]) // 1_000_000)
+        order = np.lexsort((eid, t, uid))
+        uid, t, eid = uid[order], t[order], eid[order]
+        # user segment boundaries within the sorted bucket
+        seg_starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_ends = np.r_[seg_starts[1:], len(uid)]
+
+        out_u, out_a, out_b, out_gap = [], [], [], []
+        for s, e in zip(seg_starts, seg_ends):
+            ts_, eid_ = t[s:e], eid[s:e]
+            n = e - s
+            if n < 2:
+                continue
+            hi = np.searchsorted(ts_, ts_ + gap_us, side="right")
+            idx = np.arange(n)
+            counts = hi - (idx + 1)
+            np.clip(counts, 0, None, out=counts)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            # flat indices of each i's partners: range(i+1, hi[i]) for all i
+            cum = np.cumsum(counts)
+            offs = np.repeat(cum - counts, counts)
+            flat = np.arange(total) - offs + np.repeat(idx + 1, counts)
+            out_u.append(np.full(total, uid[s], dtype=np.int64))
+            out_a.append(np.repeat(eid_, counts))
+            out_b.append(eid_[flat])
+            out_gap.append((ts_[flat] - np.repeat(ts_, counts)) // 1_000_000)
         if not out_a:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "event_a": pd.Series([], dtype="int64"),
-                    "event_b": pd.Series([], dtype="int64"),
-                    "gap_seconds": pd.Series([], dtype="int64"),
-                }
-            )
-        a = np.concatenate(out_a)
+            return empty
         return pd.DataFrame(
             {
-                "user_id": np.full(len(a), int(g["user_id"].iloc[0]), dtype="int64"),
-                "event_a": a.astype("int64"),
+                "user_id": np.concatenate(out_u),
+                "event_a": np.concatenate(out_a).astype("int64"),
                 "event_b": np.concatenate(out_b).astype("int64"),
                 "gap_seconds": np.concatenate(out_gap).astype("int64"),
             }
         )
 
-    return events.groupby("user_id").map_groups(_pairs, batch_format="pandas")
+    return (
+        events.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs_bucket, batch_format="pandas")
+    )
