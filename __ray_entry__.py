@@ -28,6 +28,15 @@ def _pages_path(sf_dir: str) -> str:
     return ensure_pages_parquet(sf_dir)
 
 
+def _merge_input_tmp(sf_dir: str) -> str:
+    """sf-labeled temp dir for the extract output that feeds (and oracles)
+    page_merge_by_domain."""
+    import os
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return f"/tmp/yomitoku_ray_merge_input_{label}"
+
+
 def entry() -> Any:
     """Flagship pipeline on the synthesized sf0.001 pages; returns a Dataset."""
     from yomitoku_ray.pipelines.extract import ExtractConfig, extract_pages
@@ -172,8 +181,11 @@ def _page_merge_by_domain(sf_dir: str) -> pd.DataFrame:
 
     # The extraction feeds BOTH merge variants: compute it once into a
     # parquet temp and stream each merge from the files (no mid-pipeline
-    # materialize of the full dataset in object-store memory).
-    tmp = "/tmp/yomitoku_ray_merge_input"
+    # materialize of the full dataset in object-store memory). The path is
+    # sf-labeled and also read by this query's DuckDB oracle (the driver
+    # runs the Ray side first, so the files exist when the SQL executes —
+    # the same technique as page_text_merge's oracle).
+    tmp = _merge_input_tmp(sf_dir)
     shutil.rmtree(tmp, ignore_errors=True)
     extract_pages(_pages_path(sf_dir), ExtractConfig()).select_columns(
         ["url", "extracted_text"]
@@ -428,6 +440,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactly (partition+route plumbing changes nothing but scan scope);
         # hash-checked against the same SQL oracle as knn_brute_force.
         "ann_ivf_exhaustive": lambda sf_dir: ann_ivf(sf_dir, nprobe=1_000_000),
+        # LSH invariant: probing all 2^n_planes buckets must reproduce brute
+        # force exactly (hash/route/partition plumbing changes only scan
+        # scope); hash-checked against the same SQL oracle.
+        "ann_lsh_exhaustive": lambda sf_dir: ann_lsh(sf_dir, probe_all=True),
         "ann_recall": ann_recall,
         "embedding_near_dup": embedding_near_dup,
         # relational aggregate layer
@@ -636,6 +652,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_pages DESC, domain
             LIMIT 20
         """,
+        "page_merge_by_domain": f"""
+            SELECT CASE WHEN d = '' THEN 'unknown' ELSE d END AS domain,
+                   count(*) AS n_pages,
+                   CAST(length(string_agg(coalesce(extracted_text, ''), chr(10) ORDER BY url)) AS BIGINT) AS total_chars,
+                   sha256(string_agg(coalesce(extracted_text, ''), chr(10) ORDER BY url)) AS merged_sha256
+            FROM (SELECT url, extracted_text,
+                         regexp_extract(url, '{_DOMAIN_REGEX_SQL}', 1) AS d
+                  FROM read_parquet('{_merge_input_tmp("/root/testdata/sf0.01")}/*.parquet'))
+            GROUP BY 1
+        """,
         "page_text_merge": f"""
             SELECT CASE WHEN d = '' THEN 'unknown' ELSE d END AS domain,
                    count(*) AS n_pages,
@@ -731,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_brute_force": _KNN_SQL,
         "ann_ivf_exhaustive": _KNN_SQL,
+        "ann_lsh_exhaustive": _KNN_SQL,
         "embedding_near_dup": """
             SELECT CAST(a.label AS BIGINT) AS label,
                    a.vec_id AS vec_a, b.vec_id AS vec_b

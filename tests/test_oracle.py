@@ -167,3 +167,42 @@ def test_determinism():
     a, _ = analyze_html_bytes(p["html"], p["url"])
     b, _ = analyze_html_bytes(p["html"], p["url"])
     assert a == b
+
+
+def test_orientation_fallback_recovers_flip_text():
+    """M5: a flip-text (180-degree) word decodes low-confidence, retries
+    through the rotated decode path and comes back upright; clean words
+    never enter the retry path (parity with text_recognizer.py:205-225)."""
+    from yomitoku_ray.detect import (
+        REC_ORIENTATION_FALLBACK_THRESH,
+        _rec_score,
+        _rotate180_decode,
+        detect_page,
+    )
+
+    # "hello" rendered upside down: reverse, then map each glyph to its
+    # 180-degree form (the inverse of the decode map)
+    flipped = "hello"[::-1].translate(
+        str.maketrans("acefghijkmrtvwyunqbpd96", "ɐɔǝɟƃɥᴉɾʞɯɹʇʌʍʎnubqdp69")
+    )
+    # sanity: the synthetic flip word scores below the gate and decodes back
+    assert _rec_score(flipped, 2) < REC_ORIENTATION_FALLBACK_THRESH
+    assert _rotate180_decode(flipped) == "hello"
+
+    html = f"<html><body><p>{flipped} world</p></body></html>"
+    det = detect_page(html)
+    contents = {w.content for w in det.words}
+    assert "hello" in contents  # recovered
+    assert "world" in contents  # untouched
+    for w in det.words:
+        assert w.rec_score >= REC_ORIENTATION_FALLBACK_THRESH or "�" in w.content
+
+
+def test_orientation_fallback_keeps_unfixable_garbage():
+    from yomitoku_ray.detect import detect_page
+
+    html = "<html><body><p>abc�def normal</p></body></html>"
+    det = detect_page(html)
+    garbled = [w for w in det.words if "�" in w.content]
+    assert garbled  # kept, not dropped
+    assert all(w.rec_score < 0.75 for w in garbled)  # retry did not lie

@@ -86,6 +86,68 @@ def _pseudo_score(token: str, salt: int) -> float:
     return 0.80 + (h % 10000) / 50000.0
 
 
+# -- orientation fallback (M5) ----------------------------------------------
+# Analogue of the reference's low-confidence 180-degree re-recognition
+# (text_recognizer.py:194-225): there, a word cropped upside-down decodes as
+# garbage below rec_orientation_fallback_thresh (0.75), the crop is rotated
+# and re-run, and the better-scoring decode wins. The DOM recognizer's
+# upside-down analogue is flip-text (Unicode upside-down glyphs, the
+# rendered form of 180-degree-rotated Latin): such words score below the
+# threshold, the retry decode un-rotates them (reverse + glyph map), and
+# keep-the-better-rescore applies verbatim. Clean decodes score >= 0.80 and
+# never enter the retry path, exactly like a well-oriented crop.
+
+REC_ORIENTATION_FALLBACK_THRESH = 0.75  # cfg_text_recognizer_parseq.py:47
+
+# Distinctive upside-down glyphs (never produced by NFKC-normalized clean
+# text); their presence marks a low-confidence "rotated" decode.
+_FLIP_MARKS = "ɐɔǝɟƃɥᴉɾʞɯɹʇʌʍʎ�"
+_FLIP_RE = re.compile(f"[{_FLIP_MARKS}]")
+
+# 180-degree decode map: flip glyph -> upright letter, plus the ASCII pairs
+# that rotate onto each other (safe to include: clean words never retry).
+_ROT180 = str.maketrans(
+    "ɐɔǝɟƃɥᴉɾʞɯɹʇʌʍʎnubqdp69",
+    "acefghijkmrtvwyunqbpd96",
+)
+
+
+def _rec_score(content: str, salt: int) -> float:
+    """Recognition confidence: clean decodes in [0.80, 1.00), rotated/
+    mojibake-marked decodes in [0.50, 0.75) — below the fallback gate."""
+    if _FLIP_RE.search(content):
+        h = zlib.crc32((content + chr(48 + salt)).encode("utf-8"))
+        return 0.50 + (h % 10000) / 40000.0
+    return _pseudo_score(content, salt)
+
+
+def _rotate180_decode(content: str) -> str:
+    """Re-decode a word as if its crop were rotated 180 degrees."""
+    return content[::-1].translate(_ROT180)
+
+
+def apply_orientation_fallback(
+    words, thresh: float = REC_ORIENTATION_FALLBACK_THRESH
+) -> int:
+    """Keep-the-better-rescore retry for low-confidence words (in place).
+
+    Parity with _apply_orientation_fallback (text_recognizer.py:205-225):
+    retry only below ``thresh``; accept only if the retry score is strictly
+    better AND itself >= thresh. Returns the number of words fixed.
+    """
+    fixed = 0
+    for w in words:
+        if w.rec_score >= thresh:
+            continue
+        retry_content = _rotate180_decode(w.content)
+        retry_score = _rec_score(retry_content, 2)
+        if retry_score > w.rec_score and retry_score >= thresh:
+            w.content = retry_content
+            w.rec_score = retry_score
+            fixed += 1
+    return fixed
+
+
 def _chunk_token(token: str, max_chars: int) -> List[str]:
     if len(token) <= max_chars:
         return [token]
@@ -219,6 +281,10 @@ class PageLayoutEngine:
         self._sem_seq = 0
         self._last_sections = []
         self._walk_children(start, det, role=None, vertical=self._is_vertical(start))
+
+        # M5: low-confidence 180-degree re-recognition, inside the same
+        # call as the first pass (text_recognizer.py:194-225 analogue).
+        apply_orientation_fallback(det.words)
 
         # Layout-model postprocessing parity (layout_parser.py:168-205):
         category = {
@@ -371,7 +437,7 @@ class PageLayoutEngine:
                         points=quad,
                         content=content,
                         direction="horizontal",
-                        rec_score=_pseudo_score(content, 2),
+                        rec_score=_rec_score(content, 2),
                         det_score=_pseudo_score(content, 3),
                     )
                 )
@@ -386,7 +452,7 @@ class PageLayoutEngine:
                     points=quad,
                     content=content,
                     direction="horizontal",
-                    rec_score=_pseudo_score(content, 2),
+                    rec_score=_rec_score(content, 2),
                     det_score=_pseudo_score(content, 3),
                 )
             )
@@ -426,7 +492,7 @@ class PageLayoutEngine:
                     points=quad,
                     content=content,
                     direction="vertical",
-                    rec_score=_pseudo_score(content, 2),
+                    rec_score=_rec_score(content, 2),
                     det_score=_pseudo_score(content, 3),
                 )
             )
@@ -565,7 +631,7 @@ class PageLayoutEngine:
                     points=quad,
                     content=content,
                     direction="horizontal",
-                    rec_score=_pseudo_score(content, 2),
+                    rec_score=_rec_score(content, 2),
                     det_score=_pseudo_score(content, 3),
                 )
             )

@@ -200,6 +200,7 @@ def ann_lsh(
     n_planes: int = 6,
     seed: int = 11,
     multiprobe_bits: int = 2,
+    probe_all: bool = False,
 ) -> pd.DataFrame:
     """Approximate top-k via random-hyperplane LSH over a bucket-partitioned
     index.
@@ -210,6 +211,12 @@ def ann_lsh(
     and each probed partition is scored once against its probing queries —
     see :func:`_bucketed_topk`. Approximate: recall vs ``knn_brute_force``
     is measured in tests and by the ``ann_recall`` driver query.
+
+    ``probe_all=True`` probes every 2^n_planes bucket: the index plumbing
+    (hash, route, partition-shuffle, partial top-k merge) must then
+    reproduce brute force EXACTLY — the oracle-checkable invariant the
+    ``ann_lsh_exhaustive`` driver query pins (same technique as
+    ``ann_ivf_exhaustive``).
     """
     path = f"{sf_dir}/embeddings.parquet"
     q_ids, q_mat = _load_queries(path, n_queries)
@@ -224,13 +231,16 @@ def ann_lsh(
     q_buckets = _bucket(q_mat)
     bucket_to_queries: dict[int, list] = {}
     for qi, b in enumerate(q_buckets):
-        probe = {int(b)}
-        if multiprobe_bits >= 1:
-            probe.update(int(b) ^ (1 << i) for i in range(n_planes))
-        if multiprobe_bits >= 2:
-            for i in range(n_planes):
-                for j in range(i + 1, n_planes):
-                    probe.add(int(b) ^ (1 << i) ^ (1 << j))
+        if probe_all:
+            probe = set(range(1 << n_planes))
+        else:
+            probe = {int(b)}
+            if multiprobe_bits >= 1:
+                probe.update(int(b) ^ (1 << i) for i in range(n_planes))
+            if multiprobe_bits >= 2:
+                for i in range(n_planes):
+                    for j in range(i + 1, n_planes):
+                        probe.add(int(b) ^ (1 << i) ^ (1 << j))
         for pb in probe:
             bucket_to_queries.setdefault(pb, []).append(qi)
     probes = {b: np.array(v, dtype=np.int64) for b, v in bucket_to_queries.items()}
