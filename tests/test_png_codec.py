@@ -170,7 +170,7 @@ def test_images_query_pins_known_values(ray_session):
 
     df = _image_features_summary("/root/testdata/sf0.001").set_index("img_id")
     assert len(df) >= 200
-    assert set(df["format"]) == {"png", "gif", "unknown"}
+    assert set(df["format"]) == {"png", "gif", "jpeg", "unknown"}
     assert (df[df["kind"] == "junk"]["format"] == "unknown").all()
     # pin one solid image's luma analytically (img 0 is a solid png)
     row0 = gen_image(0)
@@ -179,3 +179,15 @@ def test_images_query_pins_known_values(ray_session):
     luma = to_gray(px).mean()
     assert df.loc[0, "mean_luma_milli"] == round(1000 * luma)
     assert (df.loc[0, ["height", "width"]].to_numpy() == px.shape[:2]).all()
+    # pin a solid JPEG's luma analytically: flat blocks decode exactly, so
+    # the decoded luma matches the encoder input's Rec.601 gray
+    from yomitoku_ray.kernels.jpeg import decode_jpeg
+
+    jpg_id = next(i for i in range(48) if gen_image(i)["kind"] in ("jpeg", "jpeg420") and i % 3 == 0)
+    rowj = gen_image(jpg_id)
+    pxj = decode_jpeg(rowj["image"])
+    if pxj.ndim == 2:
+        pxj = pxj[:, :, None]
+    lumaj = to_gray(pxj).mean()
+    assert df.loc[jpg_id, "mean_luma_milli"] == round(1000 * lumaj)
+    assert (df.loc[jpg_id, ["height", "width"]].to_numpy() == pxj.shape[:2]).all()

@@ -87,9 +87,10 @@ def sniff_image_meta(blob: bytes) -> dict:
 
 
 class DecoderBackend:
-    """Pixel-decode: REAL for PNG (pure zlib+numpy codec); a seam for
-    formats needing codec libraries (JPEG/GIF) — NotImplementedError in
-    strict mode, deterministic fake pixels in fake mode."""
+    """Pixel-decode: REAL for PNG/GIF/baseline-JPEG (pure zlib+numpy
+    codecs in kernels/); a seam only for formats beyond them (webp,
+    progressive jpeg, ...) — NotImplementedError in strict mode,
+    deterministic fake pixels in fake mode."""
 
     def __init__(self, mode: str = "strict"):
         if mode not in ("strict", "fake"):
@@ -97,7 +98,7 @@ class DecoderBackend:
         self.mode = mode
 
     def decode_image(self, blob: bytes) -> np.ndarray:
-        """blob -> (H, W, C) uint8 pixels (PNG and GIF decode for real)."""
+        """blob -> (H, W, C) uint8 pixels (PNG, GIF, baseline JPEG)."""
         try:
             return decode_png(blob)
         except PngError:
@@ -108,10 +109,17 @@ class DecoderBackend:
             return decode_gif(blob)
         except GifError:
             pass
+        from ..kernels.jpeg import JpegError, decode_jpeg
+
+        try:
+            px = decode_jpeg(blob)
+            return px[:, :, None] if px.ndim == 2 else px
+        except JpegError:
+            pass
         if self.mode == "strict":
             raise NotImplementedError(
-                "non-PNG/GIF image decode requires a codec library not "
-                "present in this container; run with "
+                "image decode beyond PNG/GIF/baseline-JPEG requires a codec "
+                "library not present in this container; run with "
                 "DecoderBackend(mode='fake') for the deterministic stand-in"
             )
         # Deterministic fake pixels from a stable digest of the bytes —

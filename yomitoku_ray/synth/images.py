@@ -1,4 +1,4 @@
-"""Deterministic synthetic images table (PNG/GIF/junk binary blobs).
+"""Deterministic synthetic images table (PNG/GIF/JPEG/junk binary blobs).
 
 Every row is a pure function of its index: solid fills, horizontal
 gradients and 2x2 checkerboards encoded with the repo's own PNG/GIF
@@ -14,6 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels.gif import encode_gif
+from ..kernels.jpeg import encode_jpeg
 from ..kernels.png import encode_png
 
 IMAGES_SCHEMA = pa.schema(
@@ -43,12 +44,21 @@ def gen_image(i: int) -> dict:
         a, b = rng.randint(0, 256, 3, dtype=np.uint8), rng.randint(0, 256, 3, dtype=np.uint8)
         mask = ((np.arange(h)[:, None] // 2 + np.arange(w)[None, :] // 2) % 2).astype(bool)
         px = np.where(mask[:, :, None], a[None, None, :], b[None, None, :]).astype(np.uint8)
-    if i % 2 == 0:
+    enc = i % 4
+    if enc == 0:
         return {"img_id": i, "image": encode_png(px), "kind": "png"}
-    return {"img_id": i, "image": encode_gif(px), "kind": "gif"}
+    if enc == 1:
+        return {"img_id": i, "image": encode_gif(px), "kind": "gif"}
+    if enc == 2:
+        return {"img_id": i, "image": encode_jpeg(px, quality=95), "kind": "jpeg"}
+    return {
+        "img_id": i,
+        "image": encode_jpeg(px, quality=95, subsample=True),
+        "kind": "jpeg420",
+    }
 
 
-def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images") -> str:
+def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v2") -> str:
     import pyarrow.parquet as pq
 
     from .pages import rows_for_sf_dir
