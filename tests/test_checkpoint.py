@@ -76,3 +76,110 @@ def test_rerun_is_noop(ray_session, pages_dir, tmp_path):
     run_resumable(pages_dir, out, _cfg(), wave_files=6)
     s = run_resumable(pages_dir, out, _cfg(), wave_files=6)
     assert s["waves_run"] == 0 and s["complete"]
+
+
+def test_live_claim_blocks_other_driver(ray_session, pages_dir, tmp_path):
+    """A second driver must SKIP chunks under a live claim (another driver's
+    in-flight wave) and take the remaining work instead."""
+    import time as _time
+
+    from yomitoku_ray.state.checkpoint import _claims_dir, _wave_name
+
+    out = str(tmp_path / "out3")
+    os.makedirs(_claims_dir(out), exist_ok=True)
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    first_chunk = files[:2]
+    wave = _wave_name(first_chunk)
+    with open(os.path.join(_claims_dir(out), wave + ".claim"), "w") as f:
+        json.dump(
+            {"input_files": first_chunk, "pid": 0, "created_unix": int(_time.time())}, f
+        )
+
+    s = run_resumable(pages_dir, out, _cfg(), wave_files=2, claim_lease_sec=3600)
+    # claimed chunk untouched; the other 4 files processed
+    assert not s["complete"]
+    done = completed_input_files(out)
+    assert done == set(files[2:])
+    t = pads.dataset(os.path.join(out, "data")).to_table(columns=["url"])
+    assert len(t) == 80  # 4 files x 20 rows, no double-write
+
+
+def test_stale_claim_is_reclaimed(ray_session, pages_dir, tmp_path):
+    """A claim older than the lease is a dead driver: its chunk is retaken."""
+    import time as _time
+
+    from yomitoku_ray.state.checkpoint import _claims_dir, _wave_name
+
+    out = str(tmp_path / "out4")
+    os.makedirs(_claims_dir(out), exist_ok=True)
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    wave = _wave_name(files[:2])
+    path = os.path.join(_claims_dir(out), wave + ".claim")
+    with open(path, "w") as f:
+        json.dump({"input_files": files[:2], "pid": 0, "created_unix": 0}, f)
+    os.utime(path, (0, 0))  # ancient claim
+
+    s = run_resumable(pages_dir, out, _cfg(), wave_files=2, claim_lease_sec=60)
+    assert s["complete"]
+    t = pads.dataset(os.path.join(out, "data")).to_table(columns=["url"])
+    urls = t.column("url").to_pylist()
+    assert len(urls) == N and len(set(urls)) == N
+
+
+def test_concurrent_drivers_exactly_once(pages_dir, tmp_path):
+    """Two drivers racing the SAME checkpoint root concurrently: every input
+    file lands in exactly one manifest, every row written exactly once.
+
+    Drivers are separate PROCESSES with their own Ray sessions — the real
+    concurrent-resume shape (two `ray job submit` runs sharing an output
+    root); the claim protocol is filesystem-based so it must hold across
+    processes.
+    """
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "out5")
+    script = """
+import sys, json
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=3, include_dashboard=False, logging_level="ERROR")
+from yomitoku_ray.pipelines.extract import ExtractConfig
+from yomitoku_ray.state.checkpoint import run_resumable
+s = run_resumable({pages!r}, {out!r}, ExtractConfig(detect_concurrency=1, detect_batch_size=16), wave_files=1)
+print("SUMMARY:" + json.dumps(s))
+ray.shutdown()
+""".format(repo="/root/repo", pages=pages_dir, out=out)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for _ in range(2)
+    ]
+    summaries = []
+    for p in procs:
+        out_text, _ = p.communicate(timeout=420)
+        assert p.returncode == 0, out_text
+        line = [ln for ln in out_text.splitlines() if ln.startswith("SUMMARY:")][0]
+        summaries.append(json.loads(line[len("SUMMARY:"):]))
+
+    # The driver that commits the FINAL wave always observes completion;
+    # the other may exit earlier while that wave is still in flight (its
+    # "incomplete" is honest: it must not claim work it didn't verify).
+    assert any(s["complete"] for s in summaries)
+    # no double processing: the two drivers' waves partition the input
+    assert sum(s["waves_run"] for s in summaries) == FILES
+
+    manifests = [json.load(open(p)) for p in glob.glob(os.path.join(out, "manifest", "*.json"))]
+    covered = [f for m in manifests for f in m["input_files"]]
+    assert sorted(covered) == sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    assert len(covered) == len(set(covered))  # each file in exactly one wave
+
+    t = pads.dataset(os.path.join(out, "data")).to_table(columns=["url"])
+    urls = t.column("url").to_pylist()
+    assert len(urls) == N and len(set(urls)) == N  # zero lost, zero duplicated
+    assert not glob.glob(os.path.join(out, "claims", "*.claim"))  # all released

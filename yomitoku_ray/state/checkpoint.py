@@ -16,6 +16,16 @@ files, cli/main.py:140-143); the north rule requires a killed
 - resume = list manifests, subtract their input files from the input
   listing, process the remainder. Input files already covered are never
   re-read (skip happens at the read, not after).
+- **concurrent resume is safe**: waves are named by the content hash of
+  their input-file chunk, and a driver must win an O_EXCL claim file
+  before processing a chunk. A second driver racing the same out_root
+  skips live-claimed chunks (taking the next unclaimed work instead),
+  re-claims only stale claims (lease expiry = a dead driver), writes to a
+  per-process tmp dir, and commits via ``os.replace`` — if another driver
+  already committed the same wave, the non-empty destination makes the
+  replace fail and the loser discards its tmp. Every input file lands in
+  exactly one manifest; no double-writes (tests/test_checkpoint.py races
+  two drivers to prove it).
 
 At cluster scale the wave size trades resume granularity against scheduling
 overhead; within a wave the streaming executor distributes blocks across
@@ -26,10 +36,12 @@ boundary.
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import shutil
 import time
+import uuid
 
 import pyarrow.dataset as pads
 
@@ -76,14 +88,79 @@ def _out_stats(data_dir: str) -> tuple[int, int, dict]:
     return rows, nbytes, {"n_error_rows": n_err, "n_truncated_rows": n_trunc}
 
 
+def _claims_dir(out_root: str) -> str:
+    return os.path.join(out_root, "claims")
+
+
+def _wave_name(chunk: list[str]) -> str:
+    """Content-addressed wave id: same chunk -> same name in every driver."""
+    digest = hashlib.sha1("\n".join(chunk).encode("utf-8")).hexdigest()[:12]
+    return f"wave-{digest}"
+
+
+def _live_claimed_files(out_root: str, lease_sec: float) -> set[str]:
+    """Files covered by a fresh claim whose wave is not yet committed.
+
+    A claim older than ``lease_sec`` is a dead driver: its files return to
+    the todo pool (and the claim file is removed by the re-claimer).
+    """
+    claimed = set()
+    now = time.time()
+    for path in glob.glob(os.path.join(_claims_dir(out_root), "wave-*.claim")):
+        wave = os.path.basename(path)[: -len(".claim")]
+        mpath = os.path.join(_manifest_dir(out_root), wave + ".json")
+        if os.path.exists(mpath):
+            continue  # committed: claim is a leftover, not a lock
+        try:
+            age = now - os.path.getmtime(path)
+            if age >= lease_sec:
+                continue  # stale: files are re-claimable
+            with open(path) as f:
+                claimed.update(json.load(f)["input_files"])
+        except (OSError, json.JSONDecodeError, KeyError):
+            continue
+    return claimed
+
+
+def _try_claim(out_root: str, wave_name: str, chunk: list[str], lease_sec: float) -> bool:
+    """Atomically claim a wave (O_EXCL). Returns False if someone else owns
+    a live claim; breaks and retakes a stale claim exactly once."""
+    path = os.path.join(_claims_dir(out_root), wave_name + ".claim")
+    body = json.dumps(
+        {"input_files": chunk, "pid": os.getpid(), "created_unix": int(time.time())}
+    )
+    for attempt in (0, 1):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(body)
+            return True
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(path) < lease_sec:
+                    return False  # live owner
+                if attempt == 0:
+                    os.unlink(path)  # stale: break the lock, retry once
+            except OSError:
+                return False
+    return False
+
+
 def run_resumable(
     pages_path: str,
     out_root: str,
     cfg: ExtractConfig | None = None,
     wave_files: int = 4,
     max_waves: int | None = None,
+    claim_lease_sec: float = 3600.0,
 ) -> dict:
     """Run (or resume) the extraction pipeline with per-wave commits.
+
+    Safe under concurrent drivers on the same ``out_root`` (see module
+    docstring): work is re-listed every iteration minus committed and
+    live-claimed files, each chunk is claimed atomically before
+    processing, and the data-dir commit is an ``os.replace`` that can only
+    succeed once per wave.
 
     ``max_waves`` bounds how many waves this invocation processes (used by
     tests to simulate a kill between commits). Returns a summary dict.
@@ -91,37 +168,53 @@ def run_resumable(
     cfg = cfg or ExtractConfig()
     os.makedirs(os.path.join(out_root, "data"), exist_ok=True)
     os.makedirs(_manifest_dir(out_root), exist_ok=True)
+    os.makedirs(_claims_dir(out_root), exist_ok=True)
 
     files = _list_input_files(pages_path)
-    done = completed_input_files(out_root)
-    todo = [f for f in files if f not in done]
+    done0 = completed_input_files(out_root)
 
-    # Clean any torn wave dirs (data without manifest) before re-processing.
+    # Clean torn wave dirs (data without manifest) — but never a dir whose
+    # wave has a LIVE claim: that is another driver's in-flight commit
+    # window (between os.replace and its manifest write).
     manifests = {
         os.path.basename(p)[: -len(".json")]
         for p in glob.glob(os.path.join(_manifest_dir(out_root), "wave-*.json"))
     }
+    live = {
+        os.path.basename(p)[: -len(".claim")]
+        for p in glob.glob(os.path.join(_claims_dir(out_root), "wave-*.claim"))
+        if time.time() - os.path.getmtime(p) < claim_lease_sec
+    }
     for d in glob.glob(os.path.join(out_root, "data", "wave-*")):
-        name = os.path.basename(d)
-        if name.endswith(".tmp") or name not in manifests:
-            shutil.rmtree(d, ignore_errors=True)
+        name = os.path.basename(d).split(".tmp")[0]
+        if name in manifests or name in live:
+            continue
+        shutil.rmtree(d, ignore_errors=True)
 
-    existing_waves = len(manifests)
     summary = {
         "input_files_total": len(files),
-        "input_files_skipped": len(files) - len(todo),
+        "input_files_skipped": len(done0),
         "waves_run": 0,
         "rows_written": 0,
     }
 
-    wave_idx = existing_waves
-    for start in range(0, len(todo), wave_files):
+    while True:
         if max_waves is not None and summary["waves_run"] >= max_waves:
             break
-        chunk = todo[start : start + wave_files]
-        wave_name = f"wave-{wave_idx:05d}"
+        # Re-list every iteration: committed and live-claimed files come
+        # from disk, so chunks never overlap another driver's work.
+        done = completed_input_files(out_root)
+        claimed = _live_claimed_files(out_root, claim_lease_sec)
+        todo = [f for f in files if f not in done and f not in claimed]
+        if not todo:
+            break
+        chunk = todo[:wave_files]
+        wave_name = _wave_name(chunk)
+        if not _try_claim(out_root, wave_name, chunk, claim_lease_sec):
+            continue  # lost the race for this chunk; re-list and move on
+
         final_dir = os.path.join(out_root, "data", wave_name)
-        tmp_dir = final_dir + ".tmp"
+        tmp_dir = f"{final_dir}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
         t0 = time.perf_counter()
@@ -133,29 +226,39 @@ def run_resumable(
         except Exception:
             stage_stats = ""
 
-        os.replace(tmp_dir, final_dir)  # atomic partition commit
+        try:
+            os.replace(tmp_dir, final_dir)  # atomic, succeeds at most once
+        except OSError:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            if not os.path.isdir(final_dir):
+                raise  # not a lost commit race: surface the real error
         rows, nbytes, extra = _out_stats(final_dir)
 
-        manifest = {
-            "wave": wave_name,
-            "input_files": chunk,
-            "input_bytes": sum(os.path.getsize(f) for f in chunk),
-            "row_count": rows,
-            "output_bytes": nbytes,
-            "wall_sec": round(wall, 3),
-            "engine_version": __version__,
-            "created_unix": int(time.time()),
-            "stage_stats": stage_stats,
-            **extra,
-        }
         mpath = os.path.join(_manifest_dir(out_root), wave_name + ".json")
-        with open(mpath + ".tmp", "w") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True)
-        os.replace(mpath + ".tmp", mpath)
+        if not os.path.exists(mpath):
+            manifest = {
+                "wave": wave_name,
+                "input_files": chunk,
+                "input_bytes": sum(os.path.getsize(f) for f in chunk),
+                "row_count": rows,
+                "output_bytes": nbytes,
+                "wall_sec": round(wall, 3),
+                "engine_version": __version__,
+                "created_unix": int(time.time()),
+                "stage_stats": stage_stats,
+                **extra,
+            }
+            with open(mpath + f".tmp-{os.getpid()}", "w") as f:
+                json.dump(manifest, f, indent=2, sort_keys=True)
+            os.replace(mpath + f".tmp-{os.getpid()}", mpath)
+
+        try:
+            os.unlink(os.path.join(_claims_dir(out_root), wave_name + ".claim"))
+        except OSError:
+            pass
 
         summary["waves_run"] += 1
         summary["rows_written"] += rows
-        wave_idx += 1
 
     summary["complete"] = len(completed_input_files(out_root)) == len(files)
     return summary
