@@ -97,14 +97,15 @@ def _extract_match_rate(sf_dir: str, n_sample: int = 200) -> pd.DataFrame:
     src = ray.data.read_parquet(path, columns=PAGES_COLUMNS).limit(n_sample)
     result = build_extract_pipeline(src, ExtractConfig()).to_pandas()
 
-    import pyarrow.dataset as pads
-
-    html_by_url = {}
+    # Oracle inputs for the sampled urls: a distributed filter + to_pandas
+    # on the (small) matching set — not a driver-side scan of the table.
     need = set(result["url"])
-    for batch in pads.dataset(path).to_batches(columns=["url", "html"]):
-        for url, html in zip(batch.column("url").to_pylist(), batch.column("html").to_pylist()):
-            if url in need:
-                html_by_url[url] = html
+    sample = (
+        ray.data.read_parquet(path, columns=["url", "html"])
+        .filter(lambda row: row["url"] in need)
+        .to_pandas()
+    )
+    html_by_url = dict(zip(sample["url"], sample["html"]))
 
     n_match = 0
     n_checked = 0

@@ -60,3 +60,46 @@ def test_all_orders_assigned_unique():
     ]
     prediction_reading_order(elems, "top2bottom")
     assert sorted(orders(elems)) == list(range(40))
+
+
+def test_small_graph_twin_matches_numpy_exhaustively():
+    """The pure-python small-n graph build must produce bit-identical
+    edges/distances/order to the vectorized path for every mode."""
+    import numpy as np
+
+    from yomitoku_ray.kernels.graph import Node
+    from yomitoku_ray.kernels import reading_order as ro
+
+    rng = np.random.RandomState(99)
+
+    def build(n_nodes, direction, force_numpy):
+        boxes = []
+        for _ in range(n_nodes):
+            x1 = int(rng.randint(0, 300)); y1 = int(rng.randint(0, 300))
+            boxes.append([x1, y1, x1 + int(rng.randint(5, 80)), y1 + int(rng.randint(5, 60))])
+        nodes = [Node(i, {"box": list(b)}) for i, b in enumerate(boxes)]
+        if force_numpy:
+            saved = ro._SMALL_GRAPH_N
+            ro._SMALL_GRAPH_N = -1
+            try:
+                ro._build_graph(nodes, direction)
+            finally:
+                ro._SMALL_GRAPH_N = saved
+        else:
+            ro._build_graph(nodes, direction)
+        edges = sorted((n.id, c.id) for n in nodes for c in n.children)
+        dists = [n.prop["distance"] for n in nodes]
+        order = ro._priority_dfs(nodes, direction)
+        return boxes, edges, dists, order
+
+    for direction in ("top2bottom", "right2left", "left2right"):
+        for n_nodes in (1, 2, 3, 4, 6, 9, 10):
+            for trial in range(30):
+                state = rng.get_state()
+                b1, e1, d1, o1 = build(n_nodes, direction, force_numpy=False)
+                rng.set_state(state)
+                b2, e2, d2, o2 = build(n_nodes, direction, force_numpy=True)
+                assert b1 == b2
+                assert e1 == e2, (direction, n_nodes, trial, b1)
+                assert d1 == d2, (direction, n_nodes, trial, b1)
+                assert o1 == o2, (direction, n_nodes, trial, b1)

@@ -143,10 +143,95 @@ def _add_edges(nodes, cross_mask, between, forward):
                     nodes[j].add_link(node)
 
 
+def _build_graph_small(nodes, direction):
+    """Pure-python twin of :func:`_build_graph` for small n.
+
+    The numpy path pays ~50us of fixed array-construction overhead per
+    call; word-level reading order runs once per table cell / paragraph
+    (tens of thousands of 2-6-element calls per 1k pages), where that
+    overhead dominates. All predicates below are integer comparisons with
+    the exact semantics of the vectorized path (equivalence fuzz-tested in
+    tests/test_reading_order.py); results are bit-identical.
+    """
+    n = len(nodes)
+    boxes = [node.prop["box"] for node in nodes]
+    x1 = [int(b[0]) for b in boxes]
+    y1 = [int(b[1]) for b in boxes]
+    x2 = [int(b[2]) for b in boxes]
+    y2 = [int(b[3]) for b in boxes]
+
+    if direction == "top2bottom":
+        cross = [
+            [min(x2[i], x2[j]) - max(x1[i], x1[j]) > 0 for j in range(n)]
+            for i in range(n)
+        ]
+        lo, hi = y2, y1  # far/near edges on the flow axis
+        forward = lambda i, j: y1[i] < y1[j]  # noqa: E731
+        distance = [x1[i] + y1[i] for i in range(n)]
+        child_key = 0
+    else:
+        h = [y2[i] - y1[i] for i in range(n)]
+        cross = [
+            [
+                2 * max(min(y2[i], y2[j]) - max(y1[i], y1[j]), 0) >= min(h[i], h[j])
+                for j in range(n)
+            ]
+            for i in range(n)
+        ]
+        lo, hi = x2, x1
+        if direction == "right2left":
+            forward = lambda i, j: x2[i] >= x2[j]  # noqa: E731
+            mx = max(x2)
+            distance = [(mx - x2[i]) + y1[i] for i in range(n)]
+        else:  # left2right
+            forward = lambda i, j: x2[i] <= x2[j]  # noqa: E731
+            distance = [x1[i] * 1 + y1[i] * 5 for i in range(n)]
+        child_key = 1
+
+    def between(i, j):
+        # exists k crossing i whose interval lies strictly inside the
+        # (lo[i], hi[j]) band or the mirrored (lo[j], hi[i]) band — the
+        # scalar form of _between_matrix (k == i / k == j self-eliminate)
+        for k in range(n):
+            if not cross[k][i]:
+                continue
+            above_ik = hi[k] > lo[i] and lo[k] > lo[i]
+            below_jk = hi[k] < hi[j] and lo[k] < hi[j]
+            if above_ik and below_jk:
+                return True
+            below_ik = hi[k] < hi[i] and lo[k] < hi[i]
+            above_jk = hi[k] > lo[j] and lo[k] > lo[j]
+            if below_ik and above_jk:
+                return True
+        return False
+
+    for i in range(n):
+        node = nodes[i]
+        for j in range(n):
+            if i == j:
+                continue
+            if cross[i][j] and not between(i, j):
+                if forward(i, j):
+                    node.add_link(nodes[j])
+                else:
+                    nodes[j].add_link(node)
+
+    for i, node in enumerate(nodes):
+        node.prop["distance"] = distance[i]
+        node.children = sorted(node.children, key=lambda x: x.prop["box"][child_key])
+
+
+# Below this size the pure-python graph build beats the numpy one (fixed
+# array-construction overhead vs O(n^2)..O(n^3) scalar loops).
+_SMALL_GRAPH_N = 10
+
+
 def _build_graph(nodes, direction):
     """Graph construction for all three modes; parity with
     reading_order.py:123-198 (edge predicates, distance keys, child sort).
     """
+    if len(nodes) <= _SMALL_GRAPH_N:
+        return _build_graph_small(nodes, direction)
     boxes = np.asarray([node.prop["box"] for node in nodes], dtype=np.int64)
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
 
