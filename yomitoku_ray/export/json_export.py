@@ -50,6 +50,7 @@ def convert_json(document, ignore_line_break=False) -> str:
 # ---------------------------------------------------------------------------
 
 _P = [" " * (4 * i) for i in range(10)]
+_P2, _P3, _P4, _P5 = _P[2], _P[3], _P[4], _P[5]
 
 
 def _js(s):
@@ -78,6 +79,24 @@ def _points_json(points, lvl):
 
 
 def _word_json(w, lvl):
+    # Words only appear in document.words (lvl 2); the flat single-f-string
+    # form skips ~10 nested builder calls per word — the words list is by
+    # far the largest block of the document JSON.
+    if lvl == 2 and len(w.points) == 4:
+        (x0, y0), (x1, y1), (x2, y2), (x3, y3) = w.points
+        return (
+            f'{{\n{_P3}"content": {_js(w.content)},\n'
+            f'{_P3}"det_score": {w.det_score!r},\n'
+            f'{_P3}"direction": {_js(w.direction)},\n'
+            f'{_P3}"points": [\n'
+            f"{_P4}[\n{_P5}{int(x0)},\n{_P5}{int(y0)}\n{_P4}],\n"
+            f"{_P4}[\n{_P5}{int(x1)},\n{_P5}{int(y1)}\n{_P4}],\n"
+            f"{_P4}[\n{_P5}{int(x2)},\n{_P5}{int(y2)}\n{_P4}],\n"
+            f"{_P4}[\n{_P5}{int(x3)},\n{_P5}{int(y3)}\n{_P4}]\n"
+            f'{_P3}],\n'
+            f'{_P3}"rec_score": {w.rec_score!r}\n'
+            f"{_P2}}}"
+        )
     p = _P[lvl + 1]
     return (
         f"{{\n"
