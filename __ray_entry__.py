@@ -368,6 +368,8 @@ def _audio_features_summary(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.dedup import (
         exact_dedup,
+        corpus_sample,
+        dup_components,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_dup_pairs,
@@ -433,6 +435,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": lambda sf_dir: minhash_lsh_pairs(sf_dir, max_bucket=4096),
         "simhash_dup_pairs": simhash_dup_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        # dedup resolution: distributed connected components over the
+        # near-dup pair graph (min-label propagation; component = keeper)
+        "dup_components": dup_components,
+        # deterministic hash sampling (no count, no shuffle, SQL-replicable)
+        "corpus_sample": corpus_sample,
         # similarity search (embeddings)
         "knn_brute_force": knn_brute_force,
         "ann_lsh": ann_lsh,
@@ -554,6 +561,31 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE 100 * len(list_intersect(a.s, b.s))
                   >= 50 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        """,
+        "dup_components": _SHINGLES_CTE.replace("WITH d AS", "WITH RECURSIVE d AS")
+        + """
+        , pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE 100 * len(list_intersect(a.s, b.s))
+                  >= 50 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+        )
+        SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY node
+        """,
+        "corpus_sample": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 20 = 0
         """,
         "ngram_jaccard_pairs": _SHINGLES_CTE
         + """

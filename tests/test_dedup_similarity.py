@@ -255,3 +255,55 @@ def test_pack_pair_rejects_wide_ids():
         _pack_pair(np.array([1], dtype=np.int64), np.array([-1], dtype=np.int64))
     ok = _pack_pair(np.array([5], dtype=np.int64), np.array([9], dtype=np.int64))
     assert ok[0] == (5 << 32) | 9
+
+
+def test_dup_components_resolution(ray_session, corpus_dir):
+    """Min-label propagation resolves the near-dup pair graph into
+    components: {0,1,2,5} (BASE + near) label to min id 0, and {3,4}
+    (FAR + its extension share 8 of 12 shingles = 66%) label to 3."""
+    from yomitoku_ray.functions.dedup import dup_components
+
+    df = dup_components(corpus_dir, threshold=0.5)
+    got = dict(zip(df["doc_id"], df["component"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 0}
+
+
+def test_dup_components_chain_converges(ray_session, tmp_path):
+    """A chain a~b~c (a and c NOT direct pairs) still collapses into one
+    component — propagation must cross multiple hops, and the distributed
+    change-count must detect convergence (not round-count luck)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from yomitoku_ray.functions.dedup import dup_components
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    mid = base.replace("alpha", "first").replace("kappa", "middle")
+    far = mid.replace("upsilon", "last").replace("sigma", "penultimate")
+    rows = [
+        {"doc_id": 10, "text": base, "source": "s0"},
+        {"doc_id": 11, "text": mid, "source": "s0"},
+        {"doc_id": 12, "text": far, "source": "s0"},
+    ]
+    d = tmp_path / "chain"
+    d.mkdir()
+    _pq.write_table(_pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    df = dup_components(str(d), threshold=0.5)
+    got = dict(zip(df["doc_id"], df["component"]))
+    # all three docs must share the min label regardless of which direct
+    # pairs LSH found, as long as the graph is connected
+    assert len(set(got.values())) == 1
+    assert set(got.values()) == {min(got)}
+
+
+def test_corpus_sample_deterministic(ray_session, corpus_dir):
+    from yomitoku_ray.functions.dedup import corpus_sample, _md5_u64
+
+    a = corpus_sample(corpus_dir, mod=2).to_pandas().sort_values("doc_id")
+    b = corpus_sample(corpus_dir, mod=2).to_pandas().sort_values("doc_id")
+    assert a.to_dict("records") == b.to_dict("records")
+    for rec in a.to_dict("records"):
+        assert _md5_u64(str(rec["doc_id"])) % 2 == 0

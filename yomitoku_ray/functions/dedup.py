@@ -667,3 +667,144 @@ def ngram_jaccard_pairs(
     return ds.groupby("source").map_groups(
         lambda g: _block_jaccard(g, k, thr_pct, max_block), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-component resolution (distributed connected components)
+# ---------------------------------------------------------------------------
+
+
+def dup_components(
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_rounds: int = 10,
+    max_bucket: int = 4096,
+) -> pd.DataFrame:
+    """Connected components over the MinHash near-duplicate pair graph —
+    the resolution step of dedup (component id = min doc id = the doc to
+    KEEP; every other member is a deletion candidate).
+
+    Distributed min-label propagation: labels start as each node's own id;
+    each round ships every node's current label to its neighbors (one
+    coarse hash shuffle joins edges to labels per source node, a second
+    min-combines messages per destination) until a distributed Sum of
+    per-node change flags reports zero. Duplicate classes are near-cliques,
+    so convergence takes 2-3 rounds regardless of corpus size; every round
+    is pair-graph-sized (dedup output), never corpus-sized, and the driver
+    only ever sees scalar aggregates and the final (node, component) table.
+
+    Returns (doc_id, component) for every doc incident to a pair, sorted.
+    """
+    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold, max_bucket=max_bucket)
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": [], "component": []}).astype("int64")
+
+    edges = pd.DataFrame(
+        {
+            "u": np.concatenate([pairs["doc_a"], pairs["doc_b"]]).astype("int64"),
+            "v": np.concatenate([pairs["doc_b"], pairs["doc_a"]]).astype("int64"),
+        }
+    )
+    edge_ds = ray.data.from_pandas(edges)
+
+    nodes = np.unique(edges["u"].to_numpy())
+    label_ds = ray.data.from_pandas(
+        pd.DataFrame({"node": nodes, "label": nodes}).astype("int64")
+    )
+
+    def _bucket_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": df["u"].to_numpy() & _COARSE_MASK,
+                "kind": np.zeros(len(df), dtype="int8"),  # 0 = edge (keyed by u)
+                "node": df["u"].to_numpy(),
+                "other": df["v"].to_numpy(),
+            }
+        )
+
+    def _bucket_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": df["node"].to_numpy() & _COARSE_MASK,
+                "kind": np.ones(len(df), dtype="int8"),  # 1 = label row
+                "node": df["node"].to_numpy(),
+                "other": df["label"].to_numpy(),
+            }
+        )
+
+    def _propagate(g: pd.DataFrame) -> pd.DataFrame:
+        """Per source bucket: join edges to labels on node; emit neighbor
+        messages (is_self=0) plus each node's own label (is_self=1)."""
+        lab = g[g["kind"] == 1][["node", "other"]].rename(columns={"other": "label"})
+        edg = g[g["kind"] == 0][["node", "other"]]
+        dst = [lab["node"].to_numpy()]
+        val = [lab["label"].to_numpy()]
+        own = [np.ones(len(lab), dtype="int8")]
+        if len(edg) and len(lab):
+            m = edg.merge(lab, on="node", how="inner")
+            dst.append(m["other"].to_numpy())
+            val.append(m["label"].to_numpy())
+            own.append(np.zeros(len(m), dtype="int8"))
+        return pd.DataFrame(
+            {
+                "mbucket": np.concatenate(dst) & _COARSE_MASK,
+                "dst": np.concatenate(dst).astype("int64"),
+                "lab": np.concatenate(val).astype("int64"),
+                "is_self": np.concatenate(own),
+            }
+        )
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        """Per destination bucket: new label = min over messages; changed =
+        new label differs from the node's own (is_self) message."""
+        agg = g.groupby("dst", as_index=False).agg(label=("lab", "min"))
+        old = g[g["is_self"] == 1][["dst", "lab"]].rename(columns={"lab": "old"})
+        m = agg.merge(old, on="dst", how="left")
+        return pd.DataFrame(
+            {
+                "node": m["dst"].astype("int64"),
+                "label": m["label"].astype("int64"),
+                "changed": (m["label"] != m["old"]).astype("int64"),
+            }
+        )
+
+    for _ in range(max_rounds):
+        tagged = edge_ds.map_batches(_bucket_edges, batch_format="pandas").union(
+            label_ds.map_batches(_bucket_labels, batch_format="pandas")
+        )
+        msgs = tagged.groupby("bucket").map_groups(_propagate, batch_format="pandas")
+        combined = msgs.groupby("mbucket").map_groups(_combine, batch_format="pandas")
+        n_changed = combined.sum("changed")  # scalar aggregate, not data
+        label_ds = combined.select_columns(["node", "label"])
+        if n_changed == 0:
+            break
+
+    out = label_ds.to_pandas().rename(columns={"node": "doc_id", "label": "component"})
+    return out.astype("int64").sort_values(["doc_id"]).reset_index(drop=True)
+
+
+def corpus_sample(sf_dir: str, mod: int = 20) -> ray.data.Dataset:
+    """Deterministic hash sample: keep docs whose md5(doc_id) lands in
+    residue 0 of ``mod`` — the scale-correct corpus sampler (no global
+    count, no shuffle, reproducible across engines; DuckDB replicates the
+    predicate exactly via md5_number_upper).
+
+    Output: (doc_id, n_chars) for the sampled docs.
+    """
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text")
+        keep = np.array(
+            [_md5_u64(str(int(i))) % mod == 0 for i in ids], dtype=bool
+        )
+        n_chars = np.array([len(t) for t in texts.to_pylist()], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_chars": pa.array(n_chars[keep], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_sample, batch_format="pyarrow")
