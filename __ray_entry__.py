@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         knn_brute_force,
     )
     from yomitoku_ray.functions.text_stats import (
+        distinctive_terms,
         corpus_prep,
         doc_stats,
         lang_id,
@@ -425,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": token_count_bpe,
         "winnow_fingerprints": winnow_fingerprints,
         "top_terms": top_terms,
+        # per-source exclusive vocabulary (group-wise top-k composition)
+        "distinctive_terms": distinctive_terms,
         "doc_length_percentiles": doc_length_percentiles,
         # dedup family
         "exact_dedup": exact_dedup,
@@ -718,6 +721,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url, warc_ts, lang, sha256(text) AS text_sha256
             FROM ranked WHERE rn = 1
+        """,
+        "distinctive_terms": r"""
+            WITH tok AS (
+                SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            cnt AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS df FROM cnt GROUP BY term),
+            ranked AS (
+                SELECT c.source, c.term, c.cnt, d.df,
+                       row_number() OVER (PARTITION BY c.source
+                                          ORDER BY d.df ASC, c.cnt DESC, c.term) AS rank
+                FROM cnt c JOIN dfq d USING (term)
+            )
+            SELECT source, term, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "doc_stats": """
             SELECT doc_id,

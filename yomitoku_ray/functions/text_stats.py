@@ -325,3 +325,91 @@ def doc_length_percentiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"pct": pd.Series(pcts, dtype="int64"), "n_tokens": pd.Series(out_v, dtype="int64")}
     )
+
+
+def distinctive_terms(sf_dir: str, top_k: int = 5) -> pd.DataFrame:
+    """Per-source most-distinctive terms: rank each source's vocabulary by
+    how few OTHER sources use the term (document frequency ascending, then
+    count descending, then term) and keep the top-k.
+
+    The group-wise-top-k composition at corpus scale, in three bounded
+    steps: (1) a per-batch (source, term) value_counts combiner shrinks the
+    explode before any shuffle; (2) groupby(term-hash bucket) co-locates
+    each term's rows, summing counts and attaching the term's source-df
+    vectorized inside the bucket; (3) groupby(source-hash bucket) runs the
+    per-source top-k on the (vocabulary x source)-sized candidate table —
+    the driver only ever sees k rows per source. Integer-exact ordering so
+    DuckDB hashes identically. Columns: source, term, cnt, df, rank.
+    """
+    import ray.data
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        work = pd.DataFrame(
+            {
+                "source": df["source"],
+                "term": df["text"].fillna("").str.strip().str.split(_TOKEN_SPLIT),
+            }
+        ).explode("term")
+        work = work[work["term"].notna() & (work["term"] != "")]
+        out = work.groupby(["source", "term"], as_index=False).size()
+        out = pd.DataFrame(
+            {
+                "source": out["source"].astype(str),
+                "term": out["term"].astype(str),
+                "cnt": out["size"].astype("int64"),
+            }
+        )
+        out["tbucket"] = (
+            pd.util.hash_array(out["term"].to_numpy(dtype=object)) & 1023
+        ).astype("int64")
+        return out
+
+    def _attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        """Per term bucket: final (source, term) counts + each term's df."""
+        agg = g.groupby(["source", "term"], as_index=False).agg(cnt=("cnt", "sum"))
+        df_per_term = agg.groupby("term")["source"].nunique()
+        out = pd.DataFrame(
+            {
+                "source": agg["source"].astype(str),
+                "term": agg["term"].astype(str),
+                "cnt": agg["cnt"].astype("int64"),
+                "df": agg["term"].map(df_per_term).astype("int64"),
+            }
+        )
+        out["sbucket"] = (
+            pd.util.hash_array(out["source"].to_numpy(dtype=object)) & 1023
+        ).astype("int64")
+        return out
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["source", "df", "cnt", "term"], ascending=[True, True, False, True]
+        ).copy()
+        g["rank"] = g.groupby("source").cumcount() + 1
+        out = g[g["rank"] <= top_k]
+        return pd.DataFrame(
+            {
+                "source": out["source"].astype(str),
+                "term": out["term"].astype(str),
+                "cnt": out["cnt"].astype("int64"),
+                "df": out["df"].astype("int64"),
+                "rank": out["rank"].astype("int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    out = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("tbucket")
+        .map_groups(_attach_df, batch_format="pandas")
+        .groupby("sbucket")
+        .map_groups(_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"source": [], "term": [], "cnt": [], "df": [], "rank": []}
+        ).astype({"source": str, "term": str, "cnt": "int64", "df": "int64", "rank": "int64"})
+    return out.sort_values(["source", "rank"]).reset_index(drop=True)
