@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events_close_pairs,
         events_hourly,
         events_sliding,
+        events_sliding,
         orders_priority_monthly,
         part_type_stats,
         pricing_summary,
@@ -465,6 +466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_monthly": orders_priority_monthly,
         "part_type_stats": part_type_stats,
         "events_hourly": events_hourly,
+        # sliding 60-min window, 15-min slide (bounded vectorized explode)
+        "events_sliding": events_sliding,
         "events_sliding": events_sliding,
         "events_asof_orders": events_asof_orders,
         "events_close_pairs": events_close_pairs,
@@ -915,6 +918,15 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
              AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        """,
+        "events_sliding": f"""
+            SELECT event_type,
+                   make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                                  - k.k * 900000000) AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum({_CENTS.format(col="value")}) AS BIGINT) AS sum_value_cents
+            FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+            GROUP BY 1, 2
         """,
         "events_hourly": f"""
             SELECT event_type,
