@@ -206,3 +206,27 @@ def test_orientation_fallback_keeps_unfixable_garbage():
     garbled = [w for w in det.words if "�" in w.content]
     assert garbled  # kept, not dropped
     assert all(w.rec_score < 0.75 for w in garbled)  # retry did not lie
+
+
+def test_token_width_latin1_trick_parity():
+    """_token_width's latin-1 count must equal the per-char sum for every
+    char class (ASCII, latin-1 high bytes, CJK, emoji, surrogates-escapes,
+    mixed)."""
+    from yomitoku_ray.detect import FONT, _char_width, _token_width
+
+    samples = [
+        "",
+        "hello",
+        "café",  # U+00E9 (<= 0xFF, narrow)
+        "ÿþ",  # 0xFF boundary chars
+        "Ā",  # first wide char
+        "日本語テスト",
+        "mix日本mix",
+        "a\U0001F600b",  # astral
+        "\udcff".encode("utf-8", "surrogatepass").decode("utf-8", "surrogatepass"),
+    ]
+    for full_w in {w for w, _ in FONT.values()}:
+        for s in samples:
+            assert _token_width(s, full_w) == sum(
+                _char_width(c, full_w) for c in s
+            ), (s, full_w)

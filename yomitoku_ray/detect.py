@@ -77,7 +77,15 @@ def _char_width(ch: str, full_w: int) -> int:
 
 
 def _token_width(token: str, full_w: int) -> int:
-    return sum(_char_width(c, full_w) for c in token)
+    """Sum of per-char widths: full width above U+00FF, 0.6x below.
+
+    Counted via latin-1 encode (C speed) instead of a per-char Python
+    loop: narrow chars are exactly the code points latin-1 can encode.
+    Arithmetic identical to sum(_char_width(c, full_w) for c in token)
+    (parity asserted in tests/test_oracle.py).
+    """
+    n_narrow = len(token.encode("latin-1", errors="ignore"))
+    return (len(token) - n_narrow) * full_w + n_narrow * max(1, int(full_w * 0.6))
 
 
 def _pseudo_score(token: str, salt: int) -> float:
