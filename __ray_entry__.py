@@ -379,7 +379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events_close_pairs,
         events_hourly,
         events_sliding,
+        customers_without_orders,
         events_sliding,
+        customers_without_orders,
         orders_priority_monthly,
         part_type_stats,
         pricing_summary,
@@ -468,7 +470,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         # sliding 60-min window, 15-min slide (bounded vectorized explode)
         "events_sliding": events_sliding,
+        # large-large anti-join (tag/union/coarse-bucket/vectorized isin)
+        "customers_without_orders": customers_without_orders,
         "events_sliding": events_sliding,
+        # large-large anti-join (tag/union/coarse-bucket/vectorized isin)
+        "customers_without_orders": customers_without_orders,
         "events_asof_orders": events_asof_orders,
         "events_close_pairs": events_close_pairs,
         "user_sessions": user_sessions,
@@ -918,6 +924,16 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
              AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+            )
+            GROUP BY 1
         """,
         "events_sliding": f"""
             SELECT event_type,

@@ -268,6 +268,87 @@ def part_type_stats(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("p_type").reset_index(drop=True)
 
 
+def customers_without_orders(sf_dir: str, since: str = "1998-01-01") -> pd.DataFrame:
+    """Distributed ANTI-join: customers with no order since ``since``,
+    rolled up per market segment.
+
+    The shape for a large-large anti-join (neither side broadcastable at
+    corpus scale): tag both sides, union, one coarse hash shuffle on the
+    key (~1k buckets), then a vectorized isin() anti-filter inside each
+    bucket followed by a per-bucket partial rollup; the final groupby runs
+    over ~1k tiny partials. The date predicate is pushed onto the orders
+    read (row-group pruning). Columns: c_mktsegment, n_customers.
+    """
+    import pyarrow.dataset as pads
+
+    since_ts = pd.Timestamp(since)
+
+    def _tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "bucket": key.to_numpy() & _COARSE_MASK,
+                "key": key,
+                "side": np.zeros(len(df), dtype="int8"),
+                "seg": df["c_mktsegment"].astype(str),
+            }
+        )
+
+    def _tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "bucket": key.to_numpy() & _COARSE_MASK,
+                "key": key,
+                "side": np.ones(len(df), dtype="int8"),
+                "seg": np.full(len(df), "", dtype=object),
+            }
+        )
+
+    def _anti(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        cust = g[side == 0]
+        have = g.loc[side == 1, "key"].unique()
+        missing = cust[~cust["key"].isin(have)]
+        if len(missing) == 0:
+            # typed empty: map_groups concat must keep the schema
+            return pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series([], dtype=str),
+                    "n_customers": pd.Series([], dtype="int64"),
+                }
+            )
+        out = missing.groupby("seg", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "c_mktsegment": out["seg"].astype(str),
+                "n_customers": out["size"].astype("int64"),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= pads.scalar(since_ts),
+    )
+    both = cust.map_batches(_tag_cust, batch_format="pandas").union(
+        orders.map_batches(_tag_orders, batch_format="pandas")
+    )
+    partials = both.groupby("bucket").map_groups(_anti, batch_format="pandas")
+    out = partials.groupby("c_mktsegment").aggregate(
+        Sum("n_customers", alias_name="n_customers")
+    ).to_pandas()
+    if "c_mktsegment" not in out.columns:  # no orderless customers at all
+        out = pd.DataFrame(
+            {"c_mktsegment": pd.Series([], dtype=str),
+             "n_customers": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def events_sliding(sf_dir: str, window_hours: int = 3) -> pd.DataFrame:
     """Sliding window counts per event_type (window = ``window_hours``,
     slide = 1h, window starts at every observed hour).
