@@ -335,6 +335,29 @@ def _image_features_summary(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _video_frames_summary(sf_dir: str) -> pd.DataFrame:
+    """Multimodal video pipeline over the synthesized MJPEG-AVI table:
+    container index walk (no decode) + per-sampled-frame JPEG decode and
+    luma features in an actor pool; junk rows isolate per-row. Rows-only
+    check; exact per-frame values are pinned by pytest against analytic
+    ground truth (flat frames decode exactly)."""
+    import ray.data
+
+    from yomitoku_ray.stages.multimodal import VideoFrameFeatureStage
+    from yomitoku_ray.synth.videos import ensure_videos_parquet
+
+    ds = ray.data.read_parquet(ensure_videos_parquet(sf_dir))
+    ds = ds.map_batches(
+        VideoFrameFeatureStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    out = ds.to_pandas()
+    return out.sort_values(["vid_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _audio_features_summary(sf_dir: str) -> pd.DataFrame:
     """Audio pipeline over the synthesized WAV table: real PCM decode +
     RMS/ZCR/rFFT features in one actor-pool pass; junk rows isolate
@@ -421,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paged_extract": _paged_extract,
         "image_features_summary": _image_features_summary,
         "audio_features_summary": _audio_features_summary,
+        "video_frames_summary": _video_frames_summary,
         # text analysis (documents)
         "doc_stats": doc_stats,
         "quality_score": quality_score,

@@ -322,3 +322,68 @@ def make_fake_png(width: int, height: int, seed: int = 0) -> bytes:
     )
     payload = hashlib.blake2b(str(seed).encode(), digest_size=32).digest()
     return b"\x89PNG\r\n\x1a\n" + chunk + payload
+
+
+class VideoFrameFeatureStage:
+    """Actor stage: MJPEG-AVI column -> uniformly sampled decoded-frame
+    feature rows (vid_id, frame_idx, n_frames, fps, mean_luma_milli).
+
+    Real video plumbing end-to-end: the AVI index walk finds frame chunks
+    WITHOUT decoding, only the <= n_sample sampled frames pay a JPEG
+    decode — per-video cost is O(bytes scanned + k decodes), independent
+    of total frame count. Malformed containers/frames become error rows,
+    never failed blocks.
+    """
+
+    def __init__(self, n_sample: int = 3, blob_column: str = "video"):
+        self.n_sample = n_sample
+        self.blob_column = blob_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.avi import AviError, decode_avi_frame, index_avi
+
+        vids, idxs, totals, fpss, lumas, errs = [], [], [], [], [], []
+
+        def emit(vid, idx, total, fps, luma, err):
+            vids.append(vid)
+            idxs.append(idx)
+            totals.append(total)
+            fpss.append(fps)
+            lumas.append(luma)
+            errs.append(err)
+
+        for vid, blob in zip(
+            batch.column("vid_id").to_pylist(),
+            batch.column(self.blob_column).to_pylist(),
+        ):
+            try:
+                meta = index_avi(blob or b"")
+            except AviError as e:
+                emit(vid, -1, 0, -1, -1, str(e))
+                continue
+            n = meta["n_frames"]
+            k = min(self.n_sample, n)
+            if k == 1:
+                positions = [0]
+            else:
+                positions = sorted({i * (n - 1) // (k - 1) for i in range(k)})
+            for p in positions:
+                try:
+                    px = decode_avi_frame(blob, meta["frames"][p])
+                except AviError as e:
+                    emit(vid, p, n, meta["fps"], -1, str(e))
+                    continue
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                luma_milli = int(round(1000 * float(to_gray(px).mean())))
+                emit(vid, p, n, meta["fps"], luma_milli, None)
+        return pa.table(
+            {
+                "vid_id": pa.array(vids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "n_frames": pa.array(totals, pa.int32()),
+                "fps": pa.array(fpss, pa.int32()),
+                "mean_luma_milli": pa.array(lumas, pa.int64()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )
