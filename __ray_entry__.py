@@ -403,8 +403,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events_hourly,
         events_sliding,
         customers_without_orders,
-        events_sliding,
-        customers_without_orders,
         orders_priority_monthly,
         part_type_stats,
         pricing_summary,
@@ -419,6 +417,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann_recall,
         embedding_near_dup,
         knn_brute_force,
+    )
+    from yomitoku_ray.functions.clean import (
+        dedup_corpus,
+        gopher_repetition,
+        props_scrub,
     )
     from yomitoku_ray.functions.text_stats import (
         distinctive_terms,
@@ -468,6 +471,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup resolution: distributed connected components over the
         # near-dup pair graph (min-label propagation; component = keeper)
         "dup_components": dup_components,
+        # dedup RESOLUTION applied to the corpus: components -> drop
+        # non-representatives -> anti-join rollup of the surviving docs
+        "dedup_corpus": dedup_corpus,
+        # Gopher/MassiveText-style repetition quality signals (exact ints)
+        "gopher_repetition": gopher_repetition,
+        # regex scrub stage (PII-redaction plumbing) exercised over props
+        "props_scrub": props_scrub,
         # deterministic hash sampling (no count, no shuffle, SQL-replicable)
         "corpus_sample": corpus_sample,
         # similarity search (embeddings)
@@ -493,9 +503,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": part_type_stats,
         "events_hourly": events_hourly,
         # sliding 60-min window, 15-min slide (bounded vectorized explode)
-        "events_sliding": events_sliding,
-        # large-large anti-join (tag/union/coarse-bucket/vectorized isin)
-        "customers_without_orders": customers_without_orders,
         "events_sliding": events_sliding,
         # large-large anti-join (tag/union/coarse-bucket/vectorized isin)
         "customers_without_orders": customers_without_orders,
@@ -622,6 +629,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
             WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 20 = 0
+        """,
+        "dedup_corpus": _SHINGLES_CTE.replace("WITH d AS", "WITH RECURSIVE d AS")
+        + """
+        , pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE 100 * len(list_intersect(a.s, b.s))
+                  >= 50 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+        ),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        drops AS (SELECT node FROM comp WHERE node <> component)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN dr.node IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN dr.node IS NULL THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM documents LEFT JOIN drops dr ON documents.doc_id = dr.node
+        GROUP BY 1
+        """,
+        "gopher_repetition": r"""
+            WITH d AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            tok AS (
+                SELECT doc_id, unnest(toks) AS w,
+                       generate_subscripts(toks, 1) AS pos
+                FROM d
+            ),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+            ws AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       CAST(max(c) AS BIGINT) AS top_word_n
+                FROM wc GROUP BY 1
+            ),
+            bg AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM tok QUALIFY g IS NOT NULL
+            ),
+            bs AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_2grams,
+                       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_2grams
+                FROM bg GROUP BY 1
+            )
+            SELECT ws.doc_id, n_words, n_distinct, top_word_n,
+                   CAST(coalesce(n_2grams, 0) AS BIGINT) AS n_2grams,
+                   CAST(coalesce(n_distinct_2grams, 0) AS BIGINT) AS n_distinct_2grams,
+                   CAST(CASE WHEN 100 * top_word_n <= 10 * n_words
+                              AND 100 * (coalesce(n_2grams, 0) - coalesce(n_distinct_2grams, 0))
+                                  <= 50 * coalesce(n_2grams, 0)
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        """,
+        "props_scrub": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_matches,
+                   CAST(sum(length(regexp_replace(props, '[0-9]+', '<NUM>', 'g'))) AS BIGINT) AS redacted_chars
+            FROM events GROUP BY 1
         """,
         "ngram_jaccard_pairs": _SHINGLES_CTE
         + """
@@ -901,19 +977,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS retail_cents
             FROM part
             GROUP BY 1
-        """,
-        "events_sliding": """
-            WITH hourly AS (
-                SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
-                FROM events GROUP BY 1, 2
-            )
-            SELECT w.event_type, w.h AS window_start,
-                   CAST(sum(x.n) AS BIGINT) AS n_events
-            FROM hourly w
-            JOIN hourly x
-              ON x.event_type = w.event_type
-             AND x.h >= w.h AND x.h < w.h + INTERVAL 3 HOUR
-            GROUP BY 1, 2
         """,
         "user_sessions": """
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,

@@ -1,0 +1,123 @@
+"""Corpus-cleaning operators: PII scrub stage, Gopher repetition signals,
+and the dedup-resolved corpus rollup."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from yomitoku_ray.functions.clean import (
+    PII_PATTERNS,
+    PatternScrubStage,
+    dedup_corpus,
+    gopher_repetition,
+    props_scrub,
+)
+
+
+def test_pii_scrub_exact_strings():
+    stage = PatternScrubStage(column="text", patterns=PII_PATTERNS)
+    batch = pd.DataFrame(
+        {
+            "text": [
+                "mail me at alice.smith+tag@example.co.uk today",
+                "call +1 (555) 123-4567 or 555 987 6543 now",
+                "server at 192.168.0.1 and 10.0.0.255, not 1.2.3",
+                "nothing sensitive here",
+            ]
+        }
+    )
+    out = stage(batch)
+    assert out["text"].tolist() == [
+        "mail me at <EMAIL> today",
+        "call <PHONE> or <PHONE> now",
+        "server at <IP> and <IP>, not 1.2.3",
+        "nothing sensitive here",
+    ]
+    assert out["n_email"].tolist() == [1, 0, 0, 0]
+    assert out["n_phone"].tolist() == [0, 2, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 0, 2, 0]
+    assert out["n_email"].dtype == "int64"
+
+
+def test_scrub_sequential_order():
+    # Counts are taken against the text as it stands when the pattern
+    # runs: the email pattern fires first, so its digits never reach
+    # the phone pattern.
+    stage = PatternScrubStage(
+        column="text",
+        patterns={"a": (r"xy", "<A>"), "b": (r"<A>z", "<B>")},
+    )
+    out = stage(pd.DataFrame({"text": ["xyz"]}))
+    assert out["text"].tolist() == ["<B>"]
+    assert out["n_a"].tolist() == [1]
+    assert out["n_b"].tolist() == [1]
+
+
+def test_scrub_out_column_preserves_original():
+    stage = PatternScrubStage(
+        column="text", patterns={"num": (r"[0-9]+", "#")}, out_column="clean"
+    )
+    out = stage(pd.DataFrame({"text": ["a1b22c"]}))
+    assert out["text"].tolist() == ["a1b22c"]
+    assert out["clean"].tolist() == ["a#b#c"]
+    assert out["n_num"].tolist() == [2]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clean")
+    docs = [
+        # repeated single word: top_word_frac = 1.0, all bigrams identical
+        {"doc_id": 0, "text": "spam spam spam spam spam", "source": "a"},
+        # diverse: every word and bigram unique
+        {"doc_id": 1, "text": "one two three four five six seven eight nine ten", "source": "a"},
+        {"doc_id": 2, "text": "  ", "source": "b"},  # whitespace-only: dropped
+        {"doc_id": 3, "text": "solo", "source": "b"},  # one word, no bigrams
+        # near-duplicate pair (shared shingles ≥ 50% Jaccard)
+        {"doc_id": 4, "text": "alpha beta gamma delta epsilon zeta", "source": "b"},
+        {"doc_id": 5, "text": "alpha beta gamma delta epsilon zeta eta", "source": "b"},
+    ]
+    for r in docs:
+        r["lang"] = "en"
+        r["n_chars"] = len(r["text"])
+    pq.write_table(pa.Table.from_pylist(docs), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_gopher_repetition_exact(ray_session, corpus_dir):
+    # top_word_pct=20: a 6-word all-distinct doc (top word 1/6 ≈ 17%)
+    # passes, while spam/solo still fail — exercises the parameter.
+    df = gopher_repetition(corpus_dir, top_word_pct=20).set_index("doc_id")
+    assert list(df.index) == [0, 1, 3, 4, 5]  # empty doc 2 dropped
+    assert df.loc[0].tolist() == [5, 1, 5, 4, 1, 0]  # all-spam: dropped
+    assert df.loc[1].tolist() == [10, 10, 1, 9, 9, 1]  # diverse: kept
+    # single word: no bigrams; top word is 100% of one word -> dropped
+    assert df.loc[3].tolist() == [1, 1, 1, 0, 0, 0]
+    assert df.loc[4, "keep"] == 1 and df.loc[5, "keep"] == 1
+
+
+def test_dedup_corpus_rollup(ray_session, corpus_dir):
+    df = dedup_corpus(corpus_dir).set_index("source")
+    # docs 4/5 are the only near-dup pair: min id 4 kept, 5 dropped
+    assert df.loc["a", "n_docs"] == 2 and df.loc["a", "n_kept"] == 2
+    assert df.loc["b", "n_docs"] == 4 and df.loc["b", "n_kept"] == 3
+    assert (
+        df.loc["b", "kept_chars"]
+        == len("  ") + len("solo") + len("alpha beta gamma delta epsilon zeta")
+    )
+
+
+def test_props_scrub_rollup(ray_session, tmp_path):
+    rows = [
+        {"event_type": "click", "props": '{"k": 7}'},
+        {"event_type": "click", "props": '{"k": 123}'},
+        {"event_type": "view", "props": '{"k": 0}'},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+    df = props_scrub(str(tmp_path)).set_index("event_type")
+    assert df.loc["click", "n_events"] == 2
+    assert df.loc["click", "n_matches"] == 2
+    # both props become '{"k": <NUM>}' (12 chars)
+    assert df.loc["click", "redacted_chars"] == 24
+    assert df.loc["view", "redacted_chars"] == 12

@@ -1,0 +1,304 @@
+"""Corpus-cleaning operators for the training-data pipeline family.
+
+Three operators a 100 TB text-corpus run needs between extraction and
+training:
+
+- :class:`PatternScrubStage` — vectorized regex redaction (the PII-scrub
+  plumbing: emails, phones, IPv4 out of the box), an actor-pool
+  ``map_batches`` stage that compiles its patterns once per actor.
+- :func:`gopher_repetition` — per-document repetition-quality signals in
+  the spirit of the Gopher/MassiveText filters (top-word fraction,
+  duplicate-bigram fraction) as exact integers, plus a keep flag.
+- :func:`dedup_corpus` — the resolution step AFTER near-dup detection:
+  drop every non-representative member of each duplicate component and
+  roll the surviving corpus up per source, via the large-large anti-join
+  shape (tag/union/coarse-bucket) — the drop set is never broadcast.
+
+All outputs are integer-exact (no floats) so the driver's value-hash
+comparison against the DuckDB oracles is bit-stable.
+
+Reference parity: the reference engine has no corpus-cleaning layer (it
+is a per-document extractor); these follow the published C4/Gopher/
+MassiveText recipes re-expressed as Ray Data batch transforms.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Sum
+
+from .dedup import _COARSE_MASK, dup_components
+
+# RE2-compatible patterns (no lookaround, no backreferences) so the exact
+# same strings run under DuckDB's regexp_replace / regexp_extract_all for
+# oracle-side verification.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+    "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+}
+
+
+class PatternScrubStage:
+    """Actor-pool ``map_batches`` stage: sequential vectorized regex
+    redaction over one string column.
+
+    Patterns are compiled once per actor in ``__init__``; ``__call__``
+    applies them in insertion order to each batch with pandas ``str``
+    kernels (no Python loop over rows). For every pattern ``name`` the
+    batch gains an int64 ``n_<name>`` column counting the matches that
+    were redacted (counted against the text as it stood when that
+    pattern ran — the standard sequential-scrubber contract).
+
+    Usage::
+
+        ds.map_batches(PatternScrubStage,
+                       fn_constructor_kwargs={"column": "text"},
+                       batch_format="pandas", concurrency=(2, 8))
+    """
+
+    def __init__(
+        self,
+        column: str = "text",
+        patterns: dict[str, tuple[str, str]] | None = None,
+        out_column: str | None = None,
+    ) -> None:
+        self.column = column
+        self.out_column = out_column or column
+        items = (patterns or PII_PATTERNS).items()
+        self.compiled = [(name, re.compile(rx), repl) for name, (rx, repl) in items]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.column].astype(str)
+        for name, rx, repl in self.compiled:
+            batch[f"n_{name}"] = s.str.count(rx).astype("int64")
+            s = s.str.replace(rx, repl, regex=True)
+        batch[self.out_column] = s
+        return batch
+
+
+def props_scrub(sf_dir: str) -> pd.DataFrame:
+    """Scrub integers out of ``events.props`` and roll up per event type —
+    the driver-facing exercise of :class:`PatternScrubStage` (same stage,
+    PII patterns swapped for one that actually matches this corpus).
+
+    Pins BOTH scrub semantics against the SQL oracle: ``n_matches`` checks
+    the match-count path (``regexp_extract_all``) and ``redacted_chars``
+    checks the replacement path (length of the post-``regexp_replace``
+    string). Columns: event_type, n_events, n_matches, redacted_chars.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    scrubbed = ds.map_batches(
+        PatternScrubStage,
+        fn_constructor_kwargs={
+            "column": "props",
+            "patterns": {"num": (r"[0-9]+", "<NUM>")},
+        },
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        work = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n_events": np.ones(len(df), dtype="int64"),
+                "n_matches": df["n_num"].astype("int64"),
+                "redacted_chars": df["props"].str.len().astype("int64"),
+            }
+        )
+        return work.groupby("event_type", as_index=False).sum()
+
+    out = (
+        scrubbed.map_batches(_partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_matches", alias_name="n_matches"),
+            Sum("redacted_chars", alias_name="redacted_chars"),
+        )
+    )
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+def gopher_repetition(
+    sf_dir: str, top_word_pct: int = 10, dup_bigram_pct: int = 50
+) -> pd.DataFrame:
+    """Per-document repetition signals (Gopher/MassiveText-style quality
+    filter), exact integers only.
+
+    Per doc: n_words, n_distinct (distinct words), top_word_n (count of
+    the most frequent word), n_2grams / n_distinct_2grams (consecutive
+    word bigrams), and ``keep`` = 1 iff the top word is <= top_word_pct%
+    of all words AND duplicate bigrams are <= dup_bigram_pct% of all
+    bigrams. Tokenization matches the module convention elsewhere in this
+    repo: split on runs of whitespace after trim (empty docs dropped).
+
+    Fully vectorized: one explode per batch, pandas groupby counts —
+    embarrassingly parallel per batch, no shuffle (doc stats never cross
+    batch boundaries because a doc lives in one row).
+    """
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_words": pd.Series([], dtype="int64"),
+                "n_distinct": pd.Series([], dtype="int64"),
+                "top_word_n": pd.Series([], dtype="int64"),
+                "n_2grams": pd.Series([], dtype="int64"),
+                "n_distinct_2grams": pd.Series([], dtype="int64"),
+                "keep": pd.Series([], dtype="int64"),
+            }
+        )
+        texts = df["text"].astype(str).str.strip()
+        mask = texts.str.len() > 0
+        if not mask.any():
+            return empty
+        texts = texts[mask]
+        ids = df.loc[mask, "doc_id"].astype("int64").to_numpy()
+        toks = texts.str.split()
+        lens = toks.str.len().to_numpy()
+        words = np.concatenate(toks.to_numpy())
+        di = np.repeat(np.arange(len(ids)), lens)
+
+        wc = (
+            pd.DataFrame({"i": di, "w": words})
+            .groupby(["i", "w"], sort=False)
+            .size()
+        )
+        grp = wc.groupby(level=0)
+        n_words = grp.sum()
+        n_distinct = grp.size()
+        top_n = grp.max()
+
+        # consecutive bigrams: adjacent exploded positions in the same doc
+        same = di[1:] == di[:-1]
+        if same.any():
+            left = pd.Series(words[:-1][same], dtype=str)
+            right = pd.Series(words[1:][same], dtype=str)
+            bg = pd.DataFrame(
+                {"i": di[:-1][same], "g": left.str.cat(right, sep=" ")}
+            ).groupby("i")["g"]
+            n_bg = bg.size()
+            n_bg_d = bg.nunique()
+        else:
+            n_bg = pd.Series([], dtype="int64")
+            n_bg_d = pd.Series([], dtype="int64")
+        idx = pd.RangeIndex(len(ids))
+        n_bg = n_bg.reindex(idx, fill_value=0).to_numpy("int64")
+        n_bg_d = n_bg_d.reindex(idx, fill_value=0).to_numpy("int64")
+
+        n_words = n_words.reindex(idx, fill_value=0).to_numpy("int64")
+        n_distinct = n_distinct.reindex(idx, fill_value=0).to_numpy("int64")
+        top_n = top_n.reindex(idx, fill_value=0).to_numpy("int64")
+        keep = (100 * top_n <= top_word_pct * n_words) & (
+            100 * (n_bg - n_bg_d) <= dup_bigram_pct * n_bg
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_words": n_words,
+                "n_distinct": n_distinct,
+                "top_word_n": top_n,
+                "n_2grams": n_bg,
+                "n_distinct_2grams": n_bg_d,
+                "keep": keep.astype("int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(_stats, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_corpus(
+    sf_dir: str, threshold: float = 0.5, max_bucket: int = 4096
+) -> pd.DataFrame:
+    """The corpus AFTER near-dup resolution: MinHash pairs -> connected
+    components -> drop every non-representative member (component id =
+    min doc id = the keeper) -> per-source rollup of what survives.
+
+    The filter is the large-large ANTI-join shape (tag both sides, union,
+    one coarse hash shuffle, vectorized isin inside each bucket) — the
+    drop set is pair-graph-sized but grows with corpus duplication, so it
+    is shipped as a dataset through the shuffle, never broadcast to every
+    task. Columns: source, n_docs, n_kept, kept_chars (all int64).
+    """
+    comp = dup_components(sf_dir, threshold=threshold, max_bucket=max_bucket)
+    drop = comp.loc[comp["doc_id"] != comp["component"], ["doc_id"]].astype("int64")
+    drop_ds = ray.data.from_pandas(drop)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def _tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["doc_id"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "bucket": key & _COARSE_MASK,
+                "key": key,
+                "side": np.zeros(len(df), dtype="int8"),
+                "source": df["source"].astype(str),
+                "n_chars": df["n_chars"].astype("int64"),
+            }
+        )
+
+    def _tag_drop(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["doc_id"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "bucket": key & _COARSE_MASK,
+                "key": key,
+                "side": np.ones(len(df), dtype="int8"),
+                "source": np.full(len(df), "", dtype=object),
+                "n_chars": np.zeros(len(df), dtype="int64"),
+            }
+        )
+
+    def _anti(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        docs_g = g[side == 0]
+        dropped = g.loc[side == 1, "key"].unique()
+        kept = ~docs_g["key"].isin(dropped).to_numpy()
+        if len(docs_g) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=str),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "n_kept": pd.Series([], dtype="int64"),
+                    "kept_chars": pd.Series([], dtype="int64"),
+                }
+            )
+        work = pd.DataFrame(
+            {
+                "source": docs_g["source"].astype(str),
+                "n_docs": np.ones(len(docs_g), dtype="int64"),
+                "n_kept": kept.astype("int64"),
+                "kept_chars": np.where(kept, docs_g["n_chars"].to_numpy(), 0),
+            }
+        )
+        return work.groupby("source", as_index=False).sum()
+
+    both = docs.map_batches(_tag_docs, batch_format="pandas").union(
+        drop_ds.map_batches(_tag_drop, batch_format="pandas")
+    )
+    out = (
+        both.groupby("bucket")
+        .map_groups(_anti, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("kept_chars", alias_name="kept_chars"),
+        )
+    )
+    return out.to_pandas().sort_values("source").reset_index(drop=True)
