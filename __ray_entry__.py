@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup_corpus,
         gopher_repetition,
         props_scrub,
+        quality_topk,
     )
     from yomitoku_ray.functions.text_stats import (
         distinctive_terms,
@@ -478,6 +479,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": gopher_repetition,
         # regex scrub stage (PII-redaction plumbing) exercised over props
         "props_scrub": props_scrub,
+        # stratified window-rank selection (partial top-k combiner)
+        "quality_topk": quality_topk,
         # deterministic hash sampling (no count, no shuffle, SQL-replicable)
         "corpus_sample": corpus_sample,
         # similarity search (embeddings)
@@ -691,6 +694,22 @@ def oracle_sql() -> dict[str, str]:
                                   <= 50 * coalesce(n_2grams, 0)
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        """,
+        "quality_topk": f"""
+            WITH s AS (
+                SELECT source, doc_id,
+                       len(regexp_extract_all(lower(text), '{_STOP_SQL}')) AS n_stop
+                FROM documents
+            ),
+            r AS (
+                SELECT source, doc_id, CAST(n_stop AS BIGINT) AS n_stop,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY n_stop DESC, doc_id
+                       ) AS rk
+                FROM s
+            )
+            SELECT source, doc_id, n_stop, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 10
         """,
         "props_scrub": """
             SELECT event_type,

@@ -12,6 +12,7 @@ from yomitoku_ray.functions.clean import (
     dedup_corpus,
     gopher_repetition,
     props_scrub,
+    quality_topk,
 )
 
 
@@ -106,6 +107,28 @@ def test_dedup_corpus_rollup(ray_session, corpus_dir):
         df.loc["b", "kept_chars"]
         == len("  ") + len("solo") + len("alpha beta gamma delta epsilon zeta")
     )
+
+
+def test_quality_topk_rank_and_ties(ray_session, tmp_path):
+    # doc 0: 'the' x3 -> n_stop 3; doc 1: 'the and' -> 2; doc 2: 'of to' -> 2
+    # (tie with doc 1, doc_id ascending wins); doc 3: no stopwords -> 0.
+    docs = [
+        {"doc_id": 0, "text": "the the the", "source": "a"},
+        {"doc_id": 1, "text": "the and cat", "source": "a"},
+        {"doc_id": 2, "text": "of to dog", "source": "a"},
+        {"doc_id": 3, "text": "xyzzy", "source": "a"},
+        {"doc_id": 4, "text": "is it", "source": "b"},
+    ]
+    for r in docs:
+        r["lang"], r["n_chars"] = "en", len(r["text"])
+    pq.write_table(pa.Table.from_pylist(docs), str(tmp_path / "documents.parquet"))
+    df = quality_topk(str(tmp_path), k=3)
+    a = df[df["source"] == "a"]
+    assert a["doc_id"].tolist() == [0, 1, 2]  # doc 3 cut by k=3
+    assert a["n_stop"].tolist() == [3, 2, 2]
+    assert a["rk"].tolist() == [1, 2, 3]
+    b = df[df["source"] == "b"]
+    assert b["doc_id"].tolist() == [4] and b["rk"].tolist() == [1]
 
 
 def test_props_scrub_rollup(ray_session, tmp_path):

@@ -220,6 +220,68 @@ def gopher_repetition(
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+
+
+def quality_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Per-source stratified corpus selection: the k docs per source with
+    the most natural-prose signal (stopword hits), rank attached.
+
+    This is the distributed window-rank shape (``row_number() OVER
+    (PARTITION BY source ORDER BY ...)``): a per-batch COMBINER keeps only
+    each source's batch-local top-k — any global top-k doc is necessarily
+    in its own batch's top-k, so the reduction is lossless — and the final
+    per-source rank runs over at most k×n_batches rows per group. The
+    shuffle moves k rows per (source, batch), never the corpus. Ties break
+    by doc_id ascending (replicated in the SQL oracle). Columns: source,
+    doc_id, n_stop, rk.
+    """
+    stop_rx = re.compile(_STOPWORDS)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        work = pd.DataFrame(
+            {
+                "source": df["source"].astype(str),
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_stop": df["text"]
+                .fillna("")
+                .str.lower()
+                .str.count(stop_rx)
+                .astype("int64"),
+            }
+        )
+        return (
+            work.sort_values(["n_stop", "doc_id"], ascending=[False, True])
+            .groupby("source", sort=False)
+            .head(k)
+        )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_stop", "doc_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "source": g["source"].astype(str).values,
+                "doc_id": g["doc_id"].astype("int64").values,
+                "n_stop": g["n_stop"].astype("int64").values,
+                "rk": np.arange(1, len(g) + 1, dtype="int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    out = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(_final, batch_format="pandas")
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["source", "rk"])
+        .reset_index(drop=True)
+    )
+
+
 def dedup_corpus(
     sf_dir: str, threshold: float = 0.5, max_bucket: int = 4096
 ) -> pd.DataFrame:
