@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.clean import (
         dedup_corpus,
         gopher_repetition,
+        pack_sequences,
         props_scrub,
         quality_topk,
     )
@@ -481,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_scrub": props_scrub,
         # stratified window-rank selection (partial top-k combiner)
         "quality_topk": quality_topk,
+        # sequence packing offsets via distributed prefix scan
+        "pack_sequences": pack_sequences,
         # deterministic hash sampling (no count, no shuffle, SQL-replicable)
         "corpus_sample": corpus_sample,
         # similarity search (embeddings)
@@ -694,6 +697,27 @@ def oracle_sql() -> dict[str, str]:
                                   <= 50 * coalesce(n_2grams, 0)
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                FROM documents
+            ),
+            o AS (
+                SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS tok_offset
+                FROM t
+            )
+            SELECT doc_id, n_tokens, tok_offset,
+                   tok_offset // 1024 AS seq_id,
+                   CAST(CASE WHEN (tok_offset + n_tokens - 1) // 1024
+                                  <> tok_offset // 1024
+                        THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
+            FROM o
         """,
         "quality_topk": f"""
             WITH s AS (

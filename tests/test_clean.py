@@ -11,6 +11,7 @@ from yomitoku_ray.functions.clean import (
     PatternScrubStage,
     dedup_corpus,
     gopher_repetition,
+    pack_sequences,
     props_scrub,
     quality_topk,
 )
@@ -129,6 +130,24 @@ def test_quality_topk_rank_and_ties(ray_session, tmp_path):
     assert a["rk"].tolist() == [1, 2, 3]
     b = df[df["source"] == "b"]
     assert b["doc_id"].tolist() == [4] and b["rk"].tolist() == [1]
+
+
+def test_pack_sequences_prefix_scan(ray_session, tmp_path):
+    # token counts: 3, 4, 2, 5, 1 -> exclusive offsets 0, 3, 7, 9, 14.
+    # bucket_shift=1 forces three buckets {0,1},{2,3},{4} so offsets must
+    # cross bucket boundaries through the broadcast prefix.
+    texts = ["a b c", "d e f g", "h i", "j k l m n", "o"]
+    docs = [
+        {"doc_id": i, "text": t, "source": "s", "lang": "en", "n_chars": len(t)}
+        for i, t in enumerate(texts)
+    ]
+    pq.write_table(pa.Table.from_pylist(docs), str(tmp_path / "documents.parquet"))
+    df = pack_sequences(str(tmp_path), seq_len=4, bucket_shift=1)
+    assert df["doc_id"].tolist() == [0, 1, 2, 3, 4]
+    assert df["tok_offset"].tolist() == [0, 3, 7, 9, 14]
+    assert df["seq_id"].tolist() == [0, 0, 1, 2, 3]
+    # docs 1/2/3 cross a multiple-of-4 token boundary (3..6, 7..8, 9..13)
+    assert df["spans_boundary"].tolist() == [0, 1, 1, 1, 0]
 
 
 def test_props_scrub_rollup(ray_session, tmp_path):

@@ -221,6 +221,92 @@ def gopher_repetition(
 
 
 _STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+_TOKEN_SPLIT = re.compile(r"\s+")
+
+
+def pack_sequences(
+    sf_dir: str, seq_len: int = 1024, bucket_shift: int = 12
+) -> pd.DataFrame:
+    """GPT-style sequence packing: concatenate the corpus in doc_id order
+    and chunk it into fixed ``seq_len``-token training sequences; per doc,
+    report its global token offset, the sequence it starts in, and whether
+    it straddles a sequence boundary.
+
+    The global offset is a distributed PREFIX SCAN, done in the only shape
+    that stays flat at 10^10 docs: (1) one streaming pass reduces each
+    coarse doc_id bucket (``doc_id >> bucket_shift``) to its token sum —
+    the collected state is bucket-space-sized, never corpus-sized; (2) the
+    driver computes the exclusive prefix over the sorted bucket sums (a
+    tiny cumsum) and broadcasts it once via ``ray.put``; (3) a second pass
+    shuffles on the bucket key and resolves exact offsets with a
+    vectorized within-bucket cumsum. No stage ever holds more than one
+    bucket of rows. Tokenization matches :func:`text_stats.doc_stats`
+    (split on whitespace runs after trim; empty text counts 1 like the
+    SQL ``string_split_regex``). Columns (all int64): doc_id, n_tokens,
+    tok_offset, seq_id, spans_boundary.
+    """
+
+    def _tok(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64").to_numpy()
+        n = (
+            df["text"]
+            .fillna("")
+            .str.strip()
+            .str.split(_TOKEN_SPLIT)
+            .map(len)
+            .astype("int64")
+            .to_numpy()
+        )
+        return pd.DataFrame(
+            {"bucket": ids >> bucket_shift, "doc_id": ids, "n_tokens": n}
+        )
+
+    path = f"{sf_dir}/documents.parquet"
+    bucket_sums = (
+        ray.data.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(_tok, batch_format="pandas")
+        .map_batches(
+            lambda df: df.groupby("bucket", as_index=False)["n_tokens"].sum(),
+            batch_format="pandas",
+        )
+        .groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()  # bucket-space-sized
+        .sort_values("bucket")
+    )
+    sums = bucket_sums["n_tokens"].to_numpy("int64")
+    prefix = dict(
+        zip(
+            bucket_sums["bucket"].to_numpy("int64"),
+            np.concatenate(([0], np.cumsum(sums)[:-1])),
+        )
+    )
+    prefix_ref = ray.put(prefix)
+
+    def _assign(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(prefix_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy("int64")
+        off = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy("int64"),
+                "n_tokens": n,
+                "tok_offset": off,
+                "seq_id": off // seq_len,
+                "spans_boundary": (
+                    (off + n - 1) // seq_len != off // seq_len
+                ).astype("int64"),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(_tok, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_assign, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def quality_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
