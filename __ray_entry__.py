@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         knn_brute_force,
     )
     from yomitoku_ray.functions.clean import (
+        contamination_check,
         dedup_corpus,
         gopher_repetition,
         pack_sequences,
@@ -484,6 +485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_topk": quality_topk,
         # sequence packing offsets via distributed prefix scan
         "pack_sequences": pack_sequences,
+        # train/eval shingle-overlap scan (broadcast eval set)
+        "contamination_check": contamination_check,
         # deterministic hash sampling (no count, no shuffle, SQL-replicable)
         "corpus_sample": corpus_sample,
         # similarity search (embeddings)
@@ -697,6 +700,22 @@ def oracle_sql() -> dict[str, str]:
                                   <= 50 * coalesce(n_2grams, 0)
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        """,
+        "contamination_check": _SHINGLES_CTE
+        + """
+            , ev AS (
+                SELECT DISTINCT unnest(s) AS g
+                FROM sh
+                WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 20 = 0
+            ),
+            tr AS (
+                SELECT doc_id, unnest(s) AS g
+                FROM sh
+                WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 20 <> 0
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM tr JOIN ev USING (g)
+            GROUP BY 1
         """,
         "pack_sequences": r"""
             WITH t AS (

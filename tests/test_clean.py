@@ -150,6 +150,49 @@ def test_pack_sequences_prefix_scan(ray_session, tmp_path):
     assert df["spans_boundary"].tolist() == [0, 1, 1, 1, 0]
 
 
+def test_contamination_check_vs_bruteforce(ray_session, tmp_path):
+    import numpy as np
+
+    from yomitoku_ray.functions.dedup import _md5_u64, shingle_hashes
+    from yomitoku_ray.functions.clean import contamination_check
+
+    # 20 docs; evens carry a shared 4-token phrase (2 shared 3-gram
+    # shingles), odds are unique. Which docs are "eval" is decided by the
+    # md5 residue, so compute the expected answer by brute force here.
+    docs = []
+    for i in range(20):
+        text = (
+            f"shared phrase across docs plus word{i}"
+            if i % 2 == 0
+            else f"unique{i} filler{i} body{i} tail{i}"
+        )
+        docs.append(
+            {"doc_id": i, "text": text, "source": "s", "lang": "en",
+             "n_chars": len(text)}
+        )
+    pq.write_table(pa.Table.from_pylist(docs), str(tmp_path / "documents.parquet"))
+
+    mod = 3
+    is_eval = {r["doc_id"]: _md5_u64(str(r["doc_id"])) % mod == 0 for r in docs}
+    ev = np.unique(
+        np.concatenate(
+            [shingle_hashes(r["text"]) for r in docs if is_eval[r["doc_id"]]]
+            or [np.zeros(0, dtype=np.uint64)]
+        )
+    )
+    expected = {}
+    for r in docs:
+        if is_eval[r["doc_id"]]:
+            continue
+        n = int(np.isin(shingle_hashes(r["text"]), ev).sum())
+        if n >= 1:
+            expected[r["doc_id"]] = n
+    assert expected, "fixture must produce at least one contaminated doc"
+
+    df = contamination_check(str(tmp_path), sample_mod=mod)
+    assert dict(zip(df["doc_id"], df["n_shared"])) == expected
+
+
 def test_props_scrub_rollup(ray_session, tmp_path):
     rows = [
         {"event_type": "click", "props": '{"k": 7}'},

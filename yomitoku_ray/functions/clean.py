@@ -31,7 +31,7 @@ import pandas as pd
 import ray.data
 from ray.data.aggregate import Sum
 
-from .dedup import _COARSE_MASK, dup_components
+from .dedup import _COARSE_MASK, _md5_u64, dup_components, shingle_hashes
 
 # RE2-compatible patterns (no lookaround, no backreferences) so the exact
 # same strings run under DuckDB's regexp_replace / regexp_extract_all for
@@ -222,6 +222,86 @@ def gopher_repetition(
 
 _STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
 _TOKEN_SPLIT = re.compile(r"\s+")
+
+
+def contamination_check(
+    sf_dir: str, sample_mod: int = 20, min_shared: int = 1
+) -> pd.DataFrame:
+    """Train/eval contamination scan: which training documents share word
+    3-gram shingles with the held-out eval set, and how many.
+
+    The eval side here is the deterministic hash sample (md5(doc_id) %
+    ``sample_mod`` == 0, the :func:`dedup.corpus_sample` predicate); in
+    production it is a benchmark suite. Either way the eval shingle union
+    is benchmark-sized, not corpus-sized, so the scale shape is a
+    BROADCAST scan, not a shuffle join: one streaming pass unions the
+    eval shingle ids (u64 polynomial hashes, distinct-per-batch before
+    collection), the sorted array ships once via ``ray.put``, and the
+    full-corpus pass counts per-doc membership with ``searchsorted`` —
+    no all-to-all anywhere. Columns: doc_id, n_shared (int64), one row
+    per train doc with ``n_shared >= min_shared``.
+    """
+
+    def _is_eval(ids: np.ndarray) -> np.ndarray:
+        return np.array(
+            [_md5_u64(str(int(i))) % sample_mod == 0 for i in ids], dtype=bool
+        )
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def _eval_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64").to_numpy()
+        texts = df["text"].fillna("").to_numpy()
+        keep = _is_eval(ids)
+        chunks = [
+            shingle_hashes(t)
+            for t in texts[keep]
+            if t.strip()
+        ]
+        sh = (
+            np.unique(np.concatenate(chunks))
+            if chunks
+            else np.zeros(0, dtype=np.uint64)
+        )
+        return pd.DataFrame({"shingle": sh})
+
+    eval_parts = (
+        ray.data.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(_eval_shingles, batch_format="pandas")
+        .to_pandas()  # eval-shingle-union-sized (benchmark-sized), small
+    )
+    eval_sh = np.unique(eval_parts["shingle"].to_numpy("uint64"))
+    eval_ref = ray.put(eval_sh)
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(eval_ref)
+        ids = df["doc_id"].astype("int64").to_numpy()
+        texts = df["text"].fillna("").to_numpy()
+        train = ~_is_eval(ids)
+        out_id, out_n = [], []
+        for i, t in zip(ids[train], texts[train]):
+            if not t.strip():
+                continue
+            sh = shingle_hashes(t)
+            pos = np.searchsorted(ev, sh)
+            pos[pos == len(ev)] = 0
+            n = int((ev[pos] == sh).sum()) if len(ev) else 0
+            if n >= min_shared:
+                out_id.append(i)
+                out_n.append(n)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_id, dtype="int64"),
+                "n_shared": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(_scan, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def pack_sequences(
