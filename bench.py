@@ -131,6 +131,11 @@ def run_bench() -> dict:
             knn_brute_force,
         )
         from yomitoku_ray.functions.text_stats import doc_stats, quality_score
+        from yomitoku_ray.functions.clean import (
+            contamination_check,
+            pack_sequences,
+            quality_topk,
+        )
 
         def timed(name, fn):
             t0 = time.perf_counter()
@@ -168,6 +173,9 @@ def run_bench() -> dict:
         timed("embedding_near_dup", embedding_near_dup)
         timed("pricing_summary", pricing_summary)
         timed("events_hourly", events_hourly)
+        timed("quality_topk", quality_topk)
+        timed("pack_sequences", pack_sequences)
+        timed("contamination_check", contamination_check)
 
     ray.shutdown()
     return {
