@@ -355,16 +355,15 @@ def pack_sequences(
         .sort_values("bucket")
     )
     sums = bucket_sums["n_tokens"].to_numpy("int64")
-    prefix = dict(
-        zip(
-            bucket_sums["bucket"].to_numpy("int64"),
-            np.concatenate(([0], np.cumsum(sums)[:-1])),
-        )
-    )
-    prefix_ref = ray.put(prefix)
+    # Broadcast as two aligned numpy arrays, not a dict: plasma shares
+    # numpy buffers zero-copy, so the per-group ray.get is O(1) instead
+    # of re-deserializing a bucket-count-sized dict per group.
+    buckets_ref = ray.put(np.ascontiguousarray(bucket_sums["bucket"].to_numpy("int64")))
+    bases_ref = ray.put(np.concatenate(([0], np.cumsum(sums)[:-1])).astype("int64"))
 
     def _assign(g: pd.DataFrame) -> pd.DataFrame:
-        base = ray.get(prefix_ref)[int(g["bucket"].iloc[0])]
+        buckets, bases = ray.get(buckets_ref), ray.get(bases_ref)
+        base = bases[np.searchsorted(buckets, int(g["bucket"].iloc[0]))]
         g = g.sort_values("doc_id")
         n = g["n_tokens"].to_numpy("int64")
         off = base + np.concatenate(([0], np.cumsum(n)[:-1]))
