@@ -349,56 +349,6 @@ def customers_without_orders(sf_dir: str, since: str = "1998-01-01") -> pd.DataF
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
-def events_sliding(sf_dir: str, window_hours: int = 3) -> pd.DataFrame:
-    """Sliding window counts per event_type (window = ``window_hours``,
-    slide = 1h, window starts at every observed hour).
-
-    Two-phase: hourly partial counts inside ``map_batches`` (the combiner),
-    then per-type windowed summation in ``map_groups`` — the shuffle moves
-    one row per (type, hour), not one per event.
-    Columns: event_type, window_start, n_events.
-    """
-
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        work = pd.DataFrame(
-            {
-                "event_type": df["event_type"],
-                "h": df["ts"].dt.floor("h"),
-                "n": np.ones(len(df), dtype="int64"),
-            }
-        )
-        return work.groupby(["event_type", "h"], as_index=False).sum()
-
-    def _windows(g: pd.DataFrame) -> pd.DataFrame:
-        hourly = g.groupby("h", as_index=False)["n"].sum().sort_values("h")
-        hours = hourly["h"].to_numpy()
-        counts = hourly["n"].to_numpy()
-        span = pd.Timedelta(hours=window_hours)
-        out_n = []
-        for w in hours:
-            mask = (hours >= w) & (hours < w + span)
-            out_n.append(int(counts[mask].sum()))
-        return pd.DataFrame(
-            {
-                "event_type": np.repeat(g["event_type"].iloc[0], len(hours)),
-                "window_start": hours,
-                "n_events": np.array(out_n, dtype="int64"),
-            }
-        )
-
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
-    out = (
-        ds.map_batches(_partial, batch_format="pandas")
-        .groupby("event_type")
-        .map_groups(_windows, batch_format="pandas")
-    )
-    return (
-        out.to_pandas()
-        .sort_values(["event_type", "window_start"])
-        .reset_index(drop=True)
-    )
-
-
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Session windows per user (gap-based sessionization).
 

@@ -159,6 +159,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self):
+        # Truncate consumed high bits so acc stays <= 32 bits; without this the
+        # accumulator grows with every byte read and each shift copies the whole
+        # history, making entropy decode O(n^2) in stream size.
+        self.acc &= (1 << self.nbits) - 1
         d = self.data
         while self.nbits <= 24 and self.pos < len(d):
             b = d[self.pos]
@@ -414,6 +418,7 @@ class _BitWriter:
             self.buf.append(b)
             if b == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1  # drop drained bytes, keep acc bounded
 
     def flush(self):
         if self.nbits:
