@@ -183,3 +183,80 @@ ray.shutdown()
     urls = t.column("url").to_pylist()
     assert len(urls) == N and len(set(urls)) == N  # zero lost, zero duplicated
     assert not glob.glob(os.path.join(out, "claims", "*.claim"))  # all released
+
+
+def test_dead_pid_claim_is_reclaimed_immediately(ray_session, pages_dir, tmp_path):
+    """A SIGKILLed driver's FRESH claim (dead pid, same host) must not block
+    an immediate restart for the whole lease (ADVICE r3, medium)."""
+    import socket
+    import subprocess
+
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "claims"), exist_ok=True)
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    chunk = files[:2]
+    from yomitoku_ray.state.checkpoint import _wave_name
+
+    # A real, already-exited pid from this host.
+    p = subprocess.Popen(["true"])
+    p.wait()
+    claim = os.path.join(out, "claims", _wave_name(chunk) + ".claim")
+    with open(claim, "w") as f:
+        json.dump({"input_files": chunk, "pid": p.pid,
+                   "host": socket.gethostname(), "created_unix": 0}, f)
+
+    s = run_resumable(pages_dir, out, _cfg(), wave_files=2)
+    assert s["complete"]  # the killed wave was reclaimed and finished
+    t = pads.dataset(os.path.join(out, "data")).to_table(columns=["url"])
+    urls = t.column("url").to_pylist()
+    assert len(urls) == N and len(set(urls)) == N
+
+
+def test_torn_claim_does_not_busy_loop(ray_session, pages_dir, tmp_path):
+    """A fresh claim with an unparseable body (crash between O_EXCL and the
+    write) must not spin the run loop: the driver backs off on that wave,
+    finishes everything else, and reports complete=False (ADVICE r3, low)."""
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "claims"), exist_ok=True)
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    from yomitoku_ray.state.checkpoint import _wave_name
+
+    claim = os.path.join(out, "claims", _wave_name(files[:2]) + ".claim")
+    with open(claim, "w") as f:
+        f.write("{torn")  # fresh mtime, unreadable body -> live per lease
+
+    # max_waves bounds runaway; a busy loop would never advance waves_run.
+    s = run_resumable(pages_dir, out, _cfg(), wave_files=2, max_waves=4)
+    assert s["waves_run"] == 2  # the other two chunks committed
+    assert not s["complete"]  # contested chunk honestly left for the owner
+    done = completed_input_files(out)
+    assert set(files[2:]) <= done and not (set(files[:2]) & done)
+
+
+def _claim_worker(out, q):
+    from yomitoku_ray.state.checkpoint import _try_claim
+
+    q.put(_try_claim(out, "wave-deadbeef", ["x"], lease_sec=3600.0))
+
+
+def test_stale_break_single_winner(tmp_path):
+    """Racing drivers breaking the same stale claim: exactly one wins
+    (rename-based break; the unlink break let both own it)."""
+    import multiprocessing as mp
+
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "claims"), exist_ok=True)
+    claim = os.path.join(out, "claims", "wave-deadbeef.claim")
+    with open(claim, "w") as f:
+        json.dump({"input_files": ["x"], "pid": 1, "host": "elsewhere"}, f)
+    os.utime(claim, (0, 0))  # long-expired lease -> stale for everyone
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_claim_worker, args=(out, q)) for _ in range(4)]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=60) for _ in procs]
+    for p in procs:
+        p.join()
+    assert sum(results) == 1  # exactly one driver owns the broken lock

@@ -40,6 +40,7 @@ import hashlib
 import json
 import os
 import shutil
+import socket
 import time
 import uuid
 
@@ -98,36 +99,75 @@ def _wave_name(chunk: list[str]) -> str:
     return f"wave-{digest}"
 
 
-def _live_claimed_files(out_root: str, lease_sec: float) -> set[str]:
-    """Files covered by a fresh claim whose wave is not yet committed.
+_HOSTNAME = socket.gethostname()
 
-    A claim older than ``lease_sec`` is a dead driver: its files return to
-    the todo pool (and the claim file is removed by the re-claimer).
+
+def _claim_is_stale(path: str, lease_sec: float) -> bool:
+    """A claim is stale when its mtime lease expired, OR it was taken by a
+    process on THIS host whose pid is no longer alive (a SIGKILLed driver's
+    fresh claim must not block an immediate same-host restart for the whole
+    lease). Fresh-but-unparseable claims (crash between O_EXCL and the body
+    write) are conservatively treated as LIVE until the lease expires."""
+    try:
+        if time.time() - os.path.getmtime(path) >= lease_sec:
+            return True
+        with open(path) as f:
+            body = json.load(f)
+    except OSError:
+        return False  # vanished or unreadable: let the owner/lease sort it out
+    except json.JSONDecodeError:
+        return False  # torn body, fresh mtime: live until lease expiry
+    pid = body.get("pid")
+    if isinstance(pid, int) and body.get("host") == _HOSTNAME and pid != os.getpid():
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return True  # same host, recorded pid is dead
+        except OSError:
+            pass  # e.g. EPERM: process exists under another user -> live
+    return False
+
+
+def _live_claimed_files(out_root: str, lease_sec: float) -> set[str]:
+    """Files covered by a live claim whose wave is not yet committed.
+
+    A stale claim (lease expiry, or dead pid on this host — see
+    ``_claim_is_stale``) is a dead driver: its files return to the todo
+    pool (and the claim file is removed by the re-claimer).
     """
     claimed = set()
-    now = time.time()
     for path in glob.glob(os.path.join(_claims_dir(out_root), "wave-*.claim")):
         wave = os.path.basename(path)[: -len(".claim")]
         mpath = os.path.join(_manifest_dir(out_root), wave + ".json")
         if os.path.exists(mpath):
             continue  # committed: claim is a leftover, not a lock
+        if _claim_is_stale(path, lease_sec):
+            continue  # stale: files are re-claimable
         try:
-            age = now - os.path.getmtime(path)
-            if age >= lease_sec:
-                continue  # stale: files are re-claimable
             with open(path) as f:
                 claimed.update(json.load(f)["input_files"])
         except (OSError, json.JSONDecodeError, KeyError):
-            continue
+            continue  # unreadable live claim: files stay in todo; the run
+            # loop backs off on its wave name instead of busy-spinning
     return claimed
 
 
 def _try_claim(out_root: str, wave_name: str, chunk: list[str], lease_sec: float) -> bool:
     """Atomically claim a wave (O_EXCL). Returns False if someone else owns
-    a live claim; breaks and retakes a stale claim exactly once."""
+    a live claim; breaks and retakes a stale claim exactly once.
+
+    Stale locks are broken via atomic ``os.rename`` to a unique name — of N
+    racing drivers exactly one rename succeeds, so only one contender
+    proceeds to recreate the claim (the unlink-based break let two drivers
+    both own the wave when B unlinked A's freshly recreated claim)."""
     path = os.path.join(_claims_dir(out_root), wave_name + ".claim")
     body = json.dumps(
-        {"input_files": chunk, "pid": os.getpid(), "created_unix": int(time.time())}
+        {
+            "input_files": chunk,
+            "pid": os.getpid(),
+            "host": _HOSTNAME,
+            "created_unix": int(time.time()),
+        }
     )
     for attempt in (0, 1):
         try:
@@ -136,13 +176,18 @@ def _try_claim(out_root: str, wave_name: str, chunk: list[str], lease_sec: float
                 f.write(body)
             return True
         except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(path) < lease_sec:
-                    return False  # live owner
-                if attempt == 0:
-                    os.unlink(path)  # stale: break the lock, retry once
-            except OSError:
-                return False
+            if not _claim_is_stale(path, lease_sec):
+                return False  # live owner
+            if attempt == 0:
+                broken = f"{path}.broken-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+                try:
+                    os.rename(path, broken)  # atomic: one winner per stale lock
+                except OSError:
+                    return False  # another driver broke it first
+                try:
+                    os.unlink(broken)
+                except OSError:
+                    pass
     return False
 
 
@@ -198,6 +243,11 @@ def run_resumable(
         "rows_written": 0,
     }
 
+    # Waves whose claim we just lost: back off by name (content-hashed, so
+    # stable across re-lists) instead of re-trying the same chunk in a tight
+    # loop — matters when a claim file is fresh but unparseable, so its
+    # files stay in todo yet _try_claim keeps failing.
+    blocked_until: dict[str, float] = {}
     while True:
         if max_waves is not None and summary["waves_run"] >= max_waves:
             break
@@ -208,9 +258,22 @@ def run_resumable(
         todo = [f for f in files if f not in done and f not in claimed]
         if not todo:
             break
-        chunk = todo[:wave_files]
-        wave_name = _wave_name(chunk)
+        now = time.time()
+        chunk = wave_name = None
+        for start in range(0, len(todo), wave_files):
+            cand = todo[start : start + wave_files]
+            name = _wave_name(cand)
+            if blocked_until.get(name, 0.0) <= now:
+                chunk, wave_name = cand, name
+                break
+        if chunk is None:
+            # Every remaining chunk is contested by a live claim whose body
+            # we cannot read. Mirror the readable-claim behavior (claimed
+            # files simply leave todo): leave the work to its owner and
+            # report complete=False instead of spinning until lease expiry.
+            break
         if not _try_claim(out_root, wave_name, chunk, claim_lease_sec):
+            blocked_until[wave_name] = time.time() + 1.0
             continue  # lost the race for this chunk; re-list and move on
 
         final_dir = os.path.join(out_root, "data", wave_name)
