@@ -90,7 +90,8 @@ def corpus_dir(tmp_path_factory):
 def test_gopher_repetition_exact(ray_session, corpus_dir):
     # top_word_pct=20: a 6-word all-distinct doc (top word 1/6 ≈ 17%)
     # passes, while spam/solo still fail — exercises the parameter.
-    df = gopher_repetition(corpus_dir, top_word_pct=20).set_index("doc_id")
+    df = (gopher_repetition(corpus_dir, top_word_pct=20)
+          .to_pandas().sort_values("doc_id").set_index("doc_id"))
     assert list(df.index) == [0, 1, 3, 4, 5]  # empty doc 2 dropped
     assert df.loc[0].tolist() == [5, 1, 5, 4, 1, 0]  # all-spam: dropped
     assert df.loc[1].tolist() == [10, 10, 1, 9, 9, 1]  # diverse: kept
@@ -142,7 +143,8 @@ def test_pack_sequences_prefix_scan(ray_session, tmp_path):
         for i, t in enumerate(texts)
     ]
     pq.write_table(pa.Table.from_pylist(docs), str(tmp_path / "documents.parquet"))
-    df = pack_sequences(str(tmp_path), seq_len=4, bucket_shift=1)
+    df = (pack_sequences(str(tmp_path), seq_len=4, bucket_shift=1)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert df["doc_id"].tolist() == [0, 1, 2, 3, 4]
     assert df["tok_offset"].tolist() == [0, 3, 7, 9, 14]
     assert df["seq_id"].tolist() == [0, 0, 1, 2, 3]
@@ -189,7 +191,7 @@ def test_contamination_check_vs_bruteforce(ray_session, tmp_path):
             expected[r["doc_id"]] = n
     assert expected, "fixture must produce at least one contaminated doc"
 
-    df = contamination_check(str(tmp_path), sample_mod=mod)
+    df = contamination_check(str(tmp_path), sample_mod=mod).to_pandas()
     assert dict(zip(df["doc_id"], df["n_shared"])) == expected
 
 

@@ -31,7 +31,8 @@ import pandas as pd
 import ray.data
 from ray.data.aggregate import Sum
 
-from .dedup import _COARSE_MASK, _md5_u64, dup_components, shingle_hashes
+from ..kernels.md5_vec import md5_u64_of_ints
+from .dedup import _COARSE_MASK, dup_components, shingle_hashes
 
 # RE2-compatible patterns (no lookaround, no backreferences) so the exact
 # same strings run under DuckDB's regexp_replace / regexp_extract_all for
@@ -129,7 +130,7 @@ def props_scrub(sf_dir: str) -> pd.DataFrame:
 
 def gopher_repetition(
     sf_dir: str, top_word_pct: int = 10, dup_bigram_pct: int = 50
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Per-document repetition signals (Gopher/MassiveText-style quality
     filter), exact integers only.
 
@@ -216,8 +217,9 @@ def gopher_repetition(
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    out = ds.map_batches(_stats, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # Returned as a streaming Dataset (doc_stats convention): one output row
+    # per document, never collected on the driver.
+    return ds.map_batches(_stats, batch_format="pandas")
 
 
 _STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
@@ -226,7 +228,7 @@ _TOKEN_SPLIT = re.compile(r"\s+")
 
 def contamination_check(
     sf_dir: str, sample_mod: int = 20, min_shared: int = 1
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Train/eval contamination scan: which training documents share word
     3-gram shingles with the held-out eval set, and how many.
 
@@ -243,9 +245,7 @@ def contamination_check(
     """
 
     def _is_eval(ids: np.ndarray) -> np.ndarray:
-        return np.array(
-            [_md5_u64(str(int(i))) % sample_mod == 0 for i in ids], dtype=bool
-        )
+        return md5_u64_of_ints(ids) % np.uint64(sample_mod) == 0
 
     path = f"{sf_dir}/documents.parquet"
 
@@ -296,17 +296,16 @@ def contamination_check(
             }
         )
 
-    out = (
-        ray.data.read_parquet(path, columns=["doc_id", "text"])
-        .map_batches(_scan, batch_format="pandas")
-        .to_pandas()
+    # Streaming Dataset out (doc_stats convention); only the benchmark-sized
+    # eval shingle union above ever touches the driver.
+    return ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        _scan, batch_format="pandas"
     )
-    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def pack_sequences(
     sf_dir: str, seq_len: int = 1024, bucket_shift: int = 12
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """GPT-style sequence packing: concatenate the corpus in doc_id order
     and chunk it into fixed ``seq_len``-token training sequences; per doc,
     report its global token offset, the sequence it starts in, and whether
@@ -379,13 +378,14 @@ def pack_sequences(
             }
         )
 
-    out = (
+    # Streaming Dataset out (doc_stats convention): the only driver-side
+    # state in this op is the bucket-space-sized prefix table above.
+    return (
         ray.data.read_parquet(path, columns=["doc_id", "text"])
         .map_batches(_tok, batch_format="pandas")
         .groupby("bucket")
         .map_groups(_assign, batch_format="pandas")
     )
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def quality_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:

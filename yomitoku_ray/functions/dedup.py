@@ -793,12 +793,11 @@ def corpus_sample(sf_dir: str, mod: int = 20) -> ray.data.Dataset:
     """
 
     def _sample(batch: pa.Table) -> pa.Table:
+        from ..kernels.md5_vec import md5_u64_of_ints
+
         ids = batch.column("doc_id").to_numpy()
-        texts = batch.column("text")
-        keep = np.array(
-            [_md5_u64(str(int(i))) % mod == 0 for i in ids], dtype=bool
-        )
-        n_chars = np.array([len(t) for t in texts.to_pylist()], dtype=np.int64)
+        keep = md5_u64_of_ints(ids) % np.uint64(mod) == 0
+        n_chars = pa.compute.utf8_length(batch.column("text")).to_numpy().astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(ids[keep], pa.int64()),
