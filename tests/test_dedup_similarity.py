@@ -56,7 +56,7 @@ def test_exact_dedup_groups(ray_session, corpus_dir):
 
 
 def test_minhash_lsh_finds_near_dups(ray_session, corpus_dir):
-    pairs = minhash_lsh_pairs(corpus_dir, threshold=0.5)
+    pairs = minhash_lsh_pairs(corpus_dir, threshold=0.5).to_pandas()
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert (0, 1) in got and (0, 5) in got and (1, 5) in got  # exact dups
     assert (0, 2) in got  # near dup (1-token difference)
@@ -263,7 +263,7 @@ def test_dup_components_resolution(ray_session, corpus_dir):
     (FAR + its extension share 8 of 12 shingles = 66%) label to 3."""
     from yomitoku_ray.functions.dedup import dup_components
 
-    df = dup_components(corpus_dir, threshold=0.5)
+    df = dup_components(corpus_dir, threshold=0.5).to_pandas()
     got = dict(zip(df["doc_id"], df["component"]))
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 0}
 
@@ -291,7 +291,7 @@ def test_dup_components_chain_converges(ray_session, tmp_path):
     d = tmp_path / "chain"
     d.mkdir()
     _pq.write_table(_pa.Table.from_pylist(rows), str(d / "documents.parquet"))
-    df = dup_components(str(d), threshold=0.5)
+    df = dup_components(str(d), threshold=0.5).to_pandas()
     got = dict(zip(df["doc_id"], df["component"]))
     # all three docs must share the min label regardless of which direct
     # pairs LSH found, as long as the graph is connected
@@ -307,3 +307,52 @@ def test_corpus_sample_deterministic(ray_session, corpus_dir):
     assert a.to_dict("records") == b.to_dict("records")
     for rec in a.to_dict("records"):
         assert _md5_u64(str(rec["doc_id"])) % 2 == 0
+
+
+def test_dedup_chain_never_materializes_on_driver(ray_session, corpus_dir, tmp_path, monkeypatch):
+    """VERDICT r3 #1 done-criterion: building the pair->component->rollup
+    chain must construct no pair-set-sized pandas object on the driver —
+    neither via Dataset.to_pandas() nor ray.data.from_pandas()."""
+    import ray.data as rd
+
+    from yomitoku_ray.functions.clean import dedup_corpus
+    from yomitoku_ray.functions.dedup import dup_components
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side pandas materialization in dedup chain")
+
+    monkeypatch.setattr(rd, "from_pandas", _boom)
+    monkeypatch.setattr(rd.Dataset, "to_pandas", _boom)
+    comp = dup_components(corpus_dir, threshold=0.5)  # builds + propagates
+    monkeypatch.undo()
+    got = dict(zip(*(comp.to_pandas()[c] for c in ("doc_id", "component"))))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 0}
+
+    # dedup_corpus still collects its per-source rollup (tiny), but only
+    # AFTER the anti-join: allow to_pandas on the final aggregate only.
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    src_tbl = _pq.read_table(f"{corpus_dir}/documents.parquet")
+    texts = src_tbl.column("text").to_pylist()
+    d = tmp_path / "with_chars"
+    d.mkdir()
+    _pq.write_table(
+        src_tbl.append_column(
+            "n_chars", _pa.array([len(t) for t in texts], _pa.int64())
+        ),
+        str(d / "documents.parquet"),
+    )
+    calls = []
+    real_to_pandas = rd.Dataset.to_pandas
+
+    def _spy(self, *a, **k):
+        calls.append(self)
+        return real_to_pandas(self, *a, **k)
+
+    monkeypatch.setattr(rd, "from_pandas", _boom)
+    monkeypatch.setattr(rd.Dataset, "to_pandas", _spy)
+    df = dedup_corpus(str(d), threshold=0.5)
+    monkeypatch.undo()
+    assert len(calls) == 1  # exactly one collect: the per-source rollup
+    assert df["n_docs"].sum() == 6 and df["n_kept"].sum() == 2

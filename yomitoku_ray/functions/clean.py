@@ -461,8 +461,14 @@ def dedup_corpus(
     task. Columns: source, n_docs, n_kept, kept_chars (all int64).
     """
     comp = dup_components(sf_dir, threshold=threshold, max_bucket=max_bucket)
-    drop = comp.loc[comp["doc_id"] != comp["component"], ["doc_id"]].astype("int64")
-    drop_ds = ray.data.from_pandas(drop)
+    # Non-representative members, filtered as a batch transform on the
+    # streaming component Dataset — the drop set never touches the driver.
+    drop_ds = comp.map_batches(
+        lambda df: df.loc[df["doc_id"] != df["component"], ["doc_id"]].astype(
+            "int64"
+        ),
+        batch_format="pandas",
+    )
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
     )
