@@ -413,7 +413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from yomitoku_ray.functions.similarity import (
         ann_ivf,
+        ann_ivf_stats,
         ann_lsh,
+        ann_lsh_stats,
         ann_recall,
         embedding_near_dup,
         knn_brute_force,
@@ -501,6 +503,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # force exactly (hash/route/partition plumbing changes only scan
         # scope); hash-checked against the same SQL oracle.
         "ann_lsh_exhaustive": lambda sf_dir: ann_lsh(sf_dir, probe_all=True),
+        # Exact-int bounds of the DEFAULT approximate configs (probed-bucket
+        # count + candidate-set size per query) — SQL reproduces the index
+        # routing, shrinking the approximate rows to summary-only no_oracle.
+        "ann_lsh_stats": ann_lsh_stats,
+        "ann_ivf_stats": ann_ivf_stats,
         "ann_recall": ann_recall,
         "embedding_near_dup": embedding_near_dup,
         # relational aggregate layer
@@ -585,6 +592,72 @@ _KNN_SQL = """
              embeddings e
         WHERE e.vec_id <> q.vec_id
     ) WHERE rank <= 5
+"""
+
+
+def _ann_lsh_stats_sql() -> str:
+    """DuckDB recomputation of ann_lsh_stats: the index's hyperplanes are
+    CONSTANTS (RandomState(11), dim 64 = the testdata embedding dim), so
+    they embed as exact float literals; sign(dot(v, plane)) is
+    normalization-invariant, so buckets come straight from the raw
+    embedding lists; the multiprobe neighborhood is the constant XOR-mask
+    set. repr() literals round-trip to the identical float64."""
+    from yomitoku_ray.functions.similarity import _lsh_probe_masks, lsh_planes
+
+    planes = lsh_planes(64, 6, 11)
+    bucket_expr = " + ".join(
+        "(CASE WHEN list_dot_product(embedding, [{}]) > 0 THEN {} ELSE 0 END)".format(
+            ", ".join(repr(float(x)) for x in planes[:, i]), 1 << i
+        )
+        for i in range(6)
+    )
+    masks = ", ".join(f"({m})" for m in _lsh_probe_masks(6, 2))
+    return f"""
+        WITH v AS (SELECT vec_id, ({bucket_expr}) AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, bucket AS qb FROM v WHERE vec_id < 10),
+        m(mask) AS (VALUES {masks}),
+        probes AS (SELECT query_id, xor(qb, mask) AS pb FROM q, m),
+        cnt AS (SELECT bucket, COUNT(*) AS n FROM v GROUP BY bucket)
+        SELECT p.query_id,
+               COUNT(*) AS n_probed,
+               CAST(COALESCE(SUM(cnt.n), 0) AS BIGINT) AS n_candidates
+        FROM probes p LEFT JOIN cnt ON cnt.bucket = p.pb
+        GROUP BY p.query_id
+    """
+
+
+# DuckDB recomputation of ann_ivf_stats: centroids = per-label per-dim AVG
+# of the raw embeddings (float64; assignment/probing are norm-invariant, so
+# skipping the vector normalization is exact), nearest-centroid assignment
+# and nprobe=6 probing via ROW_NUMBER over (score DESC, label ASC) — the
+# same tie order as numpy argmax/argsort over label-sorted centroids.
+_ANN_IVF_STATS_SQL = """
+    WITH dims AS (
+        SELECT e.vec_id, e.label, i.i AS i, CAST(e.embedding[i.i] AS DOUBLE) AS val
+        FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+    ),
+    cent AS (SELECT label, i, AVG(val) AS c FROM dims GROUP BY label, i),
+    nrm AS (SELECT label, SQRT(SUM(c * c)) AS nr FROM cent GROUP BY label),
+    dots AS (
+        SELECT d.vec_id, c.label, SUM(d.val * c.c) AS dot
+        FROM dims d JOIN cent c ON c.i = d.i
+        GROUP BY d.vec_id, c.label
+    ),
+    sc AS (
+        SELECT dots.vec_id, dots.label, dots.dot / nrm.nr AS s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY dots.vec_id ORDER BY dots.dot / nrm.nr DESC,
+                   dots.label ASC
+               ) AS rn
+        FROM dots JOIN nrm ON nrm.label = dots.label
+    ),
+    csize AS (SELECT label, COUNT(*) AS n FROM sc WHERE rn = 1 GROUP BY label),
+    probes AS (SELECT vec_id AS query_id, label FROM sc
+               WHERE rn <= 6 AND vec_id < 10)
+    SELECT p.query_id, COUNT(*) AS n_probed,
+           CAST(COALESCE(SUM(csize.n), 0) AS BIGINT) AS n_candidates
+    FROM probes p LEFT JOIN csize ON csize.label = p.label
+    GROUP BY p.query_id
 """
 
 
@@ -982,6 +1055,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute_force": _KNN_SQL,
         "ann_ivf_exhaustive": _KNN_SQL,
         "ann_lsh_exhaustive": _KNN_SQL,
+        "ann_lsh_stats": _ann_lsh_stats_sql(),
+        "ann_ivf_stats": _ANN_IVF_STATS_SQL,
         "embedding_near_dup": """
             SELECT CAST(a.label AS BIGINT) AS label,
                    a.vec_id AS vec_a, b.vec_id AS vec_b

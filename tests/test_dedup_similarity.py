@@ -356,3 +356,38 @@ def test_dedup_chain_never_materializes_on_driver(ray_session, corpus_dir, tmp_p
     monkeypatch.undo()
     assert len(calls) == 1  # exactly one collect: the per-source rollup
     assert df["n_docs"].sum() == 6 and df["n_kept"].sum() == 2
+
+
+def test_ann_stats_bounds(ray_session, tmp_path):
+    """ann_lsh_stats / ann_ivf_stats: exact-int routing bounds of the
+    default index configs (the SQL-checkable summary of VERDICT r3 #7)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from yomitoku_ray.functions.similarity import ann_ivf_stats, ann_lsh_stats
+
+    rng = np.random.default_rng(3)
+    n, dim = 120, 64
+    rows = [
+        {
+            "doc": None,
+            "vec_id": i,
+            "embedding": rng.normal(size=dim).astype("float32").tolist(),
+            "label": int(i % 5),
+        }
+        for i in range(n)
+    ]
+    for r in rows:
+        del r["doc"]
+    _pq.write_table(_pa.Table.from_pylist(rows), str(tmp_path / "embeddings.parquet"))
+
+    lsh = ann_lsh_stats(str(tmp_path))
+    assert len(lsh) == 10
+    assert (lsh["n_probed"] == 22).all()  # 1 + 6 + C(6,2) masks, all distinct
+    assert (lsh["n_candidates"] >= 1).all()  # the query's own bucket
+    assert (lsh["n_candidates"] <= n).all()
+
+    ivf = ann_ivf_stats(str(tmp_path))
+    assert len(ivf) == 10
+    assert (ivf["n_probed"] == 5).all()  # min(nprobe=6, 5 labels)
+    assert (ivf["n_candidates"] == n).all()  # probing every cell covers all

@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data
+from ray.data.aggregate import Sum
 
 
 def _emb_matrix(df: pd.DataFrame) -> np.ndarray:
@@ -193,6 +194,28 @@ def _bucketed_topk(
     return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _lsh_probe_masks(n_planes: int, multiprobe_bits: int) -> list[int]:
+    """XOR masks defining the multiprobe neighborhood (identity, all
+    1-bit flips, all 2-bit flips, ...). Shared by :func:`ann_lsh` and
+    :func:`ann_lsh_stats` so the probed set is identical by construction."""
+    masks = [0]
+    if multiprobe_bits >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return masks
+
+
+def lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """The random hyperplanes of the LSH index (shared with the SQL oracle,
+    which embeds the same values as literals)."""
+    return np.random.RandomState(seed).randn(dim, n_planes)
+
+
 def ann_lsh(
     sf_dir: str,
     k: int = 5,
@@ -220,31 +243,50 @@ def ann_lsh(
     """
     path = f"{sf_dir}/embeddings.parquet"
     q_ids, q_mat = _load_queries(path, n_queries)
-    dim = q_mat.shape[1]
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(dim, n_planes)
+    planes = lsh_planes(q_mat.shape[1], n_planes, seed)
 
     def _bucket(mat: np.ndarray) -> np.ndarray:
         bits = (mat @ planes) > 0
         return (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
 
     q_buckets = _bucket(q_mat)
+    masks = _lsh_probe_masks(n_planes, multiprobe_bits)
     bucket_to_queries: dict[int, list] = {}
     for qi, b in enumerate(q_buckets):
         if probe_all:
             probe = set(range(1 << n_planes))
         else:
-            probe = {int(b)}
-            if multiprobe_bits >= 1:
-                probe.update(int(b) ^ (1 << i) for i in range(n_planes))
-            if multiprobe_bits >= 2:
-                for i in range(n_planes):
-                    for j in range(i + 1, n_planes):
-                        probe.add(int(b) ^ (1 << i) ^ (1 << j))
+            probe = {int(b) ^ m for m in masks}
         for pb in probe:
             bucket_to_queries.setdefault(pb, []).append(qi)
     probes = {b: np.array(v, dtype=np.int64) for b, v in bucket_to_queries.items()}
     return _bucketed_topk(path, q_ids, q_mat, _bucket, probes, k)
+
+
+def _ivf_centroids(path: str) -> np.ndarray:
+    """Label-partition centroids (normalized, label-sorted), computed
+    distributed; the C x dim result is the one tiny driver-side collect."""
+
+    def _label_mean(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")  # fixed float-sum order -> stable centroid
+        mat = _emb_matrix(g)
+        return pd.DataFrame(
+            {
+                "label": pd.Series([int(g["label"].iloc[0])], dtype="int64"),
+                "centroid": [mat.mean(axis=0)],
+            }
+        )
+
+    cent_df = (
+        ray.data.read_parquet(path, columns=["vec_id", "label", "embedding"])
+        .groupby("label")
+        .map_groups(_label_mean, batch_format="pandas")
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    cents = np.stack([np.asarray(c, dtype=np.float64) for c in cent_df["centroid"]])
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
 
 def ann_ivf(
@@ -265,28 +307,8 @@ def ann_ivf(
     floor under this config; on genuinely clustered corpora the same index
     with trained centroids shifts the whole curve up.
     """
+    cents = _ivf_centroids(f"{sf_dir}/embeddings.parquet")
     path = f"{sf_dir}/embeddings.parquet"
-
-    def _label_mean(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")  # fixed float-sum order -> stable centroid
-        mat = _emb_matrix(g)
-        return pd.DataFrame(
-            {
-                "label": pd.Series([int(g["label"].iloc[0])], dtype="int64"),
-                "centroid": [mat.mean(axis=0)],
-            }
-        )
-
-    cent_df = (
-        ray.data.read_parquet(path, columns=["vec_id", "label", "embedding"])
-        .groupby("label")
-        .map_groups(_label_mean, batch_format="pandas")
-        .to_pandas()  # C x dim: tiny, the one driver-side collect
-        .sort_values("label")
-        .reset_index(drop=True)
-    )
-    cents = np.stack([np.asarray(c, dtype=np.float64) for c in cent_df["centroid"]])
-    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
     def _assign_fn(mat: np.ndarray) -> np.ndarray:
         return np.argmax(mat @ cents.T, axis=1).astype(np.int64)
@@ -300,6 +322,92 @@ def ann_ivf(
             probes.setdefault(int(b), []).append(qi)
     probe_map = {b: np.array(v, dtype=np.int64) for b, v in probes.items()}
     return _bucketed_topk(path, q_ids, q_mat, _assign_fn, probe_map, k)
+
+
+def ann_lsh_stats(
+    sf_dir: str,
+    n_queries: int = 10,
+    n_planes: int = 6,
+    seed: int = 11,
+    multiprobe_bits: int = 2,
+) -> pd.DataFrame:
+    """Exact-integer bounds of the default :func:`ann_lsh` configuration,
+    DuckDB-checkable (VERDICT r3 #7): per query, the number of probed
+    buckets and the candidate-set size (vectors living in probed buckets,
+    the rows the index actually scores; includes the query itself).
+
+    Sign of ``dot(v, plane)`` is normalization-invariant, so the SQL
+    oracle reproduces the bucket assignment from the RAW embeddings with
+    the identical plane literals (see ``oracle_sql``). The bucket
+    histogram is computed distributed (partial counts per batch, one
+    2^n_planes-sized groupby); only that tiny table reaches the driver.
+    Columns: query_id, n_probed, n_candidates (all int64).
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    q_ids, q_mat = _load_queries(path, n_queries)
+    planes = lsh_planes(q_mat.shape[1], n_planes, seed)
+
+    def _bucket(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes) > 0
+        return (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(_bucket(_emb_matrix(df)), return_counts=True)
+        return pd.DataFrame({"bucket": u.astype("int64"), "n": c.astype("int64")})
+
+    hist = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(_hist, batch_format="pandas", batch_size=1024)
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= 2^n_planes rows
+    )
+    sizes = dict(zip(hist["bucket"].astype(int), hist["n"].astype(int)))
+    masks = _lsh_probe_masks(n_planes, multiprobe_bits)
+    rows = []
+    for qid, b in zip(q_ids, _bucket(q_mat)):
+        probe = {int(b) ^ m for m in masks}
+        rows.append((int(qid), len(probe), sum(sizes.get(p, 0) for p in probe)))
+    return pd.DataFrame(
+        rows, columns=["query_id", "n_probed", "n_candidates"]
+    ).astype("int64")
+
+
+def ann_ivf_stats(sf_dir: str, n_queries: int = 10, nprobe: int = 6) -> pd.DataFrame:
+    """Exact-integer bounds of the default :func:`ann_ivf` configuration,
+    DuckDB-checkable: per query, probed-partition count and candidate-set
+    size (vectors assigned to the query's ``nprobe`` nearest centroid
+    partitions). Assignment/probing is scale-invariant in the vector norm,
+    so the SQL oracle recomputes centroids, assignments and probe sets
+    from the raw embeddings. Columns: query_id, n_probed, n_candidates.
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    cents = _ivf_centroids(path)
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        cell = np.argmax(_emb_matrix(df) @ cents.T, axis=1)
+        u, c = np.unique(cell, return_counts=True)
+        return pd.DataFrame({"cell": u.astype("int64"), "n": c.astype("int64")})
+
+    hist = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(_hist, batch_format="pandas", batch_size=1024)
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= n_labels rows
+    )
+    sizes = dict(zip(hist["cell"].astype(int), hist["n"].astype(int)))
+    q_ids, q_mat = _load_queries(path, n_queries)
+    q_scores = q_mat @ cents.T
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        top = np.argsort(-q_scores[qi])[: min(nprobe, len(cents))]
+        rows.append(
+            (int(qid), len(top), sum(sizes.get(int(b), 0) for b in top))
+        )
+    return pd.DataFrame(
+        rows, columns=["query_id", "n_probed", "n_candidates"]
+    ).astype("int64")
 
 
 def ann_recall(sf_dir: str, floor_pct: int = 70) -> pd.DataFrame:
