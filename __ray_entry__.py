@@ -595,6 +595,44 @@ _KNN_SQL = """
 """
 
 
+def _token_count_bpe_sql() -> str:
+    """DuckDB recomputation of token_count_bpe including GENUINE BPE merge
+    application: the shipped 80-merge table (a pretrained constant, see
+    yomitoku_ray/functions/bpe.py) replays as nested non-overlapping
+    replace() calls over each distinct word's space-separated character
+    sequence — exactly the engine's vectorized apply. Subtoken count =
+    number of separators in the merged sequence."""
+    from yomitoku_ray.functions.bpe import DEFAULT_MERGES
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "regexp_replace(w, '(.)', ' \\1', 'g')"
+    for a, b in DEFAULT_MERGES:
+        expr = f"replace({expr}, ' {q(a)} {q(b)}', ' {q(a)}{q(b)}')"
+    return rf"""
+        WITH wd AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS w
+            FROM documents
+        ),
+        uw AS (SELECT DISTINCT w FROM wd),
+        merged AS (SELECT w, {expr} AS s FROM uw),
+        cnt AS (SELECT w, CAST(length(s) - length(replace(s, ' ', '')) AS BIGINT) AS nt
+                FROM merged),
+        per_doc AS (
+            SELECT wd.doc_id, CAST(SUM(cnt.nt) AS BIGINT) AS n_sub
+            FROM wd JOIN cnt ON cnt.w = wd.w GROUP BY wd.doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
+               COALESCE(p.n_sub, 0) AS n_bpe_subtokens
+        FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """
+
+
 def _ann_lsh_stats_sql() -> str:
     """DuckDB recomputation of ann_lsh_stats: the index's hyperplanes are
     CONSTANTS (RandomState(11), dim 64 = the testdata embedding dim), so
@@ -876,13 +914,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN cum ON cum.c >= -((-p.pct * cum.total) // 100)
             GROUP BY p.pct
         """,
-        "token_count_bpe": r"""
-            SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
-            FROM documents
-        """,
+        "token_count_bpe": _token_count_bpe_sql(),
         # Winnowing fingerprints: window-minima over md5_number_upper token
         # hashes — the exact numbers the Ray kernel computes.
         "winnow_fingerprints": r"""

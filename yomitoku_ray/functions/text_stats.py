@@ -175,18 +175,35 @@ _BPE_RE = re.compile(BPE_TOKEN_REGEX)
 
 
 def token_count_bpe(sf_dir: str) -> ray.data.Dataset:
-    """Subword-style token counts: whitespace tokens vs BPE-ish pre-token
-    runs per doc (both counts SQL-replicated verbatim by the oracle)."""
+    """Subword token counts per doc: whitespace tokens, BPE pre-token runs,
+    and GENUINE post-merge BPE subtokens (the shipped 80-merge table from
+    :mod:`.bpe`, applied vectorized to the batch's unique words). All three
+    counts are SQL-replicated verbatim by the oracle — the merge table is a
+    pretrained constant, so the oracle replays it as nested replace()."""
 
     def _batch(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from .bpe import _BPE_RE, bpe_token_counts
+
         text = df["text"].fillna("")
+        toks = text.map(_BPE_RE.findall)
+        lens = toks.map(len).to_numpy("int64")
+        n_sub = np.zeros(len(df), dtype=np.int64)
+        if lens.sum():
+            words = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+            di = np.repeat(np.arange(len(df)), lens)
+            uniq, inv = np.unique(words.astype(str), return_inverse=True)
+            per_word = bpe_token_counts(pd.Series(uniq))
+            np.add.at(n_sub, di, per_word[inv])
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
                 "n_ws_tokens": text.str.strip().str.split(_TOKEN_SPLIT).map(
                     lambda t: len(t) if t != [""] else 0
                 ).astype("int64"),
-                "n_bpe_tokens": text.str.count(BPE_TOKEN_REGEX).astype("int64"),
+                "n_bpe_tokens": lens,
+                "n_bpe_subtokens": n_sub,
             }
         )
 
