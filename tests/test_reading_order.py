@@ -103,3 +103,56 @@ def test_small_graph_twin_matches_numpy_exhaustively():
                 assert e1 == e2, (direction, n_nodes, trial, b1)
                 assert d1 == d2, (direction, n_nodes, trial, b1)
                 assert o1 == o2, (direction, n_nodes, trial, b1)
+
+
+def test_chain_fast_path_bit_identity():
+    """_chain_order must agree with the full graph+DFS path exactly on
+    every configuration it accepts (random chains and random layouts)."""
+    import numpy as np
+
+    import yomitoku_ray.kernels.reading_order as ro
+
+    class El:
+        __slots__ = ("box", "order")
+
+        def __init__(s, b):
+            s.box = list(b)
+            s.order = -1
+
+    def full_order(boxes, d):
+        nodes = [ro.Node(i, {"box": list(b)}) for i, b in enumerate(boxes)]
+        ro._build_graph(nodes, d)
+        return ro._priority_dfs(nodes, d)
+
+    rng = np.random.default_rng(5)
+    n_chains = 0
+    for trial in range(1200):
+        n = int(rng.integers(2, 12))
+        d = ["top2bottom", "left2right", "right2left"][trial % 3]
+        boxes = []
+        if trial % 4 == 0:  # deliberate chain
+            pos = 0
+            for _ in range(n):
+                w = int(rng.integers(5, 60))
+                if d == "top2bottom":
+                    boxes.append(
+                        [int(rng.integers(0, 30)), pos,
+                         int(rng.integers(100, 200)), pos + w]
+                    )
+                else:
+                    y1 = int(rng.integers(0, 5))
+                    boxes.append([pos, y1, pos + w, y1 + int(rng.integers(20, 26))])
+                pos += w + int(rng.integers(1, 20))
+        else:  # random layout
+            for _ in range(n):
+                x1 = int(rng.integers(0, 200))
+                y1 = int(rng.integers(0, 200))
+                boxes.append(
+                    [x1, y1, x1 + int(rng.integers(5, 80)), y1 + int(rng.integers(5, 40))]
+                )
+        chain = ro._chain_order([El(b) for b in boxes], d)
+        if chain is None:
+            continue
+        n_chains += 1
+        assert list(chain) == list(full_order(boxes, d)), (d, boxes)
+    assert n_chains > 200  # the fast path must actually trigger

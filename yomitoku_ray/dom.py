@@ -11,7 +11,6 @@ document must produce an error row, never kill a block —
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from html.parser import HTMLParser
 from typing import List, Optional
 
@@ -42,13 +41,26 @@ _AUTOCLOSE_MAP = {
 _RAWTEXT = {"script", "style"}
 
 
-@dataclass
 class DomNode:
-    tag: str  # "#text" for text nodes, "#root" for the root
-    attrs: dict = field(default_factory=dict)
-    children: List["DomNode"] = field(default_factory=list)
-    text: str = ""
-    parent: Optional["DomNode"] = None
+    """DOM node ("#text" for text nodes, "#root" for the root). Plain
+    __slots__ class, hand-written init: this is the hottest allocation in
+    the extract stage (one per tag/text run per page)."""
+
+    __slots__ = ("tag", "attrs", "children", "text", "parent")
+
+    def __init__(
+        self,
+        tag: str,
+        attrs: Optional[dict] = None,
+        children: Optional[List["DomNode"]] = None,
+        text: str = "",
+        parent: Optional["DomNode"] = None,
+    ):
+        self.tag = tag
+        self.attrs = {} if attrs is None else attrs
+        self.children = [] if children is None else children
+        self.text = text
+        self.parent = parent
 
     def append(self, node: "DomNode"):
         node.parent = self
@@ -132,16 +144,19 @@ class _TreeBuilder(HTMLParser):
         if tag in _RAWTEXT:
             self._raw_skip += 1
             return
-        self._autoclose_for(tag)
-        node = DomNode(tag, dict(attrs))
-        self.top.append(node)
+        if tag in _AUTOCLOSE_MAP:
+            self._autoclose_for(tag)
+        node = DomNode(tag, dict(attrs) if attrs else {})
+        top = self.stack[-1]
+        node.parent = top
+        top.children.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
         if self._raw_skip:
             return
-        self.top.append(DomNode(tag, dict(attrs)))
+        self.top.append(DomNode(tag, dict(attrs) if attrs else {}))
 
     def handle_endtag(self, tag):
         if tag in _RAWTEXT:
@@ -161,11 +176,15 @@ class _TreeBuilder(HTMLParser):
             return
         if not data or data.isspace():
             return
-        self.top.append(DomNode("#text", text=data))
+        node = DomNode("#text", text=data)
+        top = self.stack[-1]
+        node.parent = top
+        top.children.append(node)
 
 
-def parse_html(text: str) -> DomNode:
-    """Best-effort parse; never raises on malformed markup."""
+def parse_html_stdlib(text: str) -> DomNode:
+    """Reference parse via html.parser (the equivalence baseline for the
+    fast tokenizer; also the fallback). Never raises on malformed markup."""
     builder = _TreeBuilder()
     try:
         builder.feed(text)
@@ -175,3 +194,25 @@ def parse_html(text: str) -> DomNode:
         # inputs — return whatever tree was built so far.
         pass
     return builder.root
+
+
+def parse_html(text: str) -> DomNode:
+    """Best-effort parse; never raises on malformed markup.
+
+    Default path is the flat fast tokenizer (fast_html.feed_events), which
+    emits the same event stream as html.parser without its line-tracking
+    overhead (~2x on the headline stage; tree-identity pinned by
+    tests/test_fast_html.py). A mirrored stdlib abort (unknown marked
+    section) yields the same partial tree; any OTHER scanner exception
+    falls back to a full stdlib parse.
+    """
+    from .fast_html import feed_events
+
+    builder = _TreeBuilder()
+    try:
+        feed_events(text, builder)
+        return builder.root
+    except ValueError:
+        return builder.root  # mirrored stdlib abort -> same partial tree
+    except Exception:
+        return parse_html_stdlib(text)
