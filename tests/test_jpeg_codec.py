@@ -70,10 +70,14 @@ def test_errors_are_jpeg_error():
         decode_jpeg(b"not a jpeg at all")
     with pytest.raises(JpegError):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
-    # progressive SOF2 rejected explicitly
+    # SOF2 with a baseline-shaped scan (Ss=0, Se=63) is invalid per T.81
     blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     i = bytes(blob).find(b"\xff\xc0")
     blob[i + 1] = 0xC2
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(blob))
+    # arithmetic-coded SOF9 stays an explicit unsupported error
+    blob[i + 1] = 0xC9
     with pytest.raises(JpegError):
         decode_jpeg(bytes(blob))
 
@@ -132,3 +136,57 @@ def test_backend_decodes_jpeg():
     out = DecoderBackend(mode="strict").decode_image(encode_jpeg(px, 95))
     assert out.shape == (12, 12, 3)
     assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 1
+
+
+class TestProgressive:
+    """SOF2 decode: spectral selection + successive approximation must
+    reproduce the baseline encoding's pixels exactly (same coefficients,
+    reordered across scans)."""
+
+    def _check(self, img, sub, succ, q=90):
+        from yomitoku_ray.kernels.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        blob = encode_jpeg_progressive(img, quality=q, subsample=sub, successive=succ)
+        assert blob[:2] == b"\xff\xd8" and b"\xff\xc2" in blob[:200]  # SOF2
+        assert np.array_equal(decode_jpeg(blob), base)
+
+    def test_grayscale_spectral(self):
+        rng = np.random.default_rng(10)
+        self._check(rng.integers(0, 256, (24, 40), dtype=np.uint8), False, False)
+
+    def test_grayscale_successive(self):
+        rng = np.random.default_rng(11)
+        self._check(rng.integers(0, 256, (24, 40), dtype=np.uint8), False, True)
+
+    def test_color_444_successive(self):
+        rng = np.random.default_rng(12)
+        self._check(rng.integers(0, 256, (40, 56, 3), dtype=np.uint8), False, True)
+
+    def test_color_420_successive_odd_dims(self):
+        rng = np.random.default_rng(13)
+        self._check(rng.integers(0, 256, (37, 29, 3), dtype=np.uint8), True, True, q=70)
+
+    def test_color_420_spectral(self):
+        rng = np.random.default_rng(14)
+        self._check(rng.integers(0, 256, (32, 48, 3), dtype=np.uint8), True, False)
+
+    def test_smooth_image_quality(self):
+        # low-frequency content: progressive decode stays visually exact
+        x = np.linspace(0, 255, 64, dtype=np.uint8)
+        img = np.repeat(x[None, :], 48, axis=0)
+        self._check(np.stack([img, img[:, ::-1], img], axis=-1), False, True)
+
+    def test_strict_backend_decodes_progressive(self):
+        from yomitoku_ray.kernels.jpeg import encode_jpeg_progressive
+        from yomitoku_ray.stages.multimodal import DecoderBackend
+
+        rng = np.random.default_rng(15)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        blob = encode_jpeg_progressive(img, successive=True)
+        px = DecoderBackend(mode="strict").decode_image(blob)
+        assert px.shape == (16, 16, 3)

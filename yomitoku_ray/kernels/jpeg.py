@@ -277,16 +277,16 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 values = list(seg[i + 17 : i + 17 + cnt])
                 (huff_ac if cls else huff_dc)[tid] = _HuffTree(bits, values)
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2(progressive)
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError(f"unsupported SOF marker 0xFF{marker:02X} (not baseline)")
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -294,15 +294,40 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
             sel = {}
+            scomps = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
                 sel[cid] = (tabs >> 4, tabs & 0xF)
-            return _decode_scan(blob, nxt, frame, sel, qt, huff_dc, huff_ac, restart_interval)
+                scomps.append(cid)
+            if not frame["progressive"]:
+                return _decode_scan(
+                    blob, nxt, frame, sel, qt, huff_dc, huff_ac, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            _alloc_coefs(frame, qt)
+            try:
+                pos = _decode_progressive_scan(
+                    blob, nxt, frame, scomps, sel, huff_dc, huff_ac,
+                    ss, se, ahal >> 4, ahal & 0xF, restart_interval,
+                )
+            except JpegError:
+                if not frame.get("any_scan"):
+                    raise  # nothing decoded at all: hard error
+                break  # truncated later scan: reconstruct what we have
+            frame["any_scan"] = True
+            continue
         pos = nxt
+    if frame is not None and frame.get("progressive") and frame.get("any_scan"):
+        return _reconstruct(frame, qt)
     raise JpegError("no scan data")
 
 
-def _decode_scan(blob, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
+def _alloc_coefs(frame, qt):
+    """Compute MCU geometry and allocate per-component coefficient arrays
+    (idempotent; shared by the baseline and progressive paths)."""
+    if frame.get("alloc"):
+        return
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
     if w == 0 or h == 0:
@@ -311,15 +336,30 @@ def _decode_scan(blob, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
         raise JpegError("bad sampling factors")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = mcux = -(-w // (8 * hmax))
+    frame["mcuy"] = mcuy = -(-h // (8 * vmax))
     for c in comps:
-        c["bw"] = mcux * c["h"]  # blocks per row
+        c["bw"] = mcux * c["h"]  # blocks per row (interleaved geometry)
         c["bh"] = mcuy * c["v"]
+        # non-interleaved scan geometry (true component block counts)
+        comp_w = -(-(w * c["h"]) // hmax)
+        comp_h = -(-(h * c["v"]) // vmax)
+        c["nbw"] = -(-comp_w // 8)
+        c["nbh"] = -(-comp_h // 8)
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        c["pred"] = 0
         if c["tq"] not in qt:
             raise JpegError("missing quant table")
+    frame["alloc"] = True
+
+
+def _decode_scan(blob, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
+    comps = frame["comps"]
+    _alloc_coefs(frame, qt)
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+
+    for c in comps:
         if c["id"] not in sel:
             raise JpegError("scan lacks component")
         dc_id, ac_id = sel[c["id"]]
@@ -350,6 +390,13 @@ def _decode_scan(blob, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
             raise  # nothing decoded: hard error
         # truncated stream: decoded prefix stands (browser behavior)
 
+    return _reconstruct(frame, qt)
+
+
+def _reconstruct(frame, qt):
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in comps:
         coef = c["coef"] * qt[c["tq"]][None, :]  # both in zigzag order
@@ -374,6 +421,171 @@ def _decode_scan(blob, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _find_next_marker(blob, pos):
+    """Position of the next real marker (skips stuffed 0xFF00 and RSTn)."""
+    n = len(blob)
+    while pos + 1 < n:
+        if blob[pos] == 0xFF and blob[pos + 1] != 0x00 and not (
+            0xD0 <= blob[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(
+    blob, pos, frame, scomps, sel, huff_dc, huff_ac, ss, se, ah, al, restart_interval
+):
+    """One SOF2 scan (spectral selection ss..se, successive approximation
+    ah->al) into the persistent coefficient arrays. Algorithm parity:
+    ITU T.81 G.2 / libjpeg's decode_mcu_{DC,AC}_{first,refine}. Returns the
+    stream position after the scan's entropy data."""
+    if (ss == 0) != (se == 0) or se > 63 or ss > 63 or ah > 13 or al > 13:
+        raise JpegError("invalid progressive scan parameters")
+    comps = {c["id"]: c for c in frame["comps"]}
+    scan = [comps[cid] for cid in scomps if cid in comps]
+    if len(scan) != len(scomps):
+        raise JpegError("scan references unknown component")
+    for c in scan:
+        dc_id, ac_id = sel[c["id"]]
+        if ss == 0:
+            if dc_id not in huff_dc and ah == 0:
+                raise JpegError("missing huffman table")
+            c["dct"] = huff_dc.get(dc_id)
+        else:
+            if ac_id not in huff_ac:
+                raise JpegError("missing huffman table")
+            c["act"] = huff_ac[ac_id]
+        c["pred"] = 0
+
+    br = _BitReader(blob, pos)
+    state = {"eobrun": 0}
+
+    def _restart_check(unit_count):
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            br.align_to_restart()
+            state["eobrun"] = 0
+            for c in scan:
+                c["pred"] = 0
+
+    if ss == 0:
+        # DC scan: interleaved over MCUs when ns > 1; a single-component
+        # scan is always non-interleaved (T.81 A.2).
+        if len(scan) > 1:
+            units = 0
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    _restart_check(units)
+                    for c in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                idx = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                                _dc_prog_block(br, c, idx, ah, al)
+                    units += 1
+        else:
+            c = scan[0]
+            units = 0
+            for row in range(c["nbh"]):
+                for col in range(c["nbw"]):
+                    _restart_check(units)
+                    _dc_prog_block(br, c, row * c["bw"] + col, ah, al)
+                    units += 1
+    else:
+        if len(scan) != 1:
+            raise JpegError("progressive AC scan must be single-component")
+        c = scan[0]
+        units = 0
+        for row in range(c["nbh"]):
+            for col in range(c["nbw"]):
+                _restart_check(units)
+                block = c["coef"][row * c["bw"] + col]
+                if ah == 0:
+                    _ac_first_block(br, c["act"], block, ss, se, al, state)
+                else:
+                    _ac_refine_block(br, c["act"], block, ss, se, al, state)
+                units += 1
+    return _find_next_marker(blob, br.pos)
+
+
+def _dc_prog_block(br, c, idx, ah, al):
+    block = c["coef"][idx]
+    if ah == 0:  # first DC scan: huffman diff, shifted left by al
+        s = c["dct"].decode(br)
+        diff = _extend(br.read_bits(s), s) if s else 0
+        c["pred"] += diff
+        block[0] = c["pred"] << al
+    else:  # refinement: one bit per block
+        if br.read_bit():
+            block[0] |= 1 << al
+
+
+def _ac_first_block(br, act, block, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = act.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eob = 1 << r
+                if r:
+                    eob += br.read_bits(r)
+                state["eobrun"] = eob - 1  # this block is part of the run
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise JpegError("AC index overflow")
+        block[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(br, act, block, ss, se, al, state):
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = act.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eob = 1 << r
+                    if r:
+                        eob += br.read_bits(r)
+                    state["eobrun"] = eob
+                    break
+                # r == 15: run of 16 zero-history coefficients
+            else:
+                s = p1 if br.read_bit() else m1
+            while k <= se:
+                z = block[k]
+                if z != 0:
+                    if br.read_bit():
+                        if (z & p1) == 0:
+                            block[k] = z + (p1 if z >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                block[k] = s
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = block[k]
+            if z != 0:
+                if br.read_bit():
+                    if (z & p1) == 0:
+                        block[k] = z + (p1 if z >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
 
 
 def _decode_block(br, c, block_idx):
@@ -449,14 +661,10 @@ def _size_of(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
-    """(H, W) or (H, W, 3) uint8 -> baseline JFIF bytes (Annex K tables).
-
-    ``subsample=False`` -> 4:4:4; ``subsample=True`` -> 4:2:0 (Y at full
-    resolution, box-mean-pooled chroma, 2x2 Y blocks per MCU) — exists so
-    the decoder's sampling-factor/upsampling path has a self-contained
-    test generator.
-    """
+def _prepare_encode(px: np.ndarray, quality: int, subsample: bool, sof_marker: int):
+    """Shared encoder front half: color transform, quantized coefficients,
+    and all headers through DHT (SOF marker selectable: 0xC0 baseline /
+    0xC2 progressive)."""
     px = np.asarray(px)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -499,7 +707,9 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, subsample: bool = False) -> b
     for cid in range(ch):
         hv = 0x22 if (sub and cid == 0) else 0x11
         comps_hdr += bytes([cid + 1, hv, 0 if cid == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ch, 8, h, w, ch) + comps_hdr
+    out += bytes([0xFF, sof_marker]) + struct.pack(
+        ">HBHHB", 8 + 3 * ch, 8, h, w, ch
+    ) + comps_hdr
     # DHT
     for cls, tables in ((0, [_DC_LUMA, _DC_CHROMA]), (1, [_AC_LUMA, _AC_CHROMA])):
         for tid in range(2 if ch == 3 else 1):
@@ -511,12 +721,6 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, subsample: bool = False) -> b
                 + bytes(bits)
                 + bytes(values)
             )
-    # SOS
-    sos = bytes([ch])
-    for cid in range(ch):
-        t = 0 if cid == 0 else 1
-        sos += bytes([cid + 1, (t << 4) | t])
-    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ch) + sos + b"\x00\x3f\x00"
 
     # MCU geometry: block-grid width/height per component
     if sub:
@@ -541,25 +745,236 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, subsample: bool = False) -> b
         div = qtabs[ci][ZIGZAG].astype(np.float64)
         comp_coef.append(np.round(coef / div[None, :]).astype(np.int64))
 
+    return {
+        "out": out,
+        "comp_coef": comp_coef,
+        "grids": grids,
+        "per_mcu": per_mcu,
+        "mcux": mcux,
+        "mcuy": mcuy,
+        "ch": ch,
+        "sub": sub,
+        "w": w,
+        "h": h,
+        "enc_dc": enc_dc,
+        "enc_ac": enc_ac,
+    }
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
+    """(H, W) or (H, W, 3) uint8 -> baseline JFIF bytes (Annex K tables).
+
+    ``subsample=False`` -> 4:4:4; ``subsample=True`` -> 4:2:0 (Y at full
+    resolution, box-mean-pooled chroma, 2x2 Y blocks per MCU) — exists so
+    the decoder's sampling-factor/upsampling path has a self-contained
+    test generator.
+    """
+    st = _prepare_encode(px, quality, subsample, 0xC0)
+    ch, sub = st["ch"], st["sub"]
+    out = st["out"]
+    # SOS
+    sos = bytes([ch])
+    for cid in range(ch):
+        t = 0 if cid == 0 else 1
+        sos += bytes([cid + 1, (t << 4) | t])
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ch) + sos + b"\x00\x3f\x00"
+
     bw_ = _BitWriter()
     pred = [0] * ch
-    v_per = [mcu_blocks[ci] for ci in range(ch)]  # noqa: F841 (doc aid)
-    for my in range(mcuy):
-        for mx in range(mcux):
+    for my in range(st["mcuy"]):
+        for mx in range(st["mcux"]):
             for ci in range(ch):
-                gh, gw = grids[ci]
+                gh, gw = st["grids"][ci]
                 fy = 2 if (sub and ci == 0) else 1
-                for by, bx in per_mcu[ci]:
+                for by, bx in st["per_mcu"][ci]:
                     row = my * fy + by
                     col = mx * fy + bx
                     t = 0 if ci == 0 else 1
                     _encode_block(
-                        bw_, comp_coef[ci][row * gw + col], pred, ci, enc_dc[t], enc_ac[t]
+                        bw_,
+                        st["comp_coef"][ci][row * gw + col],
+                        pred,
+                        ci,
+                        st["enc_dc"][t],
+                        st["enc_ac"][t],
                     )
     bw_.flush()
     out += bw_.buf
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    successive: bool = False,
+) -> bytes:
+    """(H, W[, 3]) uint8 -> progressive (SOF2) JFIF bytes.
+
+    ``successive=False``: spectral selection only (interleaved DC scan +
+    one full AC scan per component). ``successive=True`` adds successive
+    approximation (Al=1 first scans, then DC/AC refinement scans) —
+    exercising all four progressive scan kinds of the decoder. Pixel
+    output is identical to the baseline encoding at the same settings
+    (same quantized coefficients, just reordered across scans).
+    """
+    st = _prepare_encode(px, quality, subsample, 0xC2)
+    ch, sub = st["ch"], st["sub"]
+    out = st["out"]
+    w, h = st["w"], st["h"]
+    hmax = 2 if sub else 1
+    nb = []  # non-interleaved block geometry per component
+    for ci in range(ch):
+        hi = 2 if (sub and ci == 0) else 1
+        nb.append(
+            (-(-(-(-(h * hi) // hmax)) // 8), -(-(-(-(w * hi) // hmax)) // 8))
+        )
+
+    def sos(comp_ids, ss, se, ah, al):
+        seg = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            t = 0 if cid == 0 else 1
+            seg += bytes([cid + 1, (t << 4) | t])
+        return (
+            b"\xff\xda"
+            + struct.pack(">H", 6 + 2 * len(comp_ids))
+            + seg
+            + bytes([ss, se, (ah << 4) | al])
+        )
+
+    def dc_scan(al, refine):
+        nonlocal out
+        out += sos(list(range(ch)), 0, 0, 1 if refine else 0, al)
+        bw_ = _BitWriter()
+        pred = [0] * ch
+        for my in range(st["mcuy"]):
+            for mx in range(st["mcux"]):
+                for ci in range(ch):
+                    _gh, gw = st["grids"][ci]
+                    fy = 2 if (sub and ci == 0) else 1
+                    for by, bx in st["per_mcu"][ci]:
+                        v0 = int(st["comp_coef"][ci][(my * fy + by) * gw + (mx * fy + bx)][0])
+                        if refine:
+                            bw_.write((v0 >> al) & 1, 1)
+                            continue
+                        v = v0 >> al
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = _size_of(diff)
+                        code, length = st["enc_dc"][0 if ci == 0 else 1][s]
+                        bw_.write(code, length)
+                        if s:
+                            bw_.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw_.flush()
+        out += bw_.buf
+
+    def ac_scans(al, refine):
+        nonlocal out
+        for ci in range(ch):
+            out += sos([ci], 1, 63, 1 if refine else 0, al)
+            bw_ = _BitWriter()
+            _gh, gw = st["grids"][ci]
+            nbh, nbw = nb[ci]
+            tab = st["enc_ac"][0 if ci == 0 else 1]
+            for row in range(nbh):
+                for col in range(nbw):
+                    zz = st["comp_coef"][ci][row * gw + col]
+                    if refine:
+                        _enc_ac_refine_block(bw_, tab, zz, al)
+                    else:
+                        _enc_ac_first_block(bw_, tab, zz, al)
+            bw_.flush()
+            out += bw_.buf
+
+    al_first = 1 if successive else 0
+    dc_scan(al_first, refine=False)
+    ac_scans(al_first, refine=False)
+    if successive:
+        dc_scan(0, refine=True)
+        ac_scans(0, refine=True)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_ac_first_block(bw, ac_tab, zz, al):
+    """AC-first progressive scan for one block: baseline RLE over the
+    point-transformed magnitudes t = sign(v) * (|v| >> al)."""
+    ts = [0] * 64
+    last_nz = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        t = (v >> al) if v >= 0 else -((-v) >> al)
+        ts[k] = t
+        if t:
+            last_nz = k
+    run = 0
+    for k in range(1, last_nz + 1):
+        t = ts[k]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s = _size_of(t)
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(t if t > 0 else t + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tab[0x00]
+        bw.write(code, length)  # EOB (EOBRUN = 1)
+
+
+def _enc_ac_refine_block(bw, ac_tab, zz, al):
+    """AC refinement scan for one block (Ah = al+1 -> Al = al): newly
+    nonzero coefficients (|v|>>al == 1) get run-coded with a sign bit;
+    already-nonzero history coefficients contribute one correction bit
+    each, emitted in stream position right after the next symbol —
+    the exact bit order the decoder's advance loop consumes."""
+    absv = [0] * 64
+    eob = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        t = (v if v >= 0 else -v) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k  # index of the LAST newly-nonzero coefficient
+    run = 0
+    br_bits = []
+    for k in range(1, 64):
+        t = absv[k]
+        if t == 0:
+            run += 1
+            continue
+        # Emit required ZRLs at ANY nonzero arrival (history included),
+        # but never past the last new coefficient (folded into EOB) —
+        # jcphuff.c's exact rule; anything else desyncs the correction-bit
+        # interleave the decoder's advance loop expects.
+        while run > 15 and k <= eob:
+            code, length = ac_tab[0xF0]
+            bw.write(code, length)
+            run -= 16
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+        if t > 1:  # history coefficient: buffered correction bit
+            br_bits.append(t & 1)
+            continue
+        code, length = ac_tab[(run << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits = []
+        run = 0
+    if run > 0 or br_bits:
+        code, length = ac_tab[0x00]
+        bw.write(code, length)  # EOB (EOBRUN = 1)
+        for b in br_bits:
+            bw.write(b, 1)
 
 
 def _enc_table(bits, values):

@@ -87,10 +87,11 @@ def sniff_image_meta(blob: bytes) -> dict:
 
 
 class DecoderBackend:
-    """Pixel-decode: REAL for PNG/GIF/baseline-JPEG (pure zlib+numpy
-    codecs in kernels/); a seam only for formats beyond them (webp,
-    progressive jpeg, ...) — NotImplementedError in strict mode,
-    deterministic fake pixels in fake mode."""
+    """Pixel-decode: REAL for PNG/GIF/JPEG — baseline AND progressive
+    SOF2 incl. successive approximation (pure zlib+numpy codecs in
+    kernels/); a seam only for formats beyond them (webp, arithmetic
+    jpeg, ...) — NotImplementedError in strict mode, deterministic fake
+    pixels in fake mode."""
 
     def __init__(self, mode: str = "strict"):
         if mode not in ("strict", "fake"):
@@ -98,7 +99,8 @@ class DecoderBackend:
         self.mode = mode
 
     def decode_image(self, blob: bytes) -> np.ndarray:
-        """blob -> (H, W, C) uint8 pixels (PNG, GIF, baseline JPEG)."""
+        """blob -> (H, W, C) uint8 pixels (PNG, GIF, baseline or
+        progressive JPEG)."""
         try:
             return decode_png(blob)
         except PngError:
@@ -118,7 +120,7 @@ class DecoderBackend:
             pass
         if self.mode == "strict":
             raise NotImplementedError(
-                "image decode beyond PNG/GIF/baseline-JPEG requires a codec "
+                "image decode beyond PNG/GIF/JPEG requires a codec "
                 "library not present in this container; run with "
                 "DecoderBackend(mode='fake') for the deterministic stand-in"
             )

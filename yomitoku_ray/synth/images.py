@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels.gif import encode_gif
-from ..kernels.jpeg import encode_jpeg
+from ..kernels.jpeg import encode_jpeg, encode_jpeg_progressive
 from ..kernels.png import encode_png
 
 IMAGES_SCHEMA = pa.schema(
@@ -44,21 +44,34 @@ def gen_image(i: int) -> dict:
         a, b = rng.randint(0, 256, 3, dtype=np.uint8), rng.randint(0, 256, 3, dtype=np.uint8)
         mask = ((np.arange(h)[:, None] // 2 + np.arange(w)[None, :] // 2) % 2).astype(bool)
         px = np.where(mask[:, :, None], a[None, None, :], b[None, None, :]).astype(np.uint8)
-    enc = i % 4
+    enc = i % 6
     if enc == 0:
         return {"img_id": i, "image": encode_png(px), "kind": "png"}
     if enc == 1:
         return {"img_id": i, "image": encode_gif(px), "kind": "gif"}
     if enc == 2:
         return {"img_id": i, "image": encode_jpeg(px, quality=95), "kind": "jpeg"}
+    if enc == 3:
+        return {
+            "img_id": i,
+            "image": encode_jpeg(px, quality=95, subsample=True),
+            "kind": "jpeg420",
+        }
+    if enc == 4:  # progressive, spectral selection only
+        return {
+            "img_id": i,
+            "image": encode_jpeg_progressive(px, quality=95),
+            "kind": "jpegprog",
+        }
+    # progressive with successive approximation + 4:2:0 (all scan kinds)
     return {
         "img_id": i,
-        "image": encode_jpeg(px, quality=95, subsample=True),
-        "kind": "jpeg420",
+        "image": encode_jpeg_progressive(px, quality=95, subsample=True, successive=True),
+        "kind": "jpegprogsa",
     }
 
 
-def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v2") -> str:
+def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v3") -> str:
     import pyarrow.parquet as pq
 
     from .pages import rows_for_sf_dir
