@@ -77,6 +77,21 @@ def sniff_image_meta(blob: bytes) -> dict:
     elif blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
         fmt = "gif"
         w, h = struct.unpack("<HH", blob[6:10])
+    elif blob[:2] == b"BM" and len(blob) >= 26:
+        fmt = "bmp"
+        w, hs = struct.unpack("<ii", blob[18:26])
+        h = abs(hs)
+    elif blob[:4] in (b"II*\x00", b"MM\x00*"):
+        fmt = "tiff"
+        try:
+            from ..kernels.tiff import _H, _W, _read_ifd
+
+            bo = "<" if blob[:2] == b"II" else ">"
+            tags, _ = _read_ifd(blob, struct.unpack(bo + "I", blob[4:8])[0], bo)
+            w = tags.get(_W, [-1])[0]
+            h = tags.get(_H, [-1])[0]
+        except Exception:
+            w = h = -1
     return {
         "format": fmt,
         "width": int(w),
@@ -117,6 +132,19 @@ class DecoderBackend:
             px = decode_jpeg(blob)
             return px[:, :, None] if px.ndim == 2 else px
         except JpegError:
+            pass
+        from ..kernels.bmp import BmpError, decode_bmp
+
+        try:
+            return decode_bmp(blob)
+        except BmpError:
+            pass
+        from ..kernels.tiff import TiffError, decode_tiff
+
+        try:
+            return decode_tiff(blob)[0]  # first page (load_pdf-style paging
+            # is the paged source's job; features use page 0)
+        except TiffError:
             pass
         if self.mode == "strict":
             raise NotImplementedError(

@@ -13,9 +13,11 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from ..kernels.bmp import encode_bmp
 from ..kernels.gif import encode_gif
 from ..kernels.jpeg import encode_jpeg, encode_jpeg_progressive
 from ..kernels.png import encode_png
+from ..kernels.tiff import encode_tiff
 
 IMAGES_SCHEMA = pa.schema(
     [
@@ -44,7 +46,7 @@ def gen_image(i: int) -> dict:
         a, b = rng.randint(0, 256, 3, dtype=np.uint8), rng.randint(0, 256, 3, dtype=np.uint8)
         mask = ((np.arange(h)[:, None] // 2 + np.arange(w)[None, :] // 2) % 2).astype(bool)
         px = np.where(mask[:, :, None], a[None, None, :], b[None, None, :]).astype(np.uint8)
-    enc = i % 6
+    enc = i % 8
     if enc == 0:
         return {"img_id": i, "image": encode_png(px), "kind": "png"}
     if enc == 1:
@@ -63,15 +65,24 @@ def gen_image(i: int) -> dict:
             "image": encode_jpeg_progressive(px, quality=95),
             "kind": "jpegprog",
         }
-    # progressive with successive approximation + 4:2:0 (all scan kinds)
+    if enc == 5:  # progressive: successive approximation + 4:2:0 (all scans)
+        return {
+            "img_id": i,
+            "image": encode_jpeg_progressive(
+                px, quality=95, subsample=True, successive=True
+            ),
+            "kind": "jpegprogsa",
+        }
+    if enc == 6:
+        return {"img_id": i, "image": encode_bmp(px), "kind": "bmp"}
     return {
         "img_id": i,
-        "image": encode_jpeg_progressive(px, quality=95, subsample=True, successive=True),
-        "kind": "jpegprogsa",
+        "image": encode_tiff([px], packbits=bool(i & 8)),
+        "kind": "tiff",
     }
 
 
-def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v3") -> str:
+def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v4") -> str:
     import pyarrow.parquet as pq
 
     from .pages import rows_for_sf_dir
