@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -96,6 +97,39 @@ def cmd_synth(args):
     print(json.dumps({"output": args.output, "rows": args.rows}))
 
 
+def cmd_visualize(args):
+    """Overlay PNGs (layout boxes + word quads + reading-order arrows) per
+    url — the analog of the reference's cv2 visualizers, distributed as a
+    map_batches stage writing one PNG per page."""
+    import ray.data
+
+    from .oracle import doc_stem_for_url
+    from .visualize import to_png, visualize_document
+
+    os.makedirs(args.output, exist_ok=True)
+    out_dir = args.output
+
+    def _render(df):
+        import pandas as pd
+
+        names, sizes = [], []
+        for _, row in df.iterrows():
+            if row.get("error") or not row.get("doc_json"):
+                continue
+            doc = json.loads(row["doc_json"])
+            png = to_png(visualize_document(doc))
+            name = doc_stem_for_url(row["url"]) + ".png"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(png)
+            names.append(name)
+            sizes.append(len(png))
+        return pd.DataFrame({"file": names, "n_bytes": sizes})
+
+    ds = ray.data.read_parquet(args.input, columns=["url", "error", "doc_json"])
+    stats = ds.limit(args.limit).map_batches(_render, batch_format="pandas").to_pandas()
+    print(json.dumps({"rendered": len(stats), "bytes": int(stats["n_bytes"].sum()) if len(stats) else 0}))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="yomitoku_ray")
     parser.add_argument("--num-cpus", type=int, default=8)
@@ -123,6 +157,14 @@ def main(argv=None):
     p.add_argument("input")
     p.add_argument("output")
     p.set_defaults(fn=cmd_ocr)
+
+    p = sub.add_parser(
+        "visualize", help="render debug overlay PNGs from extracted parquet"
+    )
+    p.add_argument("input", help="extraction output (parquet dir/file with doc_json)")
+    p.add_argument("output", help="directory for per-url overlay PNGs")
+    p.add_argument("--limit", type=int, default=100, help="max pages to render")
+    p.set_defaults(fn=cmd_visualize)
 
     p = sub.add_parser("synth", help="generate synthetic pages parquet")
     p.add_argument("output")
