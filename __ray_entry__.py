@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         suppliers_per_region,
         revenue_by_segment,
         top_parts_by_revenue,
+        top_supplier_per_nation,
         user_sessions,
     )
     from yomitoku_ray.functions.similarity import (
@@ -429,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         quality_topk,
     )
     from yomitoku_ray.functions.text_stats import (
+        bigram_coverage,
         distinctive_terms,
         corpus_prep,
         doc_stats,
@@ -460,6 +462,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": corpus_prep,
         "token_count_bpe": token_count_bpe,
         "winnow_fingerprints": winnow_fingerprints,
+        # CCNet-style LM coverage: corpus bigram table shuffle-joined to
+        # each doc's bigrams (never broadcast; table is corpus-sized)
+        "bigram_coverage": bigram_coverage,
         "top_terms": top_terms,
         # per-source exclusive vocabulary (group-wise top-k composition)
         "distinctive_terms": distinctive_terms,
@@ -514,6 +519,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": pricing_summary,
         "revenue_by_segment": revenue_by_segment,
         "top_parts_by_revenue": top_parts_by_revenue,
+        # arg-max per group over a 3-table join (combiner pre-agg + one
+        # suppkey shuffle + broadcast dimension lookup + grouped arg-max)
+        "top_supplier_per_nation": top_supplier_per_nation,
         "suppliers_per_region": suppliers_per_region,
         "orders_priority_monthly": orders_priority_monthly,
         "part_type_stats": part_type_stats,
@@ -1120,6 +1128,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_partkey
             ORDER BY revenue_cents DESC, l_partkey
             LIMIT 10
+        """,
+        "top_supplier_per_nation": f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum({base_cents} * (100 - {disc_pct})) AS BIGINT) AS revenue_cents
+                FROM lineitem GROUP BY l_suppkey
+            ),
+            j AS (
+                SELECT n.n_name, s.s_name, s.s_suppkey, rev.revenue_cents
+                FROM rev
+                JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+            )
+            SELECT n_name, s_name, revenue_cents FROM (
+                SELECT j.*, ROW_NUMBER() OVER (
+                    PARTITION BY n_name
+                    ORDER BY revenue_cents DESC, s_suppkey ASC
+                ) AS rn FROM j
+            ) WHERE rn = 1
+        """,
+        "bigram_coverage": r"""
+            WITH d AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) >= 2
+                           THEN [t[i] || ' ' || t[i+1]
+                                 for i in generate_series(1, len(t)-1)]
+                           ELSE [] END) AS g
+                FROM d
+            ),
+            cnt AS (SELECT g, COUNT(*) AS n FROM bg GROUP BY g),
+            per_doc AS (
+                SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                       SUM(CASE WHEN cnt.n >= 5 THEN 1 ELSE 0 END) AS n_common
+                FROM bg JOIN cnt ON cnt.g = bg.g GROUP BY bg.doc_id
+            )
+            SELECT docs.doc_id,
+                   CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common
+            FROM documents docs LEFT JOIN per_doc p ON p.doc_id = docs.doc_id
         """,
         "suppliers_per_region": """
             SELECT coalesce(r.r_name, 'UNKNOWN') AS r_name,

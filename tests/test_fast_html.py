@@ -107,3 +107,33 @@ def test_fuzz_tree_identity():
     for _ in range(800):
         s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
         _assert_same(s)
+
+
+# -- property-based equivalence ---------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_html_fragments = st.lists(
+    st.one_of(
+        st.text(
+            alphabet="<>/!?-=&;'\" \t\nabpqrs01汉字[]#.:,%\\x",
+            min_size=0,
+            max_size=25,
+        ),
+        st.sampled_from(
+            [
+                "<p>", "</p>", "<div class='x'>", "<br/>", "<table><tr><td>",
+                "<script>", "</script>", "<style>", "</style>", "<!-- c -->",
+                "<!doctype html>", "<![CDATA[x]]>", "<?pi?>", "&amp;", "&#65;",
+                "&unknown;", "<a href=\"u?a=1&amp;b\">", "</", "<!", "<![",
+            ]
+        ),
+    ),
+    max_size=14,
+).map("".join)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_html_fragments)
+def test_property_tree_identity(fragment):
+    _assert_same(fragment)

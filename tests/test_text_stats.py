@@ -77,3 +77,47 @@ def test_top_terms_and_percentiles(ray_session, tmp_path):
     # lengths sorted: 0, 2, 4, 6 (n=4). ceil ranks: p50 -> rank 2 -> 2;
     # p75 -> rank 3 -> 4; p99 -> rank 4 -> 6; p10 -> rank 1 -> 0.
     assert pcts[50] == 2 and pcts[75] == 4 and pcts[99] == 6 and pcts[10] == 0
+
+
+def test_bigram_coverage_exact(ray_session, tmp_path):
+    """Hand-computable corpus: 'a b' occurs 6x (common at min_count=5),
+    'b c' 2x (rare); empty and one-word docs report zeros."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yomitoku_ray.functions.text_stats import bigram_coverage
+
+    texts = [
+        "a b a b a b",     # 5 bigrams: ab,ba,ab,ba,ab -> ab x3, ba x2
+        "a b a b a b",     # same
+        "b c x",           # b c, c x
+        "b c",             # b c ... wait recount below
+        "solo",
+        "",
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = (
+        bigram_coverage(str(tmp_path), min_count=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # corpus counts: 'a b' 6, 'b a' 4, 'b c' 2, 'c x' 1
+    assert df["doc_id"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert df["n_bigrams"].tolist() == [5, 5, 2, 1, 0, 0]
+    # only 'a b' reaches min_count=5: docs 0/1 have 3 occurrences each
+    assert df["n_common"].tolist() == [3, 3, 0, 0, 0, 0]
+
+
+def test_top_supplier_per_nation_shapes(ray_session):
+    from yomitoku_ray.functions.relational import top_supplier_per_nation
+
+    df = top_supplier_per_nation("/root/testdata/sf0.001")
+    assert list(df.columns) == ["n_name", "s_name", "revenue_cents"]
+    assert df["n_name"].is_unique
+    assert (df["revenue_cents"] > 0).all()

@@ -657,3 +657,80 @@ def events_close_pairs(sf_dir: str, max_gap_minutes: int = 5) -> ray.data.Datase
         .groupby("bucket")
         .map_groups(_pairs_bucket, batch_format="pandas")
     )
+
+
+def top_supplier_per_nation(sf_dir: str) -> pd.DataFrame:
+    """Arg-max per group over a three-table join: for each nation, the
+    supplier with the highest lineitem revenue.
+
+    Scale shape: combiner pre-agg per batch (supplier partial revenues),
+    ONE groupby(l_suppkey) Sum over lineitem — the only wide shuffle; the
+    dimension side (supplier -> nation, names) is small by TPC-H
+    construction and broadcasts once via ``ray.put`` into a vectorized
+    lookup; the final per-nation arg-max runs as a groupby over the
+    supplier-count-sized revenue table, never on the driver. Ties break on
+    the lowest supplier key. Columns: n_name, s_name, revenue_cents.
+    """
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas()
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    n_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    sup_ref = ray.put(
+        (
+            dict(zip(supplier["s_suppkey"], supplier["s_name"])),
+            dict(zip(supplier["s_suppkey"], supplier["s_nationkey"])),
+        )
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = _cents(df["l_extendedprice"])
+        disc = _cents(df["l_discount"])
+        work = pd.DataFrame(
+            {"l_suppkey": df["l_suppkey"], "revenue_cents": base * (100 - disc)}
+        )
+        return work.groupby("l_suppkey", as_index=False).sum()
+
+    per_supplier = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        sname, snation = ray.get(sup_ref)
+        keys = df["l_suppkey"]
+        return pd.DataFrame(
+            {
+                "n_name": keys.map(snation).map(n_name).astype(str),
+                "s_suppkey": keys.astype("int64"),
+                "s_name": keys.map(sname).astype(str),
+                "revenue_cents": df["revenue_cents"].astype("int64"),
+            }
+        )
+
+    def _argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["revenue_cents", "s_suppkey"], ascending=[False, True])
+        top = g.head(1)
+        return pd.DataFrame(
+            {
+                "n_name": top["n_name"].astype(str).values,
+                "s_name": top["s_name"].astype(str).values,
+                "revenue_cents": top["revenue_cents"].astype("int64").values,
+            }
+        )
+
+    out = (
+        per_supplier.map_batches(_attach, batch_format="pandas")
+        .groupby("n_name")
+        .map_groups(_argmax, batch_format="pandas")
+        .to_pandas()  # one row per nation
+    )
+    return out.sort_values("n_name").reset_index(drop=True)

@@ -430,3 +430,174 @@ def distinctive_terms(sf_dir: str, top_k: int = 5) -> pd.DataFrame:
             {"source": [], "term": [], "cnt": [], "df": [], "rank": []}
         ).astype({"source": str, "term": str, "cnt": "int64", "df": "int64", "rank": "int64"})
     return out.sort_values(["source", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM coverage (CCNet-style quality filtering, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def bigram_coverage(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
+    """Per-document common-bigram coverage against a corpus bigram table —
+    the integer-exact core of CCNet/KenLM-style perplexity filtering
+    (documents whose word bigrams rarely occur in the corpus LM are noise).
+
+    Scale shape (no broadcast anywhere — the bigram table is CORPUS-sized,
+    so the doc side joins it through a SHUFFLE, not a ray.put):
+
+    1. one pass builds partial bigram counts per batch; a groupby over a
+       coarse hash of the bigram reduces them (bigram-space is zipfian
+       and pre-aggregated per batch, so the shuffle moves far fewer rows
+       than the corpus has tokens);
+    2. each document's bigrams (distinct-per-doc, with multiplicity kept
+       as n_bigrams) tag/union with the count table on the same coarse
+       key; one vectorized merge per bucket attaches corpus counts;
+    3. a per-doc groupby sums the flags.
+
+    Columns: doc_id, n_bigrams (token bigrams incl. repeats), n_common
+    (bigram occurrences whose corpus count >= ``min_count``), all int64.
+    Empty/one-word docs report zeros.
+    """
+    import numpy as np
+
+    path = f"{sf_dir}/documents.parquet"
+    mask = (1 << 10) - 1
+
+    def _doc_bigrams(df: pd.DataFrame):
+        """Vectorized (doc_index, bigram) explode: one concatenate + one
+        adjacency mask per batch (the gopher_repetition shape)."""
+        toks = df["text"].fillna("").str.strip().str.split()
+        lens = toks.map(len).to_numpy("int64")
+        if lens.sum() == 0:
+            return np.zeros(0, dtype="int64"), pd.Series([], dtype=str)
+        words = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+        di = np.repeat(np.arange(len(df)), lens)
+        same = di[1:] == di[:-1]
+        left = pd.Series(words[:-1][same], dtype=str)
+        right = pd.Series(words[1:][same], dtype=str)
+        return di[:-1][same], left.str.cat(right, sep=" ")
+
+    def _count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-batch partial bigram counts, tagged with the same coarse
+        g-hash bucket the join shuffles on — the count REDUCTION happens
+        inside the join's bucket (one wide op, not two)."""
+        _, g = _doc_bigrams(df)
+        vc = g.value_counts()
+        gs = vc.index.astype(str)
+        h = (
+            pd.util.hash_array(gs.to_numpy(dtype=object)).astype("int64") & mask
+            if len(gs)
+            else np.zeros(0, dtype="int64")
+        )
+        return pd.DataFrame(
+            {
+                "bucket": h,
+                "side": np.ones(len(vc), dtype="int8"),
+                "g": gs,
+                "doc_id": np.zeros(len(vc), dtype="int64"),
+                "mult": vc.to_numpy(dtype="int64"),  # partial corpus count
+            }
+        )
+
+    def _tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64").to_numpy()
+        di, g = _doc_bigrams(df)
+        per = (
+            pd.DataFrame({"doc_id": ids[di], "g": g.to_numpy()})
+            .groupby(["doc_id", "g"], sort=False)
+            .size()
+            .reset_index(name="mult")
+        )
+        gs = per["g"].astype(str)
+        h = (
+            pd.util.hash_array(gs.to_numpy(dtype=object)).astype("int64") & mask
+            if len(gs)
+            else np.zeros(0, dtype="int64")
+        )
+        return pd.DataFrame(
+            {
+                "bucket": h,
+                "side": np.zeros(len(per), dtype="int8"),
+                "g": gs,
+                "doc_id": per["doc_id"].astype("int64"),
+                "mult": per["mult"].astype("int64"),  # per-doc multiplicity
+            }
+        )
+
+    def _join(grp: pd.DataFrame) -> pd.DataFrame:
+        side = grp["side"].to_numpy()
+        table = (
+            grp[side == 1][["g", "mult"]]
+            .groupby("g", as_index=False)
+            .sum()  # reduce the per-batch count partials for this bucket
+            .rename(columns={"mult": "cnt"})
+        )
+        docs = grp[side == 0]
+        if len(docs) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_bigrams": pd.Series([], dtype="int64"),
+                 "n_common": pd.Series([], dtype="int64")}
+            )
+        m = docs.merge(table, on="g", how="left")
+        m["cnt"] = m["cnt"].fillna(0)
+        common = np.where(m["cnt"].to_numpy() >= min_count, m["mult"].to_numpy(), 0)
+        work = pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].astype("int64"),
+                "n_bigrams": m["mult"].astype("int64"),
+                "n_common": pd.Series(common, dtype="int64"),
+            }
+        )
+        return work.groupby("doc_id", as_index=False).sum()
+
+    docs_tagged = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        _tag_docs, batch_format="pandas"
+    )
+    count_partials = ray.data.read_parquet(path, columns=["text"]).map_batches(
+        _count_partial, batch_format="pandas"
+    )
+    joined = (
+        count_partials.union(docs_tagged)
+        .groupby("bucket")
+        .map_groups(_join, batch_format="pandas")
+    )
+
+    # Per-doc rollup: zero rows for ALL docs (so empty/one-word documents
+    # report zeros) union'ed with the per-bucket partials, reduced in a
+    # second coarse-bucketed map_groups — two wide ops total.
+    def _zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "dbucket": ids.to_numpy() & mask,
+                "doc_id": ids,
+                "n_bigrams": np.zeros(len(df), dtype="int64"),
+                "n_common": np.zeros(len(df), dtype="int64"),
+            }
+        )
+
+    def _dtag(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "dbucket": ids.to_numpy() & mask,
+                "doc_id": ids,
+                "n_bigrams": df["n_bigrams"].astype("int64"),
+                "n_common": df["n_common"].astype("int64"),
+            }
+        )
+
+    all_docs = ray.data.read_parquet(path, columns=["doc_id"]).map_batches(
+        _zero_rows, batch_format="pandas"
+    )
+    return (
+        all_docs.union(joined.map_batches(_dtag, batch_format="pandas"))
+        .groupby("dbucket")
+        .map_groups(
+            lambda g: g.groupby("doc_id", as_index=False)[
+                ["n_bigrams", "n_common"]
+            ].sum(),
+            batch_format="pandas",
+        )
+    )
