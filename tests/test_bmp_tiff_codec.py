@@ -113,3 +113,29 @@ def test_backend_decodes_bmp_and_tiff():
     assert (m["format"], m["width"], m["height"]) == ("bmp", 8, 6)
     m = sniff_image_meta(encode_tiff([img], packbits=True))
     assert (m["format"], m["width"], m["height"]) == ("tiff", 8, 6)
+
+
+def test_tiff_lzw_roundtrips():
+    rng = np.random.default_rng(4)
+    big = rng.integers(0, 256, (40, 200, 3), np.uint8)     # crosses 9->10->11 bit widths
+    huge = rng.integers(0, 256, (120, 300, 3), np.uint8)   # forces CLEAR table resets
+    flat = np.full((20, 300), 9, np.uint8)
+    for img, kw in [
+        (big, dict(lzw=True)),
+        (huge, dict(lzw=True)),
+        (flat, dict(lzw=True)),
+        (big, dict(lzw=True, predictor=True)),
+    ]:
+        got = decode_tiff(encode_tiff([img], **kw))[0]
+        want = img if img.ndim == 3 else np.repeat(img[:, :, None], 3, axis=2)
+        assert np.array_equal(got, want), kw
+
+
+def test_tiff_lzw_predictor_compresses_gradients():
+    grad = np.tile(np.arange(256, dtype=np.uint8), (30, 4))[:, :900]
+    plain = encode_tiff([grad], lzw=True)
+    pred = encode_tiff([grad], lzw=True, predictor=True)
+    assert len(pred) < len(plain) / 3  # differencing turns ramps into runs
+    assert np.array_equal(
+        decode_tiff(pred)[0][:, :, 0], grad
+    )

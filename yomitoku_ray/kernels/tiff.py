@@ -25,6 +25,7 @@ class TiffError(ValueError):
 # tag ids
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT, _PLANAR = 273, 277, 278, 279, 284
+_PREDICTOR = 317
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
@@ -77,6 +78,113 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (Compression 5): MSB-first codes, 9->12 bit widths
+    with the TIFF 'early change' (width bumps when the table reaches
+    2^width - 1 entries)."""
+    out = bytearray()
+    acc = nacc = 0
+    i, n = 0, len(data)
+    width = 9
+    table: list[bytes] = []
+    prev = b""
+
+    def reset_table():
+        nonlocal table, width
+        table = [bytes([c]) for c in range(256)] + [b"", b""]
+        width = 9
+
+    reset_table()
+    while len(out) < expected:
+        while nacc < width:
+            if i >= n:
+                raise TiffError("truncated LZW data")
+            acc = ((acc << 8) | data[i]) & 0xFFFFFF
+            i += 1
+            nacc += 8
+        nacc -= width
+        code = (acc >> nacc) & ((1 << width) - 1)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            reset_table()
+            prev = b""
+            continue
+        if not prev:
+            if code >= 256:
+                raise TiffError("bad first LZW code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise TiffError("LZW code out of range")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # early change: the encoder widens one code sooner than classic
+        # LZW (its next-free counter runs one ahead of this table length)
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise TiffError("short LZW strip")
+    return bytes(out[:expected])
+
+
+class _LzwWriter:
+    """TIFF-variant LZW encoder (test generator; early-change symmetric
+    with :func:`_lzw_decode`)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+        self.reset()
+        self._emit(_LZW_CLEAR)
+
+    def reset(self):
+        self.table = {bytes([c]): c for c in range(256)}
+        self.next_code = 258
+        self.width = 9
+
+    def _emit(self, code: int):
+        self.acc = (self.acc << self.width) | code
+        self.nacc += self.width
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.buf.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def encode(self, data: bytes) -> bytes:
+        w = b""
+        for j in range(len(data)):
+            c = data[j : j + 1]
+            if w + c in self.table:
+                w += c
+                continue
+            self._emit(self.table[w])
+            self.table[w + c] = self.next_code
+            self.next_code += 1
+            if self.next_code == (1 << self.width) - 1 and self.width < 12:
+                self.width += 1
+            elif self.next_code >= 4094:  # table nearly full: restart
+                self._emit(_LZW_CLEAR)
+                self.reset()
+            w = c
+        if w:
+            self._emit(self.table[w])
+        self._emit(_LZW_EOI)
+        if self.nacc:
+            self.buf.append((self.acc << (8 - self.nacc)) & 0xFF)
+            self.nacc = 0
+        return bytes(self.buf)
+
+
 def decode_tiff(blob: bytes) -> list[np.ndarray]:
     """TIFF bytes -> list of (H, W, 3) uint8 RGB pages (IFD chain order)."""
     if blob[:4] == b"II*\x00":
@@ -117,8 +225,11 @@ def _decode_page(blob: bytes, tags: dict) -> np.ndarray:
         raise TiffError(f"unsupported bit depths {bits}")
     if planar != 1:
         raise TiffError("planar config 2 unsupported")
-    if comp not in (1, 32773):
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    if comp not in (1, 5, 32773):
         raise TiffError(f"unsupported compression {comp}")
+    if predictor not in (1, 2):
+        raise TiffError(f"unsupported predictor {predictor}")
     if photo not in (0, 1, 2):
         raise TiffError(f"unsupported photometric {photo}")
     if w <= 0 or h <= 0 or spp < 1 or spp > 4:
@@ -134,6 +245,8 @@ def _decode_page(blob: bytes, tags: dict) -> np.ndarray:
         strip = blob[so : so + sc]
         if comp == 32773:
             out += _unpackbits(strip, expected)
+        elif comp == 5:
+            out += _lzw_decode(strip, expected)
         else:
             if len(strip) < expected:
                 raise TiffError("truncated strip")
@@ -142,6 +255,8 @@ def _decode_page(blob: bytes, tags: dict) -> np.ndarray:
     if rows_done < h:
         raise TiffError("missing strips")
     px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo per row per sample
+        px = np.add.accumulate(px, axis=1, dtype=np.uint8)
     if photo == 0:  # WhiteIsZero
         px = 255 - px
     if spp == 1:
@@ -176,8 +291,14 @@ def _packbits(row: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_tiff(pages, packbits: bool = False) -> bytes:
-    """List of (H, W[, C]) uint8 arrays -> little-endian multi-page TIFF."""
+def encode_tiff(
+    pages, packbits: bool = False, lzw: bool = False, predictor: bool = False
+) -> bytes:
+    """List of (H, W[, C]) uint8 arrays -> little-endian multi-page TIFF
+    (uncompressed, PackBits, or LZW; optional horizontal-differencing
+    predictor with LZW)."""
+    if packbits and lzw:
+        raise TiffError("choose one compression")
     norm = []
     for px in pages:
         px = np.asarray(px, dtype=np.uint8)
@@ -188,10 +309,18 @@ def encode_tiff(pages, packbits: bool = False) -> bytes:
     ifd_ptr_pos = 4
     for px in norm:
         h, w, spp = px.shape
+        raw = px
+        if predictor:
+            raw = np.concatenate(
+                [px[:, :1], (px[:, 1:].astype(np.int16) - px[:, :-1]) % 256],
+                axis=1,
+            ).astype(np.uint8)
         if packbits:
-            data = b"".join(_packbits(px[r].tobytes()) for r in range(h))
+            data = b"".join(_packbits(raw[r].tobytes()) for r in range(h))
+        elif lzw:
+            data = _LzwWriter().encode(raw.tobytes())
         else:
-            data = px.tobytes()
+            data = raw.tobytes()
         data_off = len(out)
         out += data
         if len(out) & 1:
@@ -215,7 +344,10 @@ def encode_tiff(pages, packbits: bool = False) -> bytes:
             tag(_BITS, 3, spp, struct.pack("<I", bits_off))
         else:
             tag(_BITS, 3, 1, struct.pack("<HH", 8, 0))
-        tag(_COMP, 3, 1, struct.pack("<HH", 32773 if packbits else 1, 0))
+        comp_id = 32773 if packbits else (5 if lzw else 1)
+        tag(_COMP, 3, 1, struct.pack("<HH", comp_id, 0))
+        if predictor:
+            tag(_PREDICTOR, 3, 1, struct.pack("<HH", 2, 0))
         tag(_PHOTO, 3, 1, struct.pack("<HH", 2 if spp >= 3 else 1, 0))
         tag(_STRIP_OFF, 4, 1, struct.pack("<I", data_off))
         tag(_SPP, 3, 1, struct.pack("<HH", spp, 0))

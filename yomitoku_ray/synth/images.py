@@ -77,12 +77,18 @@ def gen_image(i: int) -> dict:
         return {"img_id": i, "image": encode_bmp(px), "kind": "bmp"}
     return {
         "img_id": i,
-        "image": encode_tiff([px], packbits=bool(i & 8)),
+        # rotate through uncompressed / PackBits / LZW / LZW+predictor
+        "image": encode_tiff(
+            [px],
+            packbits=(i & 24) == 8,
+            lzw=(i & 24) in (16, 24),
+            predictor=(i & 24) == 24,
+        ),
         "kind": "tiff",
     }
 
 
-def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v4") -> str:
+def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v5") -> str:
     import pyarrow.parquet as pq
 
     from .pages import rows_for_sf_dir
