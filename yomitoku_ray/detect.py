@@ -260,6 +260,15 @@ def _collect_inline(node: DomNode, tokens: List[_InlineToken], in_ruby=False, in
         _collect_inline(child, tokens, in_ruby or is_rt, in_link or is_a)
 
 
+def _count_tag(node: DomNode, tag: str) -> int:
+    """Exact twin of ``len(node.find_all(tag))`` (counts the node itself
+    and every descendant, SKIP_TAGS included) without allocations."""
+    n = 1 if node.tag == tag else 0
+    for child in node.children:
+        n += _count_tag(child, tag)
+    return n
+
+
 def _nfkc(s: str) -> str:
     """Recognition-time normalization (text_recognizer.py:155 parity)."""
     return unicodedata.normalize("NFKC", s)
@@ -372,7 +381,8 @@ class PageLayoutEngine:
         _collect_inline(node, tokens)
         total_chars = sum(len(t.text) for t in tokens)
         link_chars = sum(len(t.text) for t in tokens if t.in_link)
-        n_links = len(node.find_all("a"))
+        n_links = _count_tag(node, "a")  # == len(find_all("a")) minus the
+        # generator+list allocation of a second full subtree pass
         return tokens, total_chars, link_chars, n_links
 
     def _emit_subtree_block(
