@@ -191,3 +191,86 @@ def test_images_query_pins_known_values(ray_session):
     lumaj = to_gray(pxj).mean()
     assert df.loc[jpg_id, "mean_luma_milli"] == round(1000 * lumaj)
     assert (df.loc[jpg_id, ["height", "width"]].to_numpy() == pxj.shape[:2]).all()
+
+
+class TestPngVariants:
+    """Adam7 interlace, sub-byte depths, 16-bit — hand-built files with
+    analytically-known pixels."""
+
+    @staticmethod
+    def _build(w, h, depth, ctype_id, raw, interlace=0, plte=None):
+        import struct
+        import zlib
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_id, 0, 0, interlace)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    def test_adam7_gray(self):
+        img = np.arange(25, dtype=np.uint8).reshape(5, 5)
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        raw = b""
+        for x0, y0, dx, dy in passes:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for r in sub:
+                raw += b"\x00" + r.tobytes()
+        got = decode_png(self._build(5, 5, 8, 0, raw, interlace=1))
+        assert np.array_equal(got[:, :, 0], img)
+
+    def test_adam7_rgb_roundtrip_via_scatter(self):
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (11, 9, 3), np.uint8)
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        raw = b""
+        for x0, y0, dx, dy in passes:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for r in sub:
+                raw += b"\x00" + r.tobytes()
+        got = decode_png(self._build(9, 11, 8, 2, raw, interlace=1))
+        assert np.array_equal(got, img)
+
+    def test_1bit_gray(self):
+        raw = b"\x00" + bytes([0b10101010, 0b10000000])
+        raw += b"\x00" + bytes([0b01010101, 0b01000000])
+        got = decode_png(self._build(10, 2, 1, 0, raw))
+        want = np.array([1, 0, 1, 0, 1, 0, 1, 0, 1, 0]) * 255
+        assert np.array_equal(got[0, :, 0], want)
+        assert np.array_equal(got[1, :, 0], 255 - want)
+
+    def test_2bit_and_4bit_palette(self):
+        plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+        got = decode_png(self._build(3, 1, 4, 3, b"\x00" + bytes([0x01, 0x20]), plte=plte))
+        assert got.tolist() == [[[10, 20, 30], [40, 50, 60], [70, 80, 90]]]
+        # 2-bit: indices 0,1,2,3 packed in one byte
+        got = decode_png(self._build(4, 1, 2, 3, b"\x00" + bytes([0b00011011]), plte=plte))
+        assert got.tolist() == [
+            [[10, 20, 30], [40, 50, 60], [70, 80, 90], [100, 110, 120]]
+        ]
+
+    def test_16bit_gray_and_rgb_subfilter(self):
+        raw = b"\x00" + bytes([0x12, 0x34, 0xFF, 0xEE])
+        got = decode_png(self._build(2, 1, 16, 0, raw))
+        assert got[0, :, 0].tolist() == [0x12, 0xFF]  # PIL-style high byte
+        px = np.array([[[1000, 2000, 3000], [1100, 2100, 3100]]], dtype=">u2")
+        arr = np.frombuffer(px.tobytes(), np.uint8).astype(int)
+        f = arr.copy()
+        for x in range(6, 12):
+            f[x] = (arr[x] - arr[x - 6]) & 0xFF  # sub filter, bpp=6
+        got = decode_png(self._build(2, 1, 16, 2, b"\x01" + bytes(f.astype(np.uint8))))
+        assert np.array_equal(got, (px.astype(np.uint32) >> 8).astype(np.uint8))

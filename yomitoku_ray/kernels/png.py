@@ -1,15 +1,17 @@
 """Pure-stdlib PNG codec (zlib + numpy): real pixel decode with no image
 library.
 
-Supports the dominant web subset: 8-bit depth, color types 0 (gray),
-2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. Anything
-else raises ``PngError`` — callers fall back to their configured stub
-policy. The encoder (filter-0 rows + zlib) exists so tests can round-trip
-real pixels: decode(encode(px)) == px exactly.
+Supports the full common web grammar: color types 0 (gray), 2 (RGB),
+3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths 8 everywhere, 1/2/4
+for gray and palette, 16 for the non-palette types (converted to 8-bit
+via the high byte, PIL-compatible); Adam7 interlace. Anything else
+raises ``PngError`` — callers fall back to their configured stub policy.
+The encoder (filter-0 rows + zlib, 8-bit) exists so tests can round-trip
+real pixels: decode(encode(px)) == px exactly; interlaced and odd-depth
+decode paths are pinned by hand-built files with analytic pixels.
 
 This makes the multimodal image stages' decode step REAL for PNG payloads
-(SURVEY S9 continuation) instead of a stub; JPEG stays header-sniff-only
-(a DCT pipeline is out of scope for a data engine).
+(SURVEY S9 continuation) instead of a stub.
 """
 
 from __future__ import annotations
@@ -65,7 +67,12 @@ def decode_png(blob: bytes) -> np.ndarray:
         pos += 12 + length  # len + type + data + crc
     if width is None or not idat:
         raise PngError("missing IHDR/IDAT")
-    if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+    depth_ok = (
+        bit_depth == 8
+        or (bit_depth == 16 and color_type in (0, 2, 4, 6))
+        or (bit_depth in (1, 2, 4) and color_type in (0, 3))
+    )
+    if not depth_ok or interlace not in (0, 1) or color_type not in _CHANNELS:
         raise PngError(
             f"unsupported png (depth={bit_depth}, color={color_type}, interlace={interlace})"
         )
@@ -74,42 +81,46 @@ def decode_png(blob: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise PngError(f"bad idat: {e}") from e
-    stride = width * ch
-    if len(raw) != (stride + 1) * height:
-        raise PngError("bad raw length")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    filters = raw[:, 0]
-    rows = raw[:, 1:].astype(np.int64)
-    out = np.zeros((height, stride), dtype=np.int64)
-    for y in range(height):
-        f = filters[y]
-        cur = rows[y]
-        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
-        if f == 0:
-            out[y] = cur
-        elif f == 1:  # sub: sequential along x, per-channel lag
-            acc = cur.copy()
-            for x in range(ch, stride):
-                acc[x] = (acc[x] + acc[x - ch]) & 0xFF
-            out[y] = acc
-        elif f == 2:  # up
-            out[y] = (cur + prev) & 0xFF
-        elif f == 3:  # average
-            acc = cur.copy()
-            for x in range(stride):
-                left = acc[x - ch] if x >= ch else 0
-                acc[x] = (acc[x] + ((left + prev[x]) >> 1)) & 0xFF
-            out[y] = acc
-        elif f == 4:  # paeth
-            acc = cur.copy()
-            for x in range(stride):
-                left = acc[x - ch] if x >= ch else 0
-                ul = prev[x - ch] if x >= ch else 0
-                acc[x] = (acc[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
-            out[y] = acc
+    bpp = max(1, (ch * bit_depth) // 8)  # filter byte lag
+
+    def decode_sub(offset: int, w: int, h: int):
+        """Unfilter + sample-expand one (sub-)image; returns ((h, w, ch)
+        uint8, next offset)."""
+        stride = (w * ch * bit_depth + 7) // 8
+        need = (stride + 1) * h
+        sub = raw[offset : offset + need]
+        if len(sub) != need:
+            raise PngError("bad raw length")
+        arr = np.frombuffer(sub, dtype=np.uint8).reshape(h, stride + 1)
+        out = _unfilter(arr, bpp, stride)
+        if bit_depth == 8:
+            samples = out
+        elif bit_depth == 16:
+            # PIL-compatible 8-bit conversion: big-endian high byte
+            samples = out.reshape(h, stride // 2, 2)[:, :, 0]
         else:
-            raise PngError(f"bad filter {f}")
-    px = out.astype(np.uint8).reshape(height, width, ch)
+            bits = np.unpackbits(out, axis=1)  # PNG packs MSB-first
+            groups = bits[:, : (stride * 8 // bit_depth) * bit_depth].reshape(
+                h, -1, bit_depth
+            )
+            weights = 1 << np.arange(bit_depth - 1, -1, -1)
+            samples = (groups * weights).sum(axis=2).astype(np.uint8)[:, :w]
+            if color_type == 0:  # gray: scale 2^d-1 -> 255 (exact multiples)
+                samples = samples * np.uint8(255 // ((1 << bit_depth) - 1))
+        return samples.reshape(h, w, ch), offset + need
+
+    if interlace == 0:
+        px, _ = decode_sub(0, width, height)
+    else:  # Adam7
+        px = np.zeros((height, width, ch), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, offset = decode_sub(offset, pw, ph)
+            px[y0::dy, x0::dx] = sub
     if color_type == 3:
         if plte is None:
             raise PngError("palette png without PLTE")
@@ -120,6 +131,50 @@ def decode_png(blob: bytes) -> np.ndarray:
             raise PngError("palette index out of range")
         px = plte[px[:, :, 0]]
     return px
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(arr: np.ndarray, bpp: int, stride: int) -> np.ndarray:
+    """(h, stride+1) filtered scanlines -> (h, stride) uint8 bytes."""
+    h = len(arr)
+    filters = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        f = filters[y]
+        cur = rows[y]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # sub: sequential along x, per-channel lag
+            acc = cur.copy()
+            for x in range(bpp, stride):
+                acc[x] = (acc[x] + acc[x - bpp]) & 0xFF
+            out[y] = acc
+        elif f == 2:  # up
+            out[y] = (cur + prev) & 0xFF
+        elif f == 3:  # average
+            acc = cur.copy()
+            for x in range(stride):
+                left = acc[x - bpp] if x >= bpp else 0
+                acc[x] = (acc[x] + ((left + prev[x]) >> 1)) & 0xFF
+            out[y] = acc
+        elif f == 4:  # paeth
+            acc = cur.copy()
+            for x in range(stride):
+                left = acc[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                acc[x] = (acc[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
+            out[y] = acc
+        else:
+            raise PngError(f"bad filter {f}")
+    return out.astype(np.uint8)
 
 
 def encode_png(px: np.ndarray) -> bytes:
