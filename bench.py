@@ -124,13 +124,21 @@ def run_bench() -> dict:
             minhash_lsh_pairs,
             simhash_dup_pairs,
         )
-        from yomitoku_ray.functions.relational import events_hourly, pricing_summary
+        from yomitoku_ray.functions.relational import (
+            events_hourly,
+            pricing_summary,
+            top_supplier_per_nation,
+        )
         from yomitoku_ray.functions.similarity import (
             ann_ivf,
             embedding_near_dup,
             knn_brute_force,
         )
-        from yomitoku_ray.functions.text_stats import doc_stats, quality_score
+        from yomitoku_ray.functions.text_stats import (
+            bigram_coverage,
+            doc_stats,
+            quality_score,
+        )
         from yomitoku_ray.functions.clean import (
             contamination_check,
             pack_sequences,
@@ -176,6 +184,8 @@ def run_bench() -> dict:
         timed("quality_topk", quality_topk)
         timed("pack_sequences", pack_sequences)
         timed("contamination_check", contamination_check)
+        timed("bigram_coverage", bigram_coverage)
+        timed("top_supplier_per_nation", top_supplier_per_nation)
 
     ray.shutdown()
     return {
