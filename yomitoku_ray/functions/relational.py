@@ -696,12 +696,20 @@ def top_supplier_per_nation(sf_dir: str) -> pd.DataFrame:
         work = pd.DataFrame(
             {"l_suppkey": df["l_suppkey"], "revenue_cents": base * (100 - disc)}
         )
-        return work.groupby("l_suppkey", as_index=False).sum()
+        work = work.groupby("l_suppkey", as_index=False).sum()
+        work["bucket"] = work["l_suppkey"].to_numpy() & _COARSE_MASK
+        return work
 
+    # Coarse-bucketed reduce (vectorized per-bucket groupby) instead of the
+    # native aggregate: Ray's sort-aggregate pays ~200 reduce partitions of
+    # fixed overhead regardless of data size.
     per_supplier = (
         ds.map_batches(_partial, batch_format="pandas")
-        .groupby("l_suppkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .groupby("bucket")
+        .map_groups(
+            lambda g: g.groupby("l_suppkey", as_index=False)[["revenue_cents"]].sum(),
+            batch_format="pandas",
+        )
     )
 
     def _attach(df: pd.DataFrame) -> pd.DataFrame:
