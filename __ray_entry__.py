@@ -605,29 +605,58 @@ _KNN_SQL = """
 
 def _token_count_bpe_sql() -> str:
     """DuckDB recomputation of token_count_bpe including GENUINE BPE merge
-    application: the shipped 80-merge table (a pretrained constant, see
-    yomitoku_ray/functions/bpe.py) replays as nested non-overlapping
-    replace() calls over each distinct word's space-separated character
-    sequence — exactly the engine's vectorized apply. Subtoken count =
-    number of separators in the merged sequence."""
+    application: a recursive CTE rewrites each distinct word's
+    space-separated symbol string by replacing the FIRST occurrence of the
+    LOWEST-rank applicable merge until none applies — equivalent to the
+    engine's rank-order greedy loop (a merge's output symbol only feeds
+    later-rank pairs, and regexp_replace without 'g' is leftmost-only, so
+    no symbol-boundary or run-sharing ambiguity arises). Symbols carry a
+    leading AND trailing separator; subtoken count = separators - 1."""
+    import re as _re
+
     from yomitoku_ray.functions.bpe import DEFAULT_MERGES
 
     def q(s: str) -> str:
         return s.replace("'", "''")
 
-    expr = "regexp_replace(w, '(.)', ' \\1', 'g')"
-    for a, b in DEFAULT_MERGES:
-        expr = f"replace({expr}, ' {q(a)} {q(b)}', ' {q(a)}{q(b)}')"
+    rows = ", ".join(
+        "({}, ' {} {} ', ' {} {} ', ' {}{} ')".format(
+            rank,
+            q(a), q(b),
+            q(_re.escape(a)), q(_re.escape(b)),
+            q(a), q(b),
+        )
+        for rank, (a, b) in enumerate(DEFAULT_MERGES)
+    )
     return rf"""
-        WITH wd AS (
+        WITH RECURSIVE wd AS (
             SELECT doc_id,
                    unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS w
             FROM documents
         ),
         uw AS (SELECT DISTINCT w FROM wd),
-        merged AS (SELECT w, {expr} AS s FROM uw),
-        cnt AS (SELECT w, CAST(length(s) - length(replace(s, ' ', '')) AS BIGINT) AS nt
-                FROM merged),
+        m(rank, pat, rx, rep) AS (VALUES {rows}),
+        st AS (
+            SELECT w, regexp_replace(w, '(.)', ' \1', 'g') || ' ' AS s
+            FROM uw
+          UNION ALL
+            SELECT w,
+                   regexp_replace(
+                       s,
+                       (SELECT rx FROM m WHERE strpos(s, pat) > 0
+                        ORDER BY rank LIMIT 1),
+                       (SELECT rep FROM m WHERE strpos(s, pat) > 0
+                        ORDER BY rank LIMIT 1)
+                   ) AS s
+            FROM st
+            WHERE EXISTS (SELECT 1 FROM m WHERE strpos(s, pat) > 0)
+        ),
+        fin AS (
+            SELECT w, s FROM st
+            WHERE NOT EXISTS (SELECT 1 FROM m WHERE strpos(s, pat) > 0)
+        ),
+        cnt AS (SELECT w, CAST(length(s) - length(replace(s, ' ', '')) - 1 AS BIGINT) AS nt
+                FROM fin),
         per_doc AS (
             SELECT wd.doc_id, CAST(SUM(cnt.nt) AS BIGINT) AS n_sub
             FROM wd JOIN cnt ON cnt.w = wd.w GROUP BY wd.doc_id

@@ -66,3 +66,57 @@ def test_distributed_train_matches_local(ray_session, tmp_path):
     freq = {"low": 4, "lower": 1, "newest": 5, "widest": 1}
     want = bpe_train_wordfreq(freq, 4)
     assert list(zip(table["left"], table["right"])) == want
+
+
+def test_oracle_agrees_on_prefix_ambiguous_corpus(ray_session, tmp_path):
+    """The hypothesis-found failure class (symbol prefix ambiguity, e.g.
+    'xba' under [('b','a'), ('x','b')]): Ray apply, the recursive-CTE SQL
+    oracle and the reference loop must all agree on a corpus built to
+    trigger it under the shipped merge table."""
+    import re
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys_path_added = "/root/repo"
+    import sys
+
+    if sys_path_added not in sys.path:
+        sys.path.insert(0, sys_path_added)
+    import __ray_entry__ as entry
+    from yomitoku_ray.functions.bpe import DEFAULT_MERGES, bpe_apply
+
+    texts = [
+        "atata data the theta batch batchatch",
+        "windowindow sortsort queryquery",
+        "xba abab ababa thethe",
+        "er err erer rere",
+    ]
+    pq.write_table(
+        pa.Table.from_pylist([{"doc_id": i, "text": t} for i, t in enumerate(texts)]),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = (
+        entry.queries()["token_count_bpe"](str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sq = (
+        con.execute(entry.oracle_sql()["token_count_bpe"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df[sorted(df.columns)].astype("int64").equals(
+        sq[sorted(sq.columns)].astype("int64")
+    )
+    tok = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
+    for i, t in enumerate(texts):
+        want = sum(len(bpe_apply(w, DEFAULT_MERGES)) for w in tok.findall(t))
+        assert int(df.loc[i, "n_bpe_subtokens"]) == want

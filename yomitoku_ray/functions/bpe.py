@@ -14,11 +14,12 @@ Genuine BPE merge semantics (VERDICT r3 #8), Sennrich-style:
   (sf0.001), frozen as a constant so the apply path (and its SQL oracle,
   which replays the same merges as nested ``replace()`` calls) is
   reproducible at every scale.
-- :func:`bpe_token_counts` — vectorized application: each unique word in a
-  batch becomes a space-separated character sequence and every merge is
-  one vectorized non-overlapping left-to-right string replacement — which
-  is exactly the greedy first-occurrence merge order of the reference BPE
-  algorithm (a merged symbol can never recreate its own pair).
+- :func:`bpe_apply` / :func:`bpe_token_counts` — application with the
+  exact reference merge-loop semantics (rank order, greedy left-to-right
+  in-place), cached per unique word. The SQL oracle reproduces it with a
+  recursive CTE that repeatedly rewrites the first occurrence of the
+  lowest-rank applicable pair — equivalent because a merge's output
+  symbol can only participate in later-rank pairs.
 
 Pre-tokenization is :data:`text_stats.BPE_TOKEN_REGEX` (letter / digit /
 punctuation runs), shared with the existing counters so every column in
@@ -215,23 +216,38 @@ DEFAULT_MERGES: list[tuple[str, str]] = [
 # ---------------------------------------------------------------------------
 
 
-def _spaced_chars(words: pd.Series) -> pd.Series:
-    """word -> ' c h a r s' (one space before every character)."""
-    return words.str.replace("(.)", r" \1", regex=True)
+def bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference BPE application: merges in rank order, each merging its
+    pair occurrences greedily left-to-right (re-checking in place). This
+    is the exact Sennrich/GPT-2 semantics — a flat string-replacement
+    formulation is NOT equivalent: when one symbol is a strict prefix of
+    another (e.g. symbols 'b' and 'ba'), a space-separated replace can
+    match across a symbol boundary (found by hypothesis fuzzing:
+    'xba' under merges [('b','a'), ('x','b')])."""
+    symbols = list(word)
+    for a, b in merges:
+        i = 0
+        while i < len(symbols) - 1:
+            if symbols[i] == a and symbols[i + 1] == b:
+                symbols[i : i + 2] = [a + b]
+            else:
+                i += 1
+    return symbols
 
 
 def bpe_token_counts(
     words: pd.Series, merges: list[tuple[str, str]] | None = None
 ) -> np.ndarray:
-    """Post-merge BPE token count per word, vectorized.
-
-    Each merge is one non-overlapping left-to-right literal replacement
-    over the space-separated symbol string — identical to greedy
-    first-occurrence pair merging and to the SQL oracle's nested
-    ``replace()``. Run on UNIQUE words by the caller for efficiency.
-    """
+    """Post-merge BPE token count per word (reference merge loop, cached
+    per unique word within the call — callers already dedupe per batch,
+    so each distinct word pays the loop once)."""
     merges = DEFAULT_MERGES if merges is None else merges
-    s = _spaced_chars(words.astype(str))
-    for a, b in merges:
-        s = s.str.replace(f" {a} {b}", f" {a}{b}", regex=False)
-    return s.str.count(" ").to_numpy(dtype="int64")
+    cache: dict[str, int] = {}
+    out = np.empty(len(words), dtype=np.int64)
+    for idx, word in enumerate(words.astype(str)):
+        n = cache.get(word)
+        if n is None:
+            n = len(bpe_apply(word, merges)) if word else 0
+            cache[word] = n
+        out[idx] = n
+    return out

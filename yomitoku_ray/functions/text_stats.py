@@ -177,9 +177,9 @@ _BPE_RE = re.compile(BPE_TOKEN_REGEX)
 def token_count_bpe(sf_dir: str) -> ray.data.Dataset:
     """Subword token counts per doc: whitespace tokens, BPE pre-token runs,
     and GENUINE post-merge BPE subtokens (the shipped 80-merge table from
-    :mod:`.bpe`, applied vectorized to the batch's unique words). All three
-    counts are SQL-replicated verbatim by the oracle — the merge table is a
-    pretrained constant, so the oracle replays it as nested replace()."""
+    :mod:`.bpe`, reference merge loop cached per unique word). All three
+    counts are SQL-replicated by the oracle — the merge table is a
+    pretrained constant replayed by a recursive lowest-rank-first CTE."""
 
     def _batch(df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
