@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         exact_dedup,
         corpus_sample,
         dup_components,
+        dup_ngram_spans,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_dup_pairs,
@@ -428,9 +429,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pack_sequences,
         props_scrub,
         quality_topk,
+        source_mix_weights,
     )
     from yomitoku_ray.functions.text_stats import (
         bigram_coverage,
+        term_cooccurrence,
         distinctive_terms,
         corpus_prep,
         doc_stats,
@@ -466,6 +469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # each doc's bigrams (never broadcast; table is corpus-sized)
         "bigram_coverage": bigram_coverage,
         "top_terms": top_terms,
+        # windowed co-occurrence pair top-k (PMI raw-count core)
+        "term_cooccurrence": term_cooccurrence,
         # per-source exclusive vocabulary (group-wise top-k composition)
         "distinctive_terms": distinctive_terms,
         "doc_length_percentiles": doc_length_percentiles,
@@ -481,6 +486,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup resolution: distributed connected components over the
         # near-dup pair graph (min-label propagation; component = keeper)
         "dup_components": dup_components,
+        # exact substring-window duplication signal (Lee et al. 2022 core):
+        # coarse-bucketed window-hash join + per-doc interval-union coverage
+        "dup_ngram_spans": dup_ngram_spans,
         # dedup RESOLUTION applied to the corpus: components -> drop
         # non-representatives -> anti-join rollup of the surviving docs
         "dedup_corpus": dedup_corpus,
@@ -494,6 +502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack_sequences,
         # train/eval shingle-overlap scan (broadcast eval set)
         "contamination_check": contamination_check,
+        # temperature-scaled (t=0.5) source mixing weights, integer ppm
+        "source_mix_weights": source_mix_weights,
         # deterministic hash sampling (no count, no shuffle, SQL-replicable)
         "corpus_sample": corpus_sample,
         # similarity search (embeddings)
@@ -786,6 +796,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
             WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 20 = 0
+        """,
+        "dup_ngram_spans": r"""
+            WITH d AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            win AS (
+                SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ') AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS pos
+                      FROM d)
+            ),
+            c AS (SELECT g, count(*) AS cnt FROM win GROUP BY 1),
+            occ AS (SELECT doc_id, pos, cnt >= 2 AS dup FROM win JOIN c USING (g)),
+            per AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_dup_windows
+                FROM occ GROUP BY 1
+            ),
+            cov AS (
+                SELECT doc_id,
+                       CAST(count(DISTINCT pos + k) AS BIGINT) AS n_dup_positions
+                FROM (SELECT doc_id, pos, unnest(generate_series(0, 4)) AS k
+                      FROM occ WHERE dup)
+                GROUP BY 1
+            )
+            SELECT documents.doc_id,
+                   CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+                   CAST(coalesce(n_dup_positions, 0) AS BIGINT) AS n_dup_positions
+            FROM documents
+            LEFT JOIN per USING (doc_id) LEFT JOIN cov USING (doc_id)
+        """,
+        "source_mix_weights": r"""
+            WITH s AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                            AS BIGINT) AS n_tokens
+                FROM documents GROUP BY 1
+            ),
+            q AS (
+                SELECT source, n_docs, n_tokens,
+                       CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq
+                FROM s
+            )
+            SELECT source, n_docs, n_tokens,
+                   CAST((1000000 * isq) // (SELECT sum(isq) FROM q) AS BIGINT)
+                       AS weight_ppm
+            FROM q ORDER BY source
+        """,
+        "term_cooccurrence": r"""
+            WITH d AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            tok AS (
+                SELECT doc_id, unnest(toks) AS w,
+                       generate_subscripts(toks, 1) AS pos
+                FROM d
+            ),
+            pr AS (
+                SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 4
+            )
+            SELECT wa, wb, CAST(count(*) AS BIGINT) AS n
+            FROM pr GROUP BY 1, 2
+            ORDER BY n DESC, wa, wb
+            LIMIT 20
         """,
         "dedup_corpus": _SHINGLES_CTE.replace("WITH d AS", "WITH RECURSIVE d AS")
         + """

@@ -535,3 +535,52 @@ def dedup_corpus(
         )
     )
     return out.to_pandas().sort_values("source").reset_index(drop=True)
+
+
+def source_mix_weights(sf_dir: str) -> pd.DataFrame:
+    """Temperature-scaled source sampling weights (the data-mixing step of
+    LLM corpus assembly, t = 0.5 as in multilingual/CC mixes): per source,
+    weight proportional to sqrt(total token count), reported as exact
+    integer parts-per-million so the hash gate is bit-stable.
+
+    Scale shape: a per-batch COMBINER shrinks each batch to one row per
+    source present (sum of token counts + doc counts), one small groupby
+    reduces those, and the normalization runs over the source table —
+    which is dimension-sized (thousands of domains, not corpus-sized) and
+    is the only thing the driver ever holds. The integer square root is
+    floor(sqrt(double)): correctly-rounded IEEE sqrt on both engines, so
+    Ray == DuckDB exactly.
+
+    Columns: source, n_docs, n_tokens, weight_ppm (all int64 but source).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.strip().str.split(_TOKEN_SPLIT)
+        n_tokens = toks.map(lambda t: len(t) if t != [""] else 0)
+        g = pd.DataFrame({"source": df["source"].astype(str), "n_tokens": n_tokens})
+        agg = g.groupby("source", as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")
+        )
+        agg["n_docs"] = agg["n_docs"].astype("int64")
+        agg["n_tokens"] = agg["n_tokens"].astype("int64")
+        return agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    out = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()  # dimension-sized (one row per source)
+    )
+    isq = np.floor(np.sqrt(out["n_tokens"].to_numpy("int64").astype("float64"))).astype(
+        "int64"
+    )
+    total = int(isq.sum())
+    out["weight_ppm"] = pd.Series(
+        [(1_000_000 * int(v)) // total if total else 0 for v in isq], dtype="int64"
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

@@ -844,3 +844,175 @@ def corpus_sample(sf_dir: str, mod: int = 20) -> ray.data.Dataset:
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_sample, batch_format="pyarrow")
+
+
+def dup_ngram_spans(sf_dir: str, w: int = 5) -> ray.data.Dataset:
+    """Exact substring-window duplication signal — the distributable core of
+    suffix-array exact-substring dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): a length-``w`` token window
+    is DUPLICATED when its exact text occurs >= 2 times corpus-wide
+    (across or within documents), and the dedup pass would excise every
+    token position covered by at least one duplicated window.
+
+    Scale shape (the window table is corpus-sized — tokens-many rows —
+    so both wide steps are coarse-bucketed SHUFFLES, never a broadcast;
+    this mirrors :func:`text_stats.bigram_coverage`):
+
+    1. one vectorized pass explodes each batch into (window-hash bucket,
+       window text, doc_id, pos) occurrence rows plus per-batch partial
+       count rows — the only corpus-sized exchange, inherent to the
+       operator (suffix-array builds also touch every token once);
+    2. a per-bucket map_groups reduces the count partials, marks each
+       occurrence dup/unique, and emits per-(bucket,doc) window-count
+       partials plus one row per DUP occurrence (dup volume, bounded by
+       actual duplication) keyed by a doc-id bucket;
+    3. a second map_groups unions zero rows for all docs and computes the
+       per-doc interval-union coverage of the dup windows with one
+       sorted-diff pass (coverage = sum(min(gap, w)) + w).
+
+    Columns: doc_id, n_windows, n_dup_windows, n_dup_positions (int64;
+    zeros for docs shorter than ``w`` tokens). The DuckDB oracle replays
+    the window explode with list slicing + generate_series and the
+    coverage with count(DISTINCT pos + k).
+    """
+    path = f"{sf_dir}/documents.parquet"
+    mask = (1 << 10) - 1
+
+    def _windows(df: pd.DataFrame):
+        """Vectorized (doc_index, pos_in_doc, window-string) explode."""
+        toks = df["text"].fillna("").str.strip().str.split()
+        lens = toks.map(len).to_numpy("int64")
+        total = int(lens.sum())
+        empty = np.zeros(0, dtype="int64")
+        if total < w:
+            return empty, empty, pd.Series([], dtype=str)
+        words = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+        di = np.repeat(np.arange(len(df)), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(total, dtype="int64") - np.repeat(starts, lens)
+        valid = di[: total - w + 1] == di[w - 1 :]
+        idx = np.nonzero(valid)[0]
+        if len(idx) == 0:
+            return empty, empty, pd.Series([], dtype=str)
+        s = pd.Series(words[idx], dtype=str)
+        for off in range(1, w):
+            s = s.str.cat(pd.Series(words[idx + off], dtype=str), sep=" ")
+        return di[idx], pos[idx], s
+
+    def _bucket_of(g: pd.Series) -> np.ndarray:
+        if len(g) == 0:
+            return np.zeros(0, dtype="int64")
+        return pd.util.hash_array(g.to_numpy(dtype=object)).astype("int64") & mask
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        """Occurrence rows (side 0, one per window) + count partials
+        (side 1, one per distinct window text in the batch)."""
+        ids = df["doc_id"].astype("int64").to_numpy()
+        di, pos, g = _windows(df)
+        occ = pd.DataFrame(
+            {
+                "bucket": _bucket_of(g),
+                "side": np.zeros(len(g), dtype="int8"),
+                "g": g.to_numpy(dtype=object) if len(g) else np.zeros(0, dtype=object),
+                "doc_id": ids[di] if len(g) else np.zeros(0, dtype="int64"),
+                "pos": pos,
+                "mult": np.zeros(len(g), dtype="int64"),
+            }
+        )
+        vc = g.value_counts()
+        gs = pd.Series(vc.index, dtype=str)
+        cnt = pd.DataFrame(
+            {
+                "bucket": _bucket_of(gs),
+                "side": np.ones(len(vc), dtype="int8"),
+                "g": gs.to_numpy(dtype=object) if len(vc) else np.zeros(0, dtype=object),
+                "doc_id": np.zeros(len(vc), dtype="int64"),
+                "pos": np.zeros(len(vc), dtype="int64"),
+                "mult": vc.to_numpy(dtype="int64"),
+            }
+        )
+        out = pd.concat([occ, cnt], ignore_index=True)
+        out["g"] = out["g"].astype(str)
+        return out
+
+    _out_schema = {
+        "dbucket": "int64",
+        "doc_id": "int64",
+        "n_windows": "int64",
+        "pos": "int64",  # -1 for count-partial rows, else a dup position
+    }
+
+    def _empty_mid() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _out_schema.items()})
+
+    def _join(grp: pd.DataFrame) -> pd.DataFrame:
+        side = grp["side"].to_numpy()
+        table = (
+            grp[side == 1][["g", "mult"]].groupby("g")["mult"].sum()
+        )
+        occ = grp[side == 0]
+        if len(occ) == 0:
+            return _empty_mid()
+        cnt = table.reindex(occ["g"]).to_numpy()
+        dup = cnt >= 2
+        per = (
+            occ.groupby("doc_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n_windows"})
+        )
+        agg_rows = pd.DataFrame(
+            {
+                "dbucket": per["doc_id"].to_numpy("int64") & mask,
+                "doc_id": per["doc_id"].astype("int64"),
+                "n_windows": per["n_windows"].astype("int64"),
+                "pos": np.full(len(per), -1, dtype="int64"),
+            }
+        )
+        dup_rows = pd.DataFrame(
+            {
+                "dbucket": occ["doc_id"].to_numpy("int64")[dup] & mask,
+                "doc_id": occ["doc_id"].to_numpy("int64")[dup],
+                "n_windows": np.zeros(int(dup.sum()), dtype="int64"),
+                "pos": occ["pos"].to_numpy("int64")[dup],
+            }
+        )
+        return pd.concat([agg_rows, dup_rows], ignore_index=True)
+
+    def _zeros(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "dbucket": ids.to_numpy() & mask,
+                "doc_id": ids,
+                "n_windows": np.zeros(len(df), dtype="int64"),
+                "pos": np.full(len(df), -1, dtype="int64"),
+            }
+        )
+
+    def _finish(grp: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_nw, out_nd, out_cov = [], [], [], []
+        for doc_id, sub in grp.groupby("doc_id", sort=False):
+            pos = np.sort(sub["pos"].to_numpy("int64"))
+            ps = pos[pos >= 0]
+            cov = 0 if len(ps) == 0 else int(np.minimum(np.diff(ps), w).sum()) + w
+            out_id.append(int(doc_id))
+            out_nw.append(int(sub["n_windows"].sum()))
+            out_nd.append(int(len(ps)))
+            out_cov.append(cov)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_id, dtype="int64"),
+                "n_windows": pd.Series(out_nw, dtype="int64"),
+                "n_dup_windows": pd.Series(out_nd, dtype="int64"),
+                "n_dup_positions": pd.Series(out_cov, dtype="int64"),
+            }
+        )
+
+    tagged = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        _tag, batch_format="pandas"
+    )
+    mid = tagged.groupby("bucket").map_groups(_join, batch_format="pandas")
+    zeros = ray.data.read_parquet(path, columns=["doc_id"]).map_batches(
+        _zeros, batch_format="pandas"
+    )
+    return zeros.union(mid).groupby("dbucket").map_groups(_finish, batch_format="pandas")

@@ -601,3 +601,73 @@ def bigram_coverage(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
             batch_format="pandas",
         )
     )
+
+
+def term_cooccurrence(sf_dir: str, window: int = 5, k: int = 20) -> pd.DataFrame:
+    """Top-k co-occurring term pairs: unordered token pairs at distance
+    1..``window``-1 within a document, counted corpus-wide (the raw-count
+    core of PMI / word-vector co-occurrence builds, integers only so the
+    hash gate is bit-stable).
+
+    Scale shape: the pair explode is vectorized per batch (one shifted
+    compare per distance, no Python row loop) and immediately COMBINED to
+    per-batch pair counts, so the single shuffle (groupby(pair) sum) moves
+    vocabulary²-bounded rows, not token-count rows; the final top-k sorts
+    the aggregated pair table. Ties break (count desc, wa asc, wb asc),
+    replicated in the SQL oracle via least()/greatest() + the same ORDER BY.
+    """
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    sep = "\x1f"
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.strip().str.split()
+        lens = toks.map(len).to_numpy("int64")
+        total = int(lens.sum())
+        if total < 2:
+            return pd.DataFrame(
+                {"pair": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
+            )
+        words = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+        di = np.repeat(np.arange(len(df)), lens)
+        parts = []
+        for d in range(1, window):
+            if d >= total:
+                break
+            same = di[:-d] == di[d:]
+            a = words[:-d][same]
+            b = words[d:][same]
+            if len(a) == 0:
+                continue
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            parts.append(
+                pd.Series(lo, dtype=str).str.cat(pd.Series(hi, dtype=str), sep=sep)
+            )
+        if not parts:
+            return pd.DataFrame(
+                {"pair": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
+            )
+        vc = pd.concat(parts, ignore_index=True).value_counts()
+        return pd.DataFrame(
+            {"pair": vc.index.astype(str), "n": vc.to_numpy(dtype="int64")}
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    agg = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocabulary-pair-sized
+    )
+    agg["n"] = agg["n"].astype("int64")
+    split = agg["pair"].str.split(sep, n=1, expand=True)
+    agg["wa"] = split[0].astype(str)
+    agg["wb"] = split[1].astype(str)
+    return (
+        agg.sort_values(["n", "wa", "wb"], ascending=[False, True, True])
+        .head(k)[["wa", "wb", "n"]]
+        .reset_index(drop=True)
+    )
