@@ -335,6 +335,52 @@ def _image_features_summary(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _warc_roundtrip(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
+    """WARC source gate (rows-only; self-checking like extract_match_rate):
+    encode the first ``n_pages`` synthetic pages as a Common-Crawl-layout
+    ``.warc.gz`` (one gzip member per record), stream it back through the
+    WarcDatasource, and report per-url byte identity of the html payload
+    plus microsecond identity of warc_ts against the source table. Every
+    row should read (ok_bytes=1, ok_ts=1); pytest additionally pins the
+    downstream extract byte-identity (tests/test_warc_source.py)."""
+    import os
+
+    from yomitoku_ray.sources.warc import read_warc, write_warc_file
+    from yomitoku_ray.synth.pages import generate_pages_table
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/yomitoku_ray_warc_{label}.warc.gz"
+    table = generate_pages_table(n_pages)
+    rows = [
+        {
+            "url": r["url"],
+            "warc_ts": int(r["warc_ts"].timestamp() * 1_000_000),
+            "html": r["html"],
+            "lang": r["lang"],
+        }
+        for r in table.to_pylist()
+    ]
+    write_warc_file(rows, path)
+    got = read_warc(path).to_pandas()
+    want = pd.DataFrame(rows)
+    m = got.merge(want, on="url", suffixes=("", "_want"))
+    out = pd.DataFrame(
+        {
+            "url": m["url"],
+            "ok_bytes": [
+                int(bytes(a) == bytes(b)) for a, b in zip(m["html"], m["html_want"])
+            ],
+            "ok_ts": (
+                m["warc_ts"].astype("datetime64[us]").astype("int64")
+                == m["warc_ts_want"].astype("int64")
+            ).astype("int64"),
+            "http_status": m["http_status"].astype("int64"),
+        }
+    )
+    out["ok_bytes"] = out["ok_bytes"].astype("int64")
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _video_frames_summary(sf_dir: str) -> pd.DataFrame:
     """Multimodal video pipeline over the synthesized MJPEG-AVI table:
     container index walk (no decode) + per-sampled-frame JPEG decode and
@@ -458,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_summary": _image_features_summary,
         "audio_features_summary": _audio_features_summary,
         "video_frames_summary": _video_frames_summary,
+        # WARC source gate: CC-layout .warc.gz round trip, byte identity
+        "warc_roundtrip": _warc_roundtrip,
         # text analysis (documents)
         "doc_stats": doc_stats,
         "quality_score": quality_score,

@@ -120,6 +120,7 @@ def run_bench() -> dict:
 
     if not HEADLINE_ONLY:
         from yomitoku_ray.functions.dedup import (
+            dup_ngram_spans,
             exact_dedup,
             minhash_lsh_pairs,
             simhash_dup_pairs,
@@ -186,6 +187,7 @@ def run_bench() -> dict:
         timed("contamination_check", contamination_check)
         timed("bigram_coverage", bigram_coverage)
         timed("top_supplier_per_nation", top_supplier_per_nation)
+        timed("dup_ngram_spans", dup_ngram_spans)
 
     ray.shutdown()
     return {

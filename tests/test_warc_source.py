@@ -1,0 +1,143 @@
+"""WARC source: encoder-paired round trips, gzip member layouts, chunked
+bodies, framing errors, and the e2e drive into the extract pipeline."""
+
+import gzip
+
+import pyarrow as pa
+import pytest
+
+from yomitoku_ray.sources.warc import (
+    WarcFormatError,
+    encode_warc_record,
+    iter_warc_records,
+    read_warc,
+    warc_records_to_rows,
+    write_warc_file,
+)
+from yomitoku_ray.synth.pages import generate_pages_table
+
+
+def _sample_rows(n=40):
+    t = generate_pages_table(n)
+    return [
+        {
+            "url": r["url"],
+            "warc_ts": r["warc_ts"].timestamp() * 1_000_000,
+            "html": r["html"],
+            "lang": r["lang"],
+        }
+        for r in t.to_pylist()
+    ]
+
+
+@pytest.mark.parametrize(
+    "suffix,per_record",
+    [(".warc", False), (".warc.gz", True), (".warc.gz", False)],
+)
+def test_roundtrip_layouts(ray_session, tmp_path, suffix, per_record):
+    rows = _sample_rows()
+    p = str(tmp_path / f"t{suffix}")
+    write_warc_file(rows, p, gzip_per_record=per_record)
+    got = read_warc(p).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == len(rows)  # warcinfo record skipped
+    want = sorted(rows, key=lambda r: r["url"])
+    for i, w in enumerate(want):
+        assert got.loc[i, "url"] == w["url"]
+        assert bytes(got.loc[i, "html"]) == bytes(w["html"])
+        assert got.loc[i, "lang"] == w["lang"]
+        assert int(got.loc[i, "warc_ts"].timestamp() * 1_000_000) == int(w["warc_ts"])
+        assert got.loc[i, "http_status"] == 200
+        assert got.loc[i, "content_type"] == "text/html"
+
+
+def test_chunked_transfer_decoding(tmp_path):
+    rows = _sample_rows(9)
+    p = str(tmp_path / "c.warc")
+    write_warc_file(rows, p, chunked_every=3)
+    with open(p, "rb") as f:
+        got = list(warc_records_to_rows(iter_warc_records(f)))
+    assert len(got) == 9
+    for w, g in zip(rows, got):
+        assert g["html"] == bytes(w["html"])  # chunked and plain agree
+
+
+def test_streaming_batches(ray_session, tmp_path):
+    rows = _sample_rows(40)
+    p = str(tmp_path / "t.warc.gz")
+    write_warc_file(rows, p)
+    ds = read_warc(p, batch_rows=8)
+    # constant-memory framing: many small blocks, not one file-sized block
+    assert ds.count() == 40
+
+
+def test_non_response_records_skipped(tmp_path):
+    rec = encode_warc_record("http://a/", 0, b"<html>x</html>")
+    meta = rec.replace(b"WARC-Type: response", b"WARC-Type: request", 1)
+    with open(tmp_path / "m.warc", "wb") as f:
+        f.write(meta + rec)
+    with open(tmp_path / "m.warc", "rb") as f:
+        got = list(warc_records_to_rows(iter_warc_records(f)))
+    assert len(got) == 1 and got[0]["url"] == "http://a/"
+
+
+def test_framing_errors_raise(tmp_path):
+    rec = encode_warc_record("http://a/", 0, b"<html>x</html>")
+    # truncated mid-block
+    with pytest.raises(WarcFormatError):
+        list(iter_warc_records(_mem(rec[: len(rec) - 20])))
+    # garbage instead of version line
+    with pytest.raises(WarcFormatError):
+        list(iter_warc_records(_mem(b"NOT A WARC\r\n" + rec)))
+    # missing Content-Length
+    broken = rec.replace(b"Content-Length", b"X-Length")
+    with pytest.raises(WarcFormatError):
+        list(iter_warc_records(_mem(broken)))
+
+
+def _mem(data: bytes):
+    import io
+
+    return io.BytesIO(data)
+
+
+def test_multi_file_read(ray_session, tmp_path):
+    rows = _sample_rows(30)
+    for i in range(3):
+        write_warc_file(rows[i * 10 : (i + 1) * 10], str(tmp_path / f"{i}.warc.gz"))
+    ds = read_warc([str(tmp_path / f"{i}.warc.gz") for i in range(3)])
+    assert ds.count() == 30
+    assert sorted(ds.to_pandas()["url"]) == sorted(r["url"] for r in rows)
+
+
+def test_warc_feeds_extract_pipeline(ray_session, tmp_path):
+    from yomitoku_ray.pipelines.extract import ExtractConfig, build_extract_pipeline
+
+    rows = _sample_rows(30)
+    p = str(tmp_path / "t.warc.gz")
+    write_warc_file(rows, p)
+    src = read_warc(p).select_columns(["url", "warc_ts", "html", "lang"])
+    out = build_extract_pipeline(src, ExtractConfig()).to_pandas()
+    assert len(out) == 30
+    ok = out[out["error"].isna()]
+    assert len(ok) >= 25  # synth corpus has ~2% malformed pages by design
+    assert (ok["extracted_text"].str.len() > 0).all()
+
+    # Byte-identity with the parquet path on the same pages.
+    import pyarrow.parquet as pq
+
+    pq_path = str(tmp_path / "pages.parquet")
+    pq.write_table(generate_pages_table(30), pq_path)
+    import ray.data
+
+    from yomitoku_ray.pipelines.extract import PAGES_COLUMNS
+
+    want = (
+        build_extract_pipeline(
+            ray.data.read_parquet(pq_path, columns=list(PAGES_COLUMNS)), ExtractConfig()
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    got = out.sort_values("url").reset_index(drop=True)
+    assert (got["extracted_text"].fillna("") == want["extracted_text"].fillna("")).all()

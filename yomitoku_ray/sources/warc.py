@@ -1,0 +1,409 @@
+"""WARC source: stream Common-Crawl-style WARC files into the pages table.
+
+The engine's canonical input is the Parquet pages table (url, warc_ts,
+html, lang), but the upstream artifact at 100 TB scale IS the WARC file
+(ISO 28500; Common Crawl ships ~1 GiB ``.warc.gz`` files whose records are
+individually gzipped members, so a file can be streamed member by member).
+This module makes WARC a first-class source with the same scale shape the
+rest of the engine uses:
+
+- one read task per WARC file (the industry parallelism unit — the format
+  is not splittable mid-file without an external index), scheduled by Ray
+  Data's streaming executor like any other file-based read;
+- records are parsed INCREMENTALLY (a bounded line/byte reader over the
+  open stream, batches of ``batch_rows`` rows yielded as Arrow tables), so
+  worker memory stays constant no matter how large the file is;
+- per-record payload extraction mirrors the reference's strict-validation
+  posture (`/root/reference/src/yomitoku/data/functions.py:33-78` rejects
+  invalid containers): framing errors raise with path context, while
+  non-``response`` records (warcinfo/request/metadata) are skipped as the
+  spec intends.
+
+The encoder half (:func:`write_warc_file`) exists so tests and synthetic
+benchmarks can round-trip real bytes — same pattern as the paged/AVI/JPEG
+codecs: encoder-paired decoders, no fixtures from the network.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pyarrow as pa
+
+WARC_VERSION = b"WARC/1.0"
+
+# Output schema: the extract pipeline's input columns (PAGES_COLUMNS) plus
+# provenance. ``lang`` comes from the HTTP Content-Language header when the
+# response carries one (Common Crawl's own language column is computed
+# downstream, exactly like this engine's lang_id operator).
+WARC_PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("lang", pa.string()),
+        ("http_status", pa.int32()),
+        ("content_type", pa.string()),
+        ("warc_record_id", pa.string()),
+    ]
+)
+
+
+class WarcFormatError(ValueError):
+    """Framing/spec violation inside a WARC stream."""
+
+
+class _RecordReader:
+    """Minimal buffered reader over a raw ``read(n)`` stream: exact-length
+    reads and CRLF lines, without loading the file."""
+
+    def __init__(self, raw, chunk: int = 1 << 16):
+        self._raw = raw
+        self._chunk = chunk
+        self._buf = b""
+        self._eof = False
+
+    def _fill(self) -> bool:
+        if self._eof:
+            return False
+        data = self._raw.read(self._chunk)
+        if not data:
+            self._eof = True
+            return False
+        self._buf += data
+        return True
+
+    def read_line(self) -> bytes | None:
+        """One line without the trailing CRLF/LF; None at clean EOF."""
+        while True:
+            i = self._buf.find(b"\n")
+            if i >= 0:
+                line, self._buf = self._buf[:i], self._buf[i + 1 :]
+                return line.rstrip(b"\r")
+            if not self._fill():
+                if self._buf:
+                    line, self._buf = self._buf, b""
+                    return line
+                return None
+
+    def read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            if not self._fill():
+                raise WarcFormatError(
+                    f"truncated record: wanted {n} bytes, stream ended with "
+                    f"{len(self._buf)}"
+                )
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+
+def _parse_warc_date(value: str) -> int:
+    """WARC-Date (ISO 8601 Zulu) -> microseconds since epoch."""
+    v = value.strip()
+    if v.endswith("Z"):
+        v = v[:-1] + "+00:00"
+    dt = datetime.fromisoformat(v)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoded body."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise WarcFormatError("chunked body: missing size line")
+        size_token = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError as exc:
+            raise WarcFormatError(f"chunked body: bad size {size_token!r}") from exc
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)
+        if pos + size > len(body):
+            raise WarcFormatError("chunked body: chunk past end of block")
+        out.append(body[pos : pos + size])
+        pos += size + 2  # skip chunk CRLF
+
+
+def _split_http_response(block: bytes) -> tuple[int, dict[bytes, bytes], bytes]:
+    """(status, lowercased headers, payload) from a raw HTTP response block."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        # Tolerate LF-only separators (seen in the wild).
+        sep = block.find(b"\n\n")
+        head, body = (block[:sep], block[sep + 2 :]) if sep >= 0 else (block, b"")
+    else:
+        head, body = block[:sep], block[sep + 4 :]
+    lines = head.replace(b"\r\n", b"\n").split(b"\n")
+    status = 0
+    if lines and lines[0].startswith(b"HTTP/"):
+        parts = lines[0].split()
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    headers: dict[bytes, bytes] = {}
+    for line in lines[1:]:
+        i = line.find(b":")
+        if i > 0:
+            headers[line[:i].strip().lower()] = line[i + 1 :].strip()
+    if headers.get(b"transfer-encoding", b"").lower() == b"chunked":
+        body = _dechunk(body)
+    return status, headers, body
+
+
+def iter_warc_records(
+    raw, *, path: str = "<stream>"
+) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield (warc_headers, block_bytes) per record from a raw byte stream.
+
+    Framing errors raise :class:`WarcFormatError` with ``path`` context —
+    once a length-delimited stream desyncs, silently resyncing would
+    misattribute payload bytes to the wrong url (the one corruption mode a
+    byte-identity pipeline can never accept).
+    """
+    r = _RecordReader(raw)
+    while True:
+        # Skip inter-record blank lines.
+        line = r.read_line()
+        while line is not None and line == b"":
+            line = r.read_line()
+        if line is None:
+            return
+        if not line.startswith(b"WARC/"):
+            raise WarcFormatError(f"{path}: expected WARC version line, got {line!r}")
+        headers: dict[str, str] = {}
+        while True:
+            line = r.read_line()
+            if line is None:
+                raise WarcFormatError(f"{path}: EOF inside record headers")
+            if line == b"":
+                break
+            i = line.find(b":")
+            if i <= 0:
+                raise WarcFormatError(f"{path}: malformed header line {line!r}")
+            headers[line[:i].strip().decode("ascii", "replace").lower()] = (
+                line[i + 1 :].strip().decode("utf-8", "replace")
+            )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise WarcFormatError(f"{path}: missing/bad Content-Length") from exc
+        block = r.read_exact(length)
+        yield headers, block
+
+
+def warc_records_to_rows(
+    records: Iterator[tuple[dict[str, str], bytes]],
+) -> Iterator[dict]:
+    """response-type records -> pages-table rows (others skipped)."""
+    for headers, block in records:
+        if headers.get("warc-type", "").lower() != "response":
+            continue
+        status, http_headers, body = _split_http_response(block)
+        yield {
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": _parse_warc_date(headers.get("warc-date", "1970-01-01T00:00:00Z")),
+            "html": body,
+            "lang": http_headers.get(b"content-language", b"").decode("ascii", "replace"),
+            "http_status": status,
+            "content_type": http_headers.get(b"content-type", b"")
+            .decode("ascii", "replace")
+            .split(";")[0]
+            .strip(),
+            "warc_record_id": headers.get("warc-record-id", ""),
+        }
+
+
+def _rows_to_table(rows: list[dict]) -> pa.Table:
+    cols = {name: [r[name] for r in rows] for name in WARC_PAGES_SCHEMA.names}
+    cols["warc_ts"] = pa.array(cols["warc_ts"], pa.timestamp("us"))
+    return pa.table(
+        {n: cols[n] if n == "warc_ts" else pa.array(cols[n], WARC_PAGES_SCHEMA.field(n).type)
+         for n in WARC_PAGES_SCHEMA.names}
+    )
+
+
+def read_warc(paths, *, batch_rows: int = 256, **kwargs):
+    """``ray.data`` Dataset of pages-table rows from WARC file(s).
+
+    One read task per file (WARC is not splittable without an index; with
+    Common Crawl's ~1 GiB shards, file-level parallelism saturates a
+    cluster), each task streaming its file record-by-record in constant
+    memory and emitting ``batch_rows``-row Arrow blocks. ``.gz`` inputs
+    are decoded with Python's multi-member gzip reader — Common Crawl
+    gzips each record as its own member, which is exactly the
+    concatenated-member layout ``gzip.GzipFile`` handles natively.
+    """
+    import ray.data
+
+    return ray.data.read_datasource(
+        WarcDatasource(paths, batch_rows=batch_rows, **kwargs)
+    )
+
+
+try:  # Datasource plumbing requires ray; keep the parser importable without.
+    from ray.data.datasource.file_based_datasource import FileBasedDatasource
+
+    class WarcDatasource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["warc", "warc.gz"]
+
+        def __init__(self, paths, *, batch_rows: int = 256, **kwargs):
+            super().__init__(paths, **kwargs)
+            self._batch_rows = batch_rows
+
+        def _open_input_source(self, filesystem, path, **open_args):
+            # Raw bytes always: gzip is handled per-record-member in
+            # _read_stream (arrow's inferred codec would reject the
+            # multi-member layout Common Crawl uses).
+            open_args.pop("compression", None)
+            # compression=None (not the 'detect' default): pyarrow's inferred
+            # gzip stream would double-decompress under the member-wise
+            # GzipFile below — and its codec rejects some multi-member files.
+            return filesystem.open_input_stream(path, compression=None, **open_args)
+
+        def _read_stream(self, f, path: str):
+            raw = gzip.GzipFile(fileobj=_NativeFileAdapter(f)) if path.endswith(".gz") else f
+            rows: list[dict] = []
+            for row in warc_records_to_rows(iter_warc_records(raw, path=path)):
+                rows.append(row)
+                if len(rows) >= self._batch_rows:
+                    yield _rows_to_table(rows)
+                    rows = []
+            if rows:
+                yield _rows_to_table(rows)
+
+except ImportError:  # pragma: no cover
+    WarcDatasource = None  # type: ignore[assignment]
+
+
+class _NativeFileAdapter(io.RawIOBase):
+    """Arrow NativeFile -> io stream so gzip.GzipFile can buffer it."""
+
+    def __init__(self, f):
+        self._f = f
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        data = self._f.read(len(b))
+        n = len(data)
+        b[:n] = data
+        return n
+
+
+# ---------------------------------------------------------------------------
+# Encoder (tests + synthetic benchmarks)
+# ---------------------------------------------------------------------------
+
+
+def _format_warc_date(ts_us: int) -> str:
+    dt = datetime.fromtimestamp(ts_us / 1_000_000, tz=timezone.utc)
+    if ts_us % 1_000_000:
+        # WARC 1.1 fractional seconds — keeps the round trip microsecond-exact.
+        return dt.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def encode_warc_record(
+    url: str,
+    ts_us: int,
+    payload: bytes,
+    *,
+    status: int = 200,
+    content_type: str = "text/html",
+    lang: str = "",
+    record_id: str | None = None,
+    chunked: bool = False,
+) -> bytes:
+    """One ``response`` record (HTTP head + payload), spec-exact framing."""
+    if chunked:
+        body = b"".join(
+            b"%x\r\n%s\r\n" % (len(chunk), chunk)
+            for chunk in (payload[i : i + 1024] for i in range(0, len(payload), 1024))
+            if chunk
+        ) + b"0\r\n\r\n"
+        te = b"Transfer-Encoding: chunked\r\n"
+        cl = b""
+    else:
+        body = payload
+        te = b""
+        cl = b"Content-Length: %d\r\n" % len(payload)
+    http = (
+        b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n%s%s%s\r\n"
+        % (
+            status,
+            content_type.encode("ascii"),
+            cl,
+            te,
+            (b"Content-Language: %s\r\n" % lang.encode("ascii")) if lang else b"",
+        )
+    ) + body
+    rid = record_id or f"<urn:uuid:{abs(hash((url, ts_us))):032x}>"
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + b"WARC-Record-ID: %s\r\n" % rid.encode("ascii")
+        + b"WARC-Date: %s\r\n" % _format_warc_date(ts_us).encode("ascii")
+        + b"WARC-Target-URI: %s\r\n" % url.encode("utf-8")
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(http)
+    )
+    return head + http + b"\r\n\r\n"
+
+
+def encode_warcinfo(ts_us: int, fields: dict[str, str] | None = None) -> bytes:
+    body = "".join(f"{k}: {v}\r\n" for k, v in (fields or {"software": "yomitoku_ray"}).items()).encode()
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        + b"WARC-Date: %s\r\n" % _format_warc_date(ts_us).encode("ascii")
+        + b"Content-Type: application/warc-fields\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(body)
+    )
+    return head + body + b"\r\n\r\n"
+
+
+def write_warc_file(
+    rows: list[dict],
+    path: str,
+    *,
+    gzip_per_record: bool = True,
+    include_warcinfo: bool = True,
+    chunked_every: int = 0,
+) -> None:
+    """Write rows (url, warc_ts us-int or pa timestamp, html bytes, optional
+    lang/status) as a WARC file. ``gzip_per_record`` reproduces Common
+    Crawl's member-per-record ``.warc.gz`` layout; ``chunked_every=k``
+    makes every k-th record use chunked transfer encoding (decoder probe).
+    """
+    records: list[bytes] = []
+    if include_warcinfo:
+        first_ts = int(rows[0]["warc_ts"]) if rows else 0
+        records.append(encode_warcinfo(first_ts))
+    for i, row in enumerate(rows):
+        records.append(
+            encode_warc_record(
+                row["url"],
+                int(row["warc_ts"]),
+                bytes(row["html"]),
+                lang=row.get("lang", ""),
+                status=int(row.get("http_status", 200)),
+                chunked=bool(chunked_every and (i % chunked_every == chunked_every - 1)),
+            )
+        )
+    with open(path, "wb") as f:
+        if path.endswith(".gz") and gzip_per_record:
+            for rec in records:
+                f.write(gzip.compress(rec))
+        elif path.endswith(".gz"):
+            f.write(gzip.compress(b"".join(records)))
+        else:
+            f.write(b"".join(records))
