@@ -1,0 +1,97 @@
+"""WET sink/source: distributed write of conversion records, streaming read
+back, null-text skip, and the full WARC->extract->WET chain."""
+
+import glob
+import gzip
+import io
+
+import pytest
+
+from yomitoku_ray.export.wet import encode_wet_record, iter_wet_rows, read_wet, write_wet
+from yomitoku_ray.sources.warc import read_warc, write_warc_file
+from yomitoku_ray.synth.pages import generate_pages_table
+
+
+def test_wet_record_roundtrip_unit():
+    rec = encode_wet_record("http://a/", 1_700_000_000_123_456, "héllo\nwörld",
+                            refers_to="<urn:uuid:1>")
+    rows = list(iter_wet_rows(io.BytesIO(rec)))
+    assert rows == [
+        {"url": "http://a/", "warc_ts": 1_700_000_000_123_456, "text": "héllo\nwörld"}
+    ]
+
+
+def test_warc_extract_wet_chain(ray_session, tmp_path):
+    from yomitoku_ray.pipelines.extract import ExtractConfig, build_extract_pipeline
+
+    t = generate_pages_table(60)
+    rows = [
+        {
+            "url": r["url"],
+            "warc_ts": int(r["warc_ts"].timestamp() * 1_000_000),
+            "html": r["html"],
+            "lang": r["lang"],
+        }
+        for r in t.to_pylist()
+    ]
+    warc = str(tmp_path / "in.warc.gz")
+    write_warc_file(rows, warc)
+
+    src = read_warc(warc).select_columns(["url", "warc_ts", "html", "lang"])
+    out = build_extract_pipeline(src, ExtractConfig())
+    wet_dir = str(tmp_path / "wet")
+    # CC omits unextractable responses from WET: drop error rows upstream.
+    write_wet(out.filter(lambda r: r["error"] is None), wet_dir)
+
+    files = glob.glob(f"{wet_dir}/*.warc.wet.gz")
+    assert files, "no WET files written"
+    back = read_wet(files).to_pandas().sort_values("url").reset_index(drop=True)
+
+    want = out.to_pandas()
+    ok = want[want["error"].isna()].sort_values("url").reset_index(drop=True)
+    assert len(back) == len(ok)  # error rows carry no conversion record
+    assert (back["url"] == ok["url"]).all()
+    assert (back["text"] == ok["extracted_text"]).all()  # byte-exact text
+    # timestamps survive microsecond-exact
+    assert (
+        back["warc_ts"].astype("datetime64[us]") == ok["warc_ts"].astype("datetime64[us]")
+    ).all()
+
+
+def test_wet_multi_member_gzip_layout(ray_session, tmp_path):
+    # Each record is its own gzip member (CC layout): truncating the file at
+    # a member boundary yields a readable prefix — the property CC tooling
+    # relies on for range requests.
+    import ray.data
+
+    ds = ray.data.from_items(
+        [
+            {"url": f"http://x/{i}", "warc_ts": None, "extracted_text": f"t{i}"}
+            for i in range(4)
+        ]
+    )
+    wet_dir = str(tmp_path / "w")
+    write_wet(ds, wet_dir, include_warcinfo=False)
+    f = glob.glob(f"{wet_dir}/*.warc.wet.gz")
+    data = b"".join(open(p, "rb").read() for p in f)
+    # decompress member-by-member and count records
+    n = 0
+    buf = io.BytesIO(data)
+    g = gzip.GzipFile(fileobj=buf)
+    n = sum(1 for _ in iter_wet_rows(g))
+    assert n == 4
+
+
+def test_wet_skips_null_text(ray_session, tmp_path):
+    import ray.data
+
+    ds = ray.data.from_items(
+        [
+            {"url": "http://a/", "warc_ts": None, "extracted_text": "ok"},
+            {"url": "http://b/", "warc_ts": None, "extracted_text": None},
+        ]
+    )
+    wet_dir = str(tmp_path / "w")
+    write_wet(ds, wet_dir, include_warcinfo=False)
+    back = read_wet(glob.glob(f"{wet_dir}/*.warc.wet.gz")).to_pandas()
+    assert list(back["url"]) == ["http://a/"]
