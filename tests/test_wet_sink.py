@@ -95,3 +95,26 @@ def test_wet_skips_null_text(ray_session, tmp_path):
     write_wet(ds, wet_dir, include_warcinfo=False)
     back = read_wet(glob.glob(f"{wet_dir}/*.warc.wet.gz")).to_pandas()
     assert list(back["url"]) == ["http://a/"]
+
+
+def test_crawl_cli(ray_session, tmp_path, capsys):
+    from yomitoku_ray.__main__ import main
+
+    t = generate_pages_table(20)
+    rows = [
+        {
+            "url": r["url"],
+            "warc_ts": int(r["warc_ts"].timestamp() * 1_000_000),
+            "html": r["html"],
+            "lang": r["lang"],
+        }
+        for r in t.to_pylist()
+    ]
+    warc = str(tmp_path / "in.warc.gz")
+    write_warc_file(rows, warc)
+    main(["crawl", warc, str(tmp_path / "wet"), "--wet"])
+    assert glob.glob(str(tmp_path / "wet" / "*.warc.wet.gz"))
+    main(["crawl", warc, str(tmp_path / "pq")])
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(str(tmp_path / "pq")).num_rows == 20

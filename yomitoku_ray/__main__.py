@@ -65,6 +65,24 @@ def cmd_extract(args):
         print(json.dumps({"output": args.output}))
 
 
+def cmd_crawl(args):
+    """Common Crawl shard drive: WARC in, parquet or WET out."""
+    _init_ray(args.num_cpus)
+    from .pipelines.extract import ExtractConfig, build_extract_pipeline
+    from .sources.warc import read_warc
+
+    cfg = ExtractConfig(detect_concurrency=(2, max(2, args.num_cpus - 2)))
+    src = read_warc(args.inputs).select_columns(["url", "warc_ts", "html", "lang"])
+    out = build_extract_pipeline(src, cfg)
+    if args.wet:
+        from .export.wet import write_wet
+
+        write_wet(out.filter(lambda r: r["error"] is None), args.output)
+    else:
+        out.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "format": "wet" if args.wet else "parquet"}))
+
+
 def cmd_semantic(args):
     _init_ray(args.num_cpus)
     from .pipelines.semantic import semantic_pages
@@ -146,6 +164,12 @@ def main(argv=None):
                    choices=["auto", "top2bottom", "right2left", "left2right"])
     p.add_argument("--url-prefix", help="process only urls with this prefix")
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("crawl", help="WARC shard(s) -> extract -> parquet or WET")
+    p.add_argument("inputs", nargs="+", help=".warc / .warc.gz file(s)")
+    p.add_argument("output")
+    p.add_argument("--wet", action="store_true", help="write CC WET instead of parquet")
+    p.set_defaults(fn=cmd_crawl)
 
     p = sub.add_parser("semantic", help="semantic table parsing [+ extraction]")
     p.add_argument("input")
