@@ -260,3 +260,51 @@ def test_stale_break_single_winner(tmp_path):
     for p in procs:
         p.join()
     assert sum(results) == 1  # exactly one driver owns the broken lock
+
+
+def test_resumable_warc_shards(ray_session, tmp_path):
+    """WARC shards are first-class checkpoint units: kill after one wave,
+    resume skips committed shards, rows exactly-once, byte parity with the
+    parquet path."""
+    from yomitoku_ray.sources.warc import write_warc_file
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    per = 20
+    for i in range(4):
+        t = generate_pages_table(per, start=i * per)
+        rows = [
+            {
+                "url": r["url"],
+                "warc_ts": int(r["warc_ts"].timestamp() * 1_000_000),
+                "html": r["html"],
+                "lang": r["lang"],
+            }
+            for r in t.to_pylist()
+        ]
+        write_warc_file(rows, str(d / f"shard-{i:05d}.warc.gz"))
+
+    out = str(tmp_path / "out")
+    s1 = run_resumable(str(d), out, _cfg(), wave_files=2, max_waves=1)
+    assert s1["waves_run"] == 1 and not s1["complete"]
+    assert len(completed_input_files(out)) == 2
+
+    s2 = run_resumable(str(d), out, _cfg(), wave_files=2)
+    assert s2["input_files_skipped"] == 2 and s2["complete"]
+
+    t = pads.dataset(os.path.join(out, "data")).to_table(columns=["url", "extracted_text"])
+    urls = t.column("url").to_pylist()
+    assert len(urls) == 4 * per and len(set(urls)) == 4 * per
+
+    # Byte parity with the straight parquet-input pipeline on the same pages.
+    pq_dir = tmp_path / "pq"
+    pq_dir.mkdir()
+    pq.write_table(generate_pages_table(4 * per), str(pq_dir / "p.parquet"))
+    out2 = str(tmp_path / "out2")
+    run_resumable(str(pq_dir), out2, _cfg())
+    t2 = pads.dataset(os.path.join(out2, "data")).to_table(
+        columns=["url", "extracted_text"]
+    )
+    a = dict(zip(t.column("url").to_pylist(), t.column("extracted_text").to_pylist()))
+    b = dict(zip(t2.column("url").to_pylist(), t2.column("extracted_text").to_pylist()))
+    assert a == b

@@ -72,6 +72,16 @@ def cmd_crawl(args):
     from .sources.warc import read_warc
 
     cfg = ExtractConfig(detect_concurrency=(2, max(2, args.num_cpus - 2)))
+    if args.resumable:
+        if args.wet:
+            raise SystemExit("--resumable writes checkpointed parquet waves; drop --wet")
+        from .state.checkpoint import run_resumable
+
+        summary = run_resumable(
+            args.inputs[0], args.output, cfg, wave_files=args.wave_files
+        )
+        print(json.dumps(summary))
+        return
     src = read_warc(args.inputs).select_columns(["url", "warc_ts", "html", "lang"])
     out = build_extract_pipeline(src, cfg)
     if args.wet:
@@ -169,6 +179,9 @@ def main(argv=None):
     p.add_argument("inputs", nargs="+", help=".warc / .warc.gz file(s)")
     p.add_argument("output")
     p.add_argument("--wet", action="store_true", help="write CC WET instead of parquet")
+    p.add_argument("--resumable", action="store_true",
+                   help="checkpointed per-shard waves (input = directory of WARCs)")
+    p.add_argument("--wave-files", type=int, default=4)
     p.set_defaults(fn=cmd_crawl)
 
     p = sub.add_parser("semantic", help="semantic table parsing [+ extraction]")

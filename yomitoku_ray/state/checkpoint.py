@@ -52,8 +52,25 @@ from ..pipelines.extract import ExtractConfig, build_extract_pipeline, read_page
 
 def _list_input_files(pages_path: str) -> list[str]:
     if os.path.isdir(pages_path):
-        return sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+        files = sorted(
+            glob.glob(os.path.join(pages_path, "*.parquet"))
+            + glob.glob(os.path.join(pages_path, "*.warc"))
+            + glob.glob(os.path.join(pages_path, "*.warc.gz"))
+        )
+        return files
     return [pages_path]
+
+
+def _read_chunk(chunk: list[str]):
+    """Pages Dataset for one wave's input files — parquet or WARC shards
+    (the checkpoint unit is the input FILE either way, so a resumed crawl
+    skips whole committed WARC shards exactly like committed parquet)."""
+    if chunk and all(p.endswith((".warc", ".warc.gz")) for p in chunk):
+        from ..pipelines.extract import PAGES_COLUMNS
+        from ..sources.warc import read_warc
+
+        return read_warc(chunk).select_columns(list(PAGES_COLUMNS))
+    return read_pages(chunk)
 
 
 def _manifest_dir(out_root: str) -> str:
@@ -281,7 +298,7 @@ def run_resumable(
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
         t0 = time.perf_counter()
-        ds = build_extract_pipeline(read_pages(chunk), cfg)
+        ds = build_extract_pipeline(_read_chunk(chunk), cfg)
         ds.write_parquet(tmp_dir)
         wall = time.perf_counter() - t0
         try:
