@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         props_scrub,
         quality_topk,
         source_mix_weights,
+        substring_dedup_rollup,
     )
     from yomitoku_ray.functions.text_stats import (
         bigram_coverage,
@@ -552,6 +553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": contamination_check,
         # temperature-scaled (t=0.5) source mixing weights, integer ppm
         "source_mix_weights": source_mix_weights,
+        # substring-dedup RESOLUTION per source (dup_ngram_spans composed
+        # through one doc-bucket shuffle with the source/token-count side)
+        "substring_dedup_rollup": substring_dedup_rollup,
         # deterministic hash sampling (no count, no shuffle, SQL-replicable)
         "corpus_sample": corpus_sample,
         # similarity search (embeddings)
@@ -877,6 +881,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_dup_positions, 0) AS BIGINT) AS n_dup_positions
             FROM documents
             LEFT JOIN per USING (doc_id) LEFT JOIN cov USING (doc_id)
+        """,
+        "substring_dedup_rollup": r"""
+            WITH d AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            win AS (
+                SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ') AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS pos
+                      FROM d)
+            ),
+            c AS (SELECT g, count(*) AS cnt FROM win GROUP BY 1),
+            occ AS (SELECT doc_id, pos, cnt >= 2 AS dup FROM win JOIN c USING (g)),
+            cov AS (
+                SELECT doc_id,
+                       CAST(count(DISTINCT pos + k) AS BIGINT) AS n_dup_positions
+                FROM (SELECT doc_id, pos, unnest(generate_series(0, 4)) AS k
+                      FROM occ WHERE dup)
+                GROUP BY 1
+            ),
+            tl AS (
+                SELECT doc_id, source,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                            END AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(coalesce(n_dup_positions, 0)) AS BIGINT) AS n_dup_tokens,
+                   CAST(sum(n_tokens) - sum(coalesce(n_dup_positions, 0)) AS BIGINT)
+                       AS kept_tokens
+            FROM tl LEFT JOIN cov USING (doc_id)
+            GROUP BY 1 ORDER BY 1
         """,
         "source_mix_weights": r"""
             WITH s AS (

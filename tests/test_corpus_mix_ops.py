@@ -83,3 +83,14 @@ def test_dup_ngram_spans_default_window(ray_session, corpus_dir):
     assert df.loc[1, "n_dup_windows"] == 0
     # "m n m n m n" has 2 windows, both unique at w=5
     assert df.loc[5].tolist() == [2, 0, 0]
+
+
+def test_substring_dedup_rollup_manual(ray_session, corpus_dir):
+    from yomitoku_ray.functions.clean import substring_dedup_rollup
+
+    df = substring_dedup_rollup(corpus_dir, w=3).set_index("source")
+    # from test_dup_ngram_spans_manual: per-doc dup coverage
+    #   sA: doc0 (5 tok, 5 dup) + doc1 (6 tok, 3 dup)
+    #   sB: doc2 (3,0) doc3 (2,0) doc4 (5,5) doc5 (6,6)
+    assert df.loc["sA"].tolist() == [2, 11, 8, 3]
+    assert df.loc["sB"].tolist() == [4, 16, 11, 5]

@@ -584,3 +584,91 @@ def source_mix_weights(sf_dir: str) -> pd.DataFrame:
     out["n_docs"] = out["n_docs"].astype("int64")
     out["n_tokens"] = out["n_tokens"].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def substring_dedup_rollup(sf_dir: str, w: int = 5) -> pd.DataFrame:
+    """Resolution rollup for exact substring-window dedup: per source, how
+    many token positions the Lee-et-al excision pass would remove and what
+    survives — the number a corpus curator actually acts on.
+
+    Scale shape: composes the streaming :func:`dedup.dup_ngram_spans`
+    Dataset with the documents' (source, token-count) side through ONE
+    coarse doc-bucket shuffle (tag/union/map_groups — the same large-large
+    join idiom as dedup_corpus), then reduces per-bucket per-source
+    partials in a dimension-sized groupby. Nothing corpus-sized ever
+    reaches the driver. Columns: source, n_docs, n_tokens, n_dup_tokens,
+    kept_tokens (int64).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .dedup import dup_ngram_spans
+
+    mask = (1 << 10) - 1
+    spans = dup_ngram_spans(sf_dir, w=w)
+
+    def _doc_side(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        toks = df["text"].fillna("").str.strip().str.split(_TOKEN_SPLIT)
+        n_tokens = toks.map(lambda t: len(t) if t != [""] else 0)
+        return pd.DataFrame(
+            {
+                "dbucket": ids.to_numpy() & mask,
+                "doc_id": ids,
+                "source": df["source"].astype(str),
+                "n_tokens": n_tokens.astype("int64"),
+                "n_dup": np.full(len(df), -1, dtype="int64"),  # -1 = doc row
+            }
+        )
+
+    def _span_side(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "dbucket": ids.to_numpy() & mask,
+                "doc_id": ids,
+                "source": pd.Series([""] * len(df), dtype=str),
+                "n_tokens": np.zeros(len(df), dtype="int64"),
+                "n_dup": df["n_dup_positions"].astype("int64"),
+            }
+        )
+
+    def _merge(grp: pd.DataFrame) -> pd.DataFrame:
+        docs = grp[grp["n_dup"] < 0]
+        dup = (
+            grp[grp["n_dup"] >= 0]
+            .groupby("doc_id")["n_dup"]
+            .sum()
+            .reindex(docs["doc_id"])
+            .fillna(0)
+            .to_numpy("int64")
+        )
+        per = pd.DataFrame(
+            {
+                "source": docs["source"].astype(str),
+                "n_docs": np.ones(len(docs), dtype="int64"),
+                "n_tokens": docs["n_tokens"].astype("int64"),
+                "n_dup_tokens": dup,
+            }
+        )
+        return per.groupby("source", as_index=False).sum()
+
+    docs_tagged = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(_doc_side, batch_format="pandas")
+    out = (
+        docs_tagged.union(spans.map_batches(_span_side, batch_format="pandas"))
+        .groupby("dbucket")
+        .map_groups(_merge, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_dup_tokens", alias_name="n_dup_tokens"),
+        )
+        .to_pandas()  # dimension-sized (one row per source)
+    )
+    for c in ("n_docs", "n_tokens", "n_dup_tokens"):
+        out[c] = out[c].astype("int64")
+    out["kept_tokens"] = (out["n_tokens"] - out["n_dup_tokens"]).astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
