@@ -141,3 +141,71 @@ def test_warc_feeds_extract_pipeline(ray_session, tmp_path):
     )
     got = out.sort_values("url").reset_index(drop=True)
     assert (got["extracted_text"].fillna("") == want["extracted_text"].fillna("")).all()
+
+
+def test_on_error_truncate_keeps_prefix(ray_session, tmp_path):
+    rows = _sample_rows(20)
+    p = str(tmp_path / "t.warc.gz")
+    write_warc_file(rows, p)
+    data = open(p, "rb").read()
+    # flip a byte ~60% in (inside some record's gzip member)
+    cut = int(len(data) * 0.6)
+    corrupted = data[:cut] + bytes([data[cut] ^ 0xFF]) + data[cut + 1 :]
+    bad = str(tmp_path / "bad.warc.gz")
+    open(bad, "wb").write(corrupted)
+
+    # strict mode fails the task
+    import ray.exceptions
+
+    with pytest.raises(Exception):
+        read_warc(bad).materialize()
+
+    # truncate mode on a CLEAN file reads everything
+    assert read_warc(p, on_error="truncate").count() == 20
+
+    # truncate mode keeps the clean prefix, drops the rest
+    got = read_warc(bad, on_error="truncate").to_pandas()
+    assert 0 < len(got) < 20
+    want = {r["url"]: bytes(r["html"]) for r in rows}
+    for _, row in got.iterrows():
+        assert bytes(row["html"]) == want[row["url"]]  # no misattributed bytes
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=400), min_size=1, max_size=6
+    ),
+    urls=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd"), min_codepoint=33
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=6,
+        max_size=6,
+        unique=True,
+    ),
+    ts=st.integers(min_value=0, max_value=4_000_000_000_000_000),
+    chunked=st.booleans(),
+)
+def test_warc_record_roundtrip_fuzz(payloads, urls, ts, chunked):
+    """Any payload bytes (incl. embedded CRLFCRLF, gzip magic, WARC/1.0
+    strings) must round-trip exactly — framing is length-delimited."""
+    import io
+
+    recs = b"".join(
+        encode_warc_record(f"http://h/{u}", ts + i, p, chunked=chunked)
+        for i, (u, p) in enumerate(zip(urls, payloads * 6))
+    )
+    got = list(warc_records_to_rows(iter_warc_records(io.BytesIO(recs))))
+    assert len(got) == 6
+    for i, (u, p) in enumerate(zip(urls, payloads * 6)):
+        assert got[i]["url"] == f"http://h/{u}"
+        assert got[i]["html"] == p
+        assert got[i]["warc_ts"] == ts + i

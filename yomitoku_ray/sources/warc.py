@@ -101,14 +101,16 @@ class _RecordReader:
 
 
 def _parse_warc_date(value: str) -> int:
-    """WARC-Date (ISO 8601 Zulu) -> microseconds since epoch."""
+    """WARC-Date (ISO 8601 Zulu) -> microseconds since epoch (integer math:
+    ``timestamp()*1e6`` truncates, e.g. 244 µs -> 243)."""
     v = value.strip()
     if v.endswith("Z"):
         v = v[:-1] + "+00:00"
     dt = datetime.fromisoformat(v)
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp() * 1_000_000)
+    delta = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -230,7 +232,7 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
     )
 
 
-def read_warc(paths, *, batch_rows: int = 256, **kwargs):
+def read_warc(paths, *, batch_rows: int = 256, on_error: str = "raise", **kwargs):
     """``ray.data`` Dataset of pages-table rows from WARC file(s).
 
     One read task per file (WARC is not splittable without an index; with
@@ -240,11 +242,21 @@ def read_warc(paths, *, batch_rows: int = 256, **kwargs):
     are decoded with Python's multi-member gzip reader — Common Crawl
     gzips each record as its own member, which is exactly the
     concatenated-member layout ``gzip.GzipFile`` handles natively.
+
+    ``on_error``: ``"raise"`` (default) fails the read task on a framing
+    error; ``"truncate"`` keeps every record parsed before the corruption
+    and drops the file's remainder — the per-shard analogue of the
+    engine's per-row error isolation (a single flipped bit in one shard
+    must not kill a 10^12-document job; once framing desyncs, later bytes
+    can't be attributed to urls safely, so truncation is the only honest
+    recovery).
     """
     import ray.data
 
+    if on_error not in ("raise", "truncate"):
+        raise ValueError(f"on_error must be 'raise' or 'truncate', got {on_error!r}")
     return ray.data.read_datasource(
-        WarcDatasource(paths, batch_rows=batch_rows, **kwargs)
+        WarcDatasource(paths, batch_rows=batch_rows, on_error=on_error, **kwargs)
     )
 
 
@@ -254,9 +266,10 @@ try:  # Datasource plumbing requires ray; keep the parser importable without.
     class WarcDatasource(FileBasedDatasource):
         _FILE_EXTENSIONS = ["warc", "warc.gz"]
 
-        def __init__(self, paths, *, batch_rows: int = 256, **kwargs):
+        def __init__(self, paths, *, batch_rows: int = 256, on_error: str = "raise", **kwargs):
             super().__init__(paths, **kwargs)
             self._batch_rows = batch_rows
+            self._on_error = on_error
 
         def _open_input_source(self, filesystem, path, **open_args):
             # Raw bytes always: gzip is handled per-record-member in
@@ -269,9 +282,28 @@ try:  # Datasource plumbing requires ray; keep the parser importable without.
             return filesystem.open_input_stream(path, compression=None, **open_args)
 
         def _read_stream(self, f, path: str):
-            raw = gzip.GzipFile(fileobj=_NativeFileAdapter(f)) if path.endswith(".gz") else f
+            if path.endswith(".gz"):
+                # truncate mode: member-wise decode so only CRC-validated
+                # members are parsed and the clean prefix survives a tear.
+                raw = (
+                    _MemberGzipStream(f)
+                    if self._on_error == "truncate"
+                    else gzip.GzipFile(fileobj=_NativeFileAdapter(f))
+                )
+            else:
+                raw = f
             rows: list[dict] = []
-            for row in warc_records_to_rows(iter_warc_records(raw, path=path)):
+            it = warc_records_to_rows(iter_warc_records(raw, path=path))
+            while True:
+                try:
+                    row = next(it)
+                except StopIteration:
+                    break
+                except (WarcFormatError, EOFError, OSError):
+                    # EOFError/BadGzipFile: torn gzip member mid-file.
+                    if self._on_error == "raise":
+                        raise
+                    break  # truncate: keep records parsed before the tear
                 rows.append(row)
                 if len(rows) >= self._batch_rows:
                     yield _rows_to_table(rows)
@@ -281,6 +313,65 @@ try:  # Datasource plumbing requires ray; keep the parser importable without.
 
 except ImportError:  # pragma: no cover
     WarcDatasource = None  # type: ignore[assignment]
+
+
+class _MemberGzipStream:
+    """Member-at-a-time tolerant gzip decoder for ``on_error='truncate'``.
+
+    A member's bytes are released only after its CRC validates, so a
+    flipped bit anywhere yields exactly the clean-member prefix — never
+    garbage payload attributed to a url (``GzipFile`` both interleaves
+    release with validation AND discards everything decoded inside the
+    read call that raises, dropping the whole prefix). A bad or truncated
+    member reads as EOF from then on.
+
+    Memory is bounded by the largest single member — Common Crawl's
+    member-per-record layout keeps that at one record. (For whole-file
+    single-member gzip, strict mode's streaming GzipFile is the right
+    tool; tolerant mode would buffer the file.)
+    """
+
+    def __init__(self, raw, chunk: int = 1 << 16):
+        self._raw = raw
+        self._chunk = chunk
+        self._buf = b""
+        self._pending = b""
+        self._eof = False
+
+    def _decode_member(self) -> None:
+        import zlib
+
+        if not self._pending:
+            self._pending = self._raw.read(self._chunk)
+            if not self._pending:
+                self._eof = True
+                return
+        d = zlib.decompressobj(31)
+        parts: list[bytes] = []
+        try:
+            while True:
+                if not self._pending:
+                    self._pending = self._raw.read(self._chunk)
+                    if not self._pending:
+                        raise EOFError("truncated gzip member")
+                parts.append(d.decompress(self._pending))
+                if d.eof:
+                    self._pending = d.unused_data
+                    break
+                self._pending = b""
+        except (zlib.error, EOFError, OSError):
+            self._eof = True
+            return
+        self._buf += b"".join(parts)
+
+    def read(self, n: int = -1) -> bytes:
+        while not self._eof and (n < 0 or len(self._buf) < n):
+            self._decode_member()
+        if n < 0:
+            out, self._buf = self._buf, b""
+        else:
+            out, self._buf = self._buf[:n], self._buf[n:]
+        return out
 
 
 class _NativeFileAdapter(io.RawIOBase):
