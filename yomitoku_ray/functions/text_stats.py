@@ -611,16 +611,21 @@ def term_cooccurrence(sf_dir: str, window: int = 5, k: int = 20) -> pd.DataFrame
 
     Scale shape: the pair explode is vectorized per batch (one shifted
     compare per distance, no Python row loop) and immediately COMBINED to
-    per-batch pair counts, so the single shuffle (groupby(pair) sum) moves
-    vocabulary²-bounded rows, not token-count rows; the final top-k sorts
-    the aggregated pair table. Ties break (count desc, wa asc, wb asc),
-    replicated in the SQL oracle via least()/greatest() + the same ORDER BY.
+    per-batch pair counts, so the single shuffle moves vocabulary²-bounded
+    rows, not token-count rows. The reduce is the repo's coarse-bucket
+    idiom (hash(pair) & mask → groupby(bucket).map_groups) rather than a
+    fine-key native aggregate — Ray's aggregate pays ~200 fixed reduce
+    partitions (the bigram_coverage diagnosis); a pair lives in exactly
+    one bucket, so per-bucket top-k composes losslessly into the global
+    top-k over a k×buckets-bounded driver table. Ties break (count desc,
+    wa asc, wb asc), replicated in the SQL oracle via least()/greatest()
+    + the same ORDER BY.
     """
     import numpy as np
     import ray.data
-    from ray.data.aggregate import Sum
 
     sep = "\x1f"
+    mask = (1 << 8) - 1
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.strip().str.split()
@@ -651,23 +656,36 @@ def term_cooccurrence(sf_dir: str, window: int = 5, k: int = 20) -> pd.DataFrame
                 {"pair": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
             )
         vc = pd.concat(parts, ignore_index=True).value_counts()
+        pairs = vc.index.astype(str)
+        bucket = (
+            pd.util.hash_array(pairs.to_numpy(dtype=object)).astype("int64") & mask
+            if len(vc)
+            else np.zeros(0, dtype="int64")
+        )
         return pd.DataFrame(
-            {"pair": vc.index.astype(str), "n": vc.to_numpy(dtype="int64")}
+            {"bucket": bucket, "pair": pairs, "n": vc.to_numpy(dtype="int64")}
+        )
+
+    def _bucket_topk(grp: pd.DataFrame) -> pd.DataFrame:
+        agg = grp.groupby("pair", as_index=False)["n"].sum()
+        split = agg["pair"].str.split(sep, n=1, expand=True)
+        agg["wa"] = split[0].astype(str)
+        agg["wb"] = split[1].astype(str)
+        agg["n"] = agg["n"].astype("int64")
+        return (
+            agg.sort_values(["n", "wa", "wb"], ascending=[False, True, True])
+            .head(k)[["wa", "wb", "n"]]
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    agg = (
+    per_bucket = (
         ds.map_batches(_partial, batch_format="pandas")
-        .groupby("pair")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # vocabulary-pair-sized
+        .groupby("bucket")
+        .map_groups(_bucket_topk, batch_format="pandas")
+        .to_pandas()  # k × n_buckets rows, driver-safe by construction
     )
-    agg["n"] = agg["n"].astype("int64")
-    split = agg["pair"].str.split(sep, n=1, expand=True)
-    agg["wa"] = split[0].astype(str)
-    agg["wb"] = split[1].astype(str)
     return (
-        agg.sort_values(["n", "wa", "wb"], ascending=[False, True, True])
-        .head(k)[["wa", "wb", "n"]]
+        per_bucket.sort_values(["n", "wa", "wb"], ascending=[False, True, True])
+        .head(k)
         .reset_index(drop=True)
     )
