@@ -487,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lang_id,
         quality_score,
         doc_length_percentiles,
+        source_length_percentiles,
         token_count_bpe,
         top_terms,
         winnow_fingerprints,
@@ -523,6 +524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source exclusive vocabulary (group-wise top-k composition)
         "distinctive_terms": distinctive_terms,
         "doc_length_percentiles": doc_length_percentiles,
+        # grouped exact percentiles (histogram combiner per source bucket)
+        "source_length_percentiles": source_length_percentiles,
         # dedup family
         "exact_dedup": exact_dedup,
         # max_bucket sized so the LSH pair set is exact at test scale (the
@@ -1116,8 +1119,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p.pct, CAST(min(cum.n_tokens) AS BIGINT) AS n_tokens
             FROM (SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct) p
-            JOIN cum ON cum.c >= -((-p.pct * cum.total) // 100)
+            JOIN cum ON cum.c >= (p.pct * cum.total + 99) // 100
             GROUP BY p.pct
+        """,
+        "source_length_percentiles": r"""
+            WITH lens AS (
+                SELECT source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+                FROM documents
+            ),
+            hist AS (
+                SELECT source, n_tokens, count(*) AS cnt
+                FROM lens GROUP BY source, n_tokens
+            ),
+            cum AS (
+                SELECT source, n_tokens,
+                       sum(cnt) OVER (PARTITION BY source ORDER BY n_tokens
+                                      ROWS UNBOUNDED PRECEDING) AS c,
+                       sum(cnt) OVER (PARTITION BY source) AS total
+                FROM hist
+            )
+            SELECT cum.source, p.pct, CAST(min(cum.n_tokens) AS BIGINT) AS n_tokens
+            FROM (SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct) p
+            JOIN cum ON cum.c >= (p.pct * cum.total + 99) // 100
+            GROUP BY cum.source, p.pct
         """,
         "token_count_bpe": _token_count_bpe_sql(),
         # Winnowing fingerprints: window-minima over md5_number_upper token

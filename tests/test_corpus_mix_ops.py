@@ -94,3 +94,26 @@ def test_substring_dedup_rollup_manual(ray_session, corpus_dir):
     #   sB: doc2 (3,0) doc3 (2,0) doc4 (5,5) doc5 (6,6)
     assert df.loc["sA"].tolist() == [2, 11, 8, 3]
     assert df.loc["sB"].tolist() == [4, 16, 11, 5]
+
+
+def test_source_length_percentiles_manual(ray_session, tmp_path):
+    from yomitoku_ray.functions.text_stats import source_length_percentiles
+
+    # sA: token lengths 1..5 (total 5 docs — NOT divisible by 100, the case
+    # that exposed DuckDB's truncating // in the oracle's ceil formula)
+    rows = [
+        {"doc_id": i, "source": "sA", "text": " ".join(["w"] * (i + 1))}
+        for i in range(5)
+    ] + [{"doc_id": 10, "source": "sB", "text": "w w w"}]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    df = source_length_percentiles(str(tmp_path))
+    a = df[df.source == "sA"].set_index("pct")["n_tokens"]
+    # type-1: smallest v with cum >= ceil(p*5/100)
+    assert a.loc[10] == 1   # ceil(0.5)=1 -> first value
+    assert a.loc[25] == 2   # ceil(1.25)=2
+    assert a.loc[50] == 3   # ceil(2.5)=3
+    assert a.loc[75] == 4
+    assert a.loc[90] == 5   # ceil(4.5)=5
+    assert a.loc[99] == 5
+    b = df[df.source == "sB"].set_index("pct")["n_tokens"]
+    assert (b == 3).all()

@@ -689,3 +689,69 @@ def term_cooccurrence(sf_dir: str, window: int = 5, k: int = 20) -> pd.DataFrame
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def source_length_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Per-SOURCE exact token-length percentiles — the grouped-percentile
+    shape of :func:`doc_length_percentiles` (same type-1 definition:
+    smallest value whose cumulative count >= ceil(p/100 * n), replicated
+    verbatim in SQL).
+
+    Scale shape: token counts are small integers, so each batch combines
+    to (source, n_tokens, count) histogram rows; ONE small shuffle
+    (groupby over a source-hash bucket) reduces the histograms, and the
+    exact cumulation runs over each source's value space (bounded), never
+    its documents. The driver sees |sources| x |percentiles| rows.
+    Columns: source, pct, n_tokens (int64).
+    """
+    import numpy as np
+    import ray.data
+
+    mask = (1 << 8) - 1
+    pcts = [10, 25, 50, 75, 90, 99]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_tokens = text.str.strip().str.split(_TOKEN_SPLIT).map(
+            lambda t: len(t) if t != [""] else 0
+        )
+        out = (
+            pd.DataFrame({"source": df["source"].astype(str), "n_tokens": n_tokens})
+            .groupby(["source", "n_tokens"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        out["bucket"] = (
+            pd.util.hash_array(out["source"].to_numpy(dtype=object)).astype("int64")
+            & mask
+        )
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    def _pcts(grp: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for source, sub in grp.groupby("source", sort=False):
+            hist = (
+                sub.groupby("n_tokens", as_index=False)["cnt"].sum().sort_values("n_tokens")
+            )
+            total = int(hist["cnt"].sum())
+            cum = hist["cnt"].cumsum().to_numpy()
+            values = hist["n_tokens"].to_numpy()
+            for p in pcts:
+                rank = -(-p * total // 100)  # ceil(p*n/100)
+                rows.append(
+                    (str(source), p, int(values[int(np.searchsorted(cum, rank))]))
+                )
+        return pd.DataFrame(rows, columns=["source", "pct", "n_tokens"]).astype(
+            {"pct": "int64", "n_tokens": "int64"}
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    out = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_pcts, batch_format="pandas")
+        .to_pandas()  # |sources| x |pcts| rows
+    )
+    return out.sort_values(["source", "pct"]).reset_index(drop=True)
