@@ -209,3 +209,35 @@ def test_warc_record_roundtrip_fuzz(payloads, urls, ts, chunked):
         assert got[i]["url"] == f"http://h/{u}"
         assert got[i]["html"] == p
         assert got[i]["warc_ts"] == ts + i
+
+
+def test_cdx_index_random_access(ray_session, tmp_path):
+    from yomitoku_ray.sources.warc import (
+        build_cdx_dataset,
+        build_cdx_index,
+        read_warc_record_at,
+    )
+
+    rows = _sample_rows(25)
+    p = str(tmp_path / "t.warc.gz")
+    write_warc_file(rows, p)  # member-per-record + warcinfo
+
+    idx = build_cdx_index(p)
+    assert len(idx) == 25  # warcinfo advances offsets but emits no entry
+    by_url = {r["url"]: r for r in rows}
+    # offsets strictly increasing, non-overlapping members
+    offs = [(e["offset"], e["length"]) for e in idx]
+    assert all(a + l1 <= b for (a, l1), (b, _) in zip(offs, offs[1:]))
+    for e in idx:
+        rec = read_warc_record_at(p, e["offset"], e["length"])
+        assert rec["url"] == e["url"]
+        assert rec["html"] == bytes(by_url[e["url"]]["html"])  # exact payload
+        assert rec["warc_ts"] == e["warc_ts"]
+
+    # distributed build over two shards
+    p2 = str(tmp_path / "u.warc.gz")
+    write_warc_file(rows[:10], p2)
+    ds = build_cdx_dataset([p, p2])
+    df = ds.to_pandas()
+    assert len(df) == 35
+    assert set(df["path"]) == {p, p2}

@@ -498,3 +498,105 @@ def write_warc_file(
             f.write(gzip.compress(b"".join(records)))
         else:
             f.write(b"".join(records))
+
+
+# ---------------------------------------------------------------------------
+# CDX-style member index (Common Crawl's random-access pattern)
+# ---------------------------------------------------------------------------
+
+
+def scan_gzip_members(raw, chunk: int = 1 << 16):
+    """Yield (offset, compressed_length, decompressed_bytes) per gzip member
+    of a member-per-record file — the scan that builds a CDX index for an
+    EXISTING ``.warc.gz`` without decompressing it twice. Offsets are into
+    the compressed file, so a reader can later ``seek(offset)`` and
+    decompress ``compressed_length`` bytes to get exactly one record."""
+    import zlib
+
+    pos = 0  # absolute offset of the first byte of `pending`
+    pending = b""
+    while True:
+        if not pending:
+            data = raw.read(chunk)
+            if not data:
+                return
+            pending = data
+        start = pos
+        d = zlib.decompressobj(31)
+        parts: list[bytes] = []
+        while True:
+            parts.append(d.decompress(pending))
+            if d.eof:
+                pos += len(pending) - len(d.unused_data)
+                pending = d.unused_data
+                break
+            pos += len(pending)
+            pending = b""
+            data = raw.read(chunk)
+            if not data:
+                raise WarcFormatError("truncated gzip member during index scan")
+            pending = data
+        yield start, pos - start, b"".join(parts)
+
+
+def build_cdx_index(path: str) -> list[dict]:
+    """CDX entries for one member-per-record ``.warc.gz``: one dict per
+    response record (url, warc_ts, offset, length, http_status). Streaming
+    single pass; non-response members (warcinfo, requests) are skipped but
+    still advance offsets."""
+    entries: list[dict] = []
+    with open(path, "rb") as f:
+        for offset, length, member in scan_gzip_members(f):
+            import io
+
+            for headers, block in iter_warc_records(io.BytesIO(member), path=path):
+                if headers.get("warc-type", "").lower() != "response":
+                    continue
+                status, _http, _body = _split_http_response(block)
+                entries.append(
+                    {
+                        "url": headers.get("warc-target-uri", ""),
+                        "warc_ts": _parse_warc_date(
+                            headers.get("warc-date", "1970-01-01T00:00:00Z")
+                        ),
+                        "offset": offset,
+                        "length": length,
+                        "http_status": status,
+                    }
+                )
+    return entries
+
+
+def build_cdx_dataset(paths):
+    """Distributed CDX build: one task per WARC file (``flat_map`` over the
+    shard list — same parallelism unit as the read), yielding an Arrow
+    Dataset (path, url, warc_ts, offset, length, http_status) that
+    ``write_parquet`` turns into the index sidecar."""
+    import ray.data
+
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def _one(row: dict):
+        return [
+            {**e, "path": row["path"]} for e in build_cdx_index(row["path"])
+        ]
+
+    return ray.data.from_items([{"path": p} for p in paths]).flat_map(_one)
+
+
+def read_warc_record_at(path: str, offset: int, length: int) -> dict:
+    """Random access: seek to a CDX entry and decode exactly one record —
+    the HTTP-range pattern CC tooling uses against a 1 GiB shard, here
+    against the local filesystem."""
+    import io
+
+    with open(path, "rb") as f:
+        f.seek(offset)
+        member = gzip.decompress(f.read(length))
+    rows = list(warc_records_to_rows(iter_warc_records(io.BytesIO(member), path=path)))
+    if len(rows) != 1:
+        raise WarcFormatError(
+            f"{path}@{offset}+{length}: expected one response record, got {len(rows)}"
+        )
+    return rows[0]
