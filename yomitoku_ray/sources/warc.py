@@ -224,11 +224,11 @@ def warc_records_to_rows(
 
 
 def _rows_to_table(rows: list[dict]) -> pa.Table:
-    cols = {name: [r[name] for r in rows] for name in WARC_PAGES_SCHEMA.names}
-    cols["warc_ts"] = pa.array(cols["warc_ts"], pa.timestamp("us"))
     return pa.table(
-        {n: cols[n] if n == "warc_ts" else pa.array(cols[n], WARC_PAGES_SCHEMA.field(n).type)
-         for n in WARC_PAGES_SCHEMA.names}
+        {
+            n: pa.array([r[n] for r in rows], WARC_PAGES_SCHEMA.field(n).type)
+            for n in WARC_PAGES_SCHEMA.names
+        }
     )
 
 
