@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.dedup import (
         exact_dedup,
         corpus_sample,
+        cross_corpus_near_dup,
         dup_components,
         dup_ngram_spans,
         minhash_lsh_pairs,
@@ -541,6 +542,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact substring-window duplication signal (Lee et al. 2022 core):
         # coarse-bucketed window-hash join + per-doc interval-union coverage
         "dup_ngram_spans": dup_ngram_spans,
+        # incremental-ingest dedup: verified near-dup pairs crossing the
+        # old-corpus/new-batch boundary (XOR side filter, no extra shuffle)
+        "cross_corpus_near_dup": cross_corpus_near_dup,
         # dedup RESOLUTION applied to the corpus: components -> drop
         # non-representatives -> anti-join rollup of the surviving docs
         "dedup_corpus": dedup_corpus,
@@ -851,6 +855,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
             WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 20 = 0
+        """,
+        "cross_corpus_near_dup": _SHINGLES_CTE
+        + """
+            , pr AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST((100 * len(list_intersect(a.s, b.s)))
+                            // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                            AS BIGINT) AS jaccard_pct,
+                       md5_number_upper(CAST(a.doc_id AS VARCHAR)) % 5 = 0 AS new_a,
+                       md5_number_upper(CAST(b.doc_id AS VARCHAR)) % 5 = 0 AS new_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE 100 * len(list_intersect(a.s, b.s))
+                      >= 50 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            )
+            SELECT CASE WHEN new_a THEN doc_b ELSE doc_a END AS doc_old,
+                   CASE WHEN new_a THEN doc_a ELSE doc_b END AS doc_new,
+                   jaccard_pct
+            FROM pr WHERE new_a <> new_b
         """,
         "dup_ngram_spans": r"""
             WITH d AS (

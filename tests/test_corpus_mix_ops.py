@@ -117,3 +117,19 @@ def test_source_length_percentiles_manual(ray_session, tmp_path):
     assert a.loc[99] == 5
     b = df[df.source == "sB"].set_index("pct")["n_tokens"]
     assert (b == 3).all()
+
+
+def test_cross_corpus_near_dup_sides(ray_session):
+    """Every returned pair crosses the old/new boundary with the advertised
+    orientation (doc_new in the md5%5==0 sample, doc_old not)."""
+    import numpy as np
+
+    from yomitoku_ray.functions.dedup import cross_corpus_near_dup
+    from yomitoku_ray.kernels.md5_vec import md5_u64_of_ints
+
+    df = cross_corpus_near_dup("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    new = md5_u64_of_ints(df["doc_new"].to_numpy("int64")) % np.uint64(5) == 0
+    old = md5_u64_of_ints(df["doc_old"].to_numpy("int64")) % np.uint64(5) == 0
+    assert new.all() and not old.any()
+    assert (df["jaccard_pct"] >= 50).all()

@@ -1016,3 +1016,43 @@ def dup_ngram_spans(sf_dir: str, w: int = 5) -> ray.data.Dataset:
         _zeros, batch_format="pandas"
     )
     return zeros.union(mid).groupby("dbucket").map_groups(_finish, batch_format="pandas")
+
+
+def cross_corpus_near_dup(
+    sf_dir: str, sample_mod: int = 5, max_bucket: int = 4096
+) -> ray.data.Dataset:
+    """Incremental-ingest dedup: near-dup pairs where exactly ONE side is in
+    the "new batch" — the check a pipeline runs before admitting a fresh
+    crawl snapshot into an existing corpus (pairs inside the old corpus or
+    inside the batch are someone else's problem: old-old was resolved at
+    the last ingest, new-new by the batch's own dedup pass).
+
+    The new batch is the deterministic hash sample md5(doc_id) %
+    ``sample_mod`` == 0 (the :func:`corpus_sample` predicate, so the SQL
+    oracle replicates the split exactly). Scale shape: the full
+    :func:`minhash_lsh_pairs` machinery (coarse-bucketed LSH banding +
+    distributed exact-Jaccard verify) with a vectorized XOR side filter on
+    the verified pair stream — no extra shuffle. Columns: doc_old,
+    doc_new, jaccard_pct (int64).
+    """
+    from ..kernels.md5_vec import md5_u64_of_ints
+
+    pairs = minhash_lsh_pairs(sf_dir, max_bucket=max_bucket)
+
+    def _xor_sides(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy("int64")
+        b = df["doc_b"].to_numpy("int64")
+        new_a = md5_u64_of_ints(a) % np.uint64(sample_mod) == 0
+        new_b = md5_u64_of_ints(b) % np.uint64(sample_mod) == 0
+        keep = new_a ^ new_b
+        old = np.where(new_a[keep], b[keep], a[keep])
+        new = np.where(new_a[keep], a[keep], b[keep])
+        return pd.DataFrame(
+            {
+                "doc_old": pd.Series(old, dtype="int64"),
+                "doc_new": pd.Series(new, dtype="int64"),
+                "jaccard_pct": df["jaccard_pct"].to_numpy("int64")[keep],
+            }
+        )
+
+    return pairs.map_batches(_xor_sides, batch_format="pandas")
