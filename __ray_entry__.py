@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         quality_score,
         doc_length_percentiles,
         source_length_percentiles,
+        tfidf_top_terms,
         token_count_bpe,
         top_terms,
         winnow_fingerprints,
@@ -527,6 +528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_percentiles": doc_length_percentiles,
         # grouped exact percentiles (histogram combiner per source bucket)
         "source_length_percentiles": source_length_percentiles,
+        # per-doc keyword: argmax tf/df through a shuffled df join
+        "tfidf_top_terms": tfidf_top_terms,
         # dedup family
         "exact_dedup": exact_dedup,
         # max_bucket sized so the LSH pair set is exact at test scale (the
@@ -1143,6 +1146,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct) p
             JOIN cum ON cum.c >= (p.pct * cum.total + 99) // 100
             GROUP BY p.pct
+        """,
+        "tfidf_top_terms": r"""
+            WITH d AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+            FROM tf JOIN dfreq USING (term)
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY CAST(tf AS DOUBLE) / df DESC, term
+            ) = 1
         """,
         "source_length_percentiles": r"""
             WITH lens AS (

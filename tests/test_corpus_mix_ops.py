@@ -133,3 +133,20 @@ def test_cross_corpus_near_dup_sides(ray_session):
     old = md5_u64_of_ints(df["doc_old"].to_numpy("int64")) % np.uint64(5) == 0
     assert new.all() and not old.any()
     assert (df["jaccard_pct"] >= 50).all()
+
+
+def test_tfidf_top_terms_manual(ray_session, tmp_path):
+    from yomitoku_ray.functions.text_stats import tfidf_top_terms
+
+    rows = [
+        {"doc_id": 0, "text": "apple apple banana"},   # apple tf2/df2=1.0 beats banana tf1/df1=1.0? tie -> apple
+        {"doc_id": 1, "text": "apple cherry cherry cherry"},  # cherry tf3/df1=3.0
+        {"doc_id": 2, "text": "apple"},                # only apple tf1/df3
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    df = tfidf_top_terms(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    # df: apple=3, banana=1, cherry=1
+    # doc0: apple 2/3=0.667 vs banana 1/1=1.0 -> banana
+    assert df.loc[0, "term"] == "banana" and df.loc[0, "tf"] == 1 and df.loc[0, "df"] == 1
+    assert df.loc[1, "term"] == "cherry" and df.loc[1, "tf"] == 3
+    assert df.loc[2, "term"] == "apple" and df.loc[2, "df"] == 3

@@ -755,3 +755,112 @@ def source_length_percentiles(sf_dir: str) -> pd.DataFrame:
         .to_pandas()  # |sources| x |pcts| rows
     )
     return out.sort_values(["source", "pct"]).reset_index(drop=True)
+
+
+def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Per-document keyword extraction: the term maximizing tf/df (term
+    frequency over corpus document frequency — tf-idf's ordering without
+    the log, so both engines compare identical IEEE doubles; ties break by
+    term ascending).
+
+    Scale shape (two coarse-bucketed shuffles, mirroring
+    :func:`bigram_coverage` — the df table is CORPUS-VOCABULARY-sized so
+    it joins through a shuffle, never a broadcast):
+
+    1. per-batch combiner emits per-(doc, term) tf rows plus per-batch
+       partial dfs (distinct docs per term in the batch), both keyed by
+       hash(term) & mask;
+    2. per-term-bucket map_groups sums the dfs and attaches them to the
+       tf rows with one vectorized merge;
+    3. per-doc-bucket map_groups takes each doc's argmax by
+       (tf/df desc, term asc).
+
+    Columns: doc_id, term, tf, df (int64 counts). Empty docs emit no row.
+    """
+    import numpy as np
+    import ray.data
+
+    mask = (1 << 10) - 1
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        work = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "term": df["text"].fillna("").str.strip().str.split(_TOKEN_SPLIT),
+            }
+        ).explode("term")
+        work = work[work["term"].notna() & (work["term"] != "")]
+        tf = work.groupby(["doc_id", "term"], as_index=False).size()
+        terms = tf["term"].astype(str)
+        h = (
+            pd.util.hash_array(terms.to_numpy(dtype=object)).astype("int64") & mask
+            if len(tf)
+            else np.zeros(0, dtype="int64")
+        )
+        tf_rows = pd.DataFrame(
+            {
+                "bucket": h,
+                "side": np.zeros(len(tf), dtype="int8"),
+                "term": terms,
+                "doc_id": tf["doc_id"].astype("int64"),
+                "n": tf["size"].astype("int64"),  # tf
+            }
+        )
+        pdf = tf.groupby("term", as_index=False).size()  # distinct docs per term
+        terms2 = pdf["term"].astype(str)
+        h2 = (
+            pd.util.hash_array(terms2.to_numpy(dtype=object)).astype("int64") & mask
+            if len(pdf)
+            else np.zeros(0, dtype="int64")
+        )
+        df_rows = pd.DataFrame(
+            {
+                "bucket": h2,
+                "side": np.ones(len(pdf), dtype="int8"),
+                "term": terms2,
+                "doc_id": np.zeros(len(pdf), dtype="int64"),
+                "n": pdf["size"].astype("int64"),  # partial df
+            }
+        )
+        return pd.concat([tf_rows, df_rows], ignore_index=True)
+
+    def _attach_df(grp: pd.DataFrame) -> pd.DataFrame:
+        side = grp["side"].to_numpy()
+        dfs = grp[side == 1].groupby("term")["n"].sum()
+        tf = grp[side == 0]
+        if len(tf) == 0:
+            return pd.DataFrame(
+                {
+                    "dbucket": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "term": pd.Series([], dtype=str),
+                    "tf": pd.Series([], dtype="int64"),
+                    "df": pd.Series([], dtype="int64"),
+                }
+            )
+        attached = dfs.reindex(tf["term"]).to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "dbucket": tf["doc_id"].to_numpy("int64") & mask,
+                "doc_id": tf["doc_id"].astype("int64"),
+                "term": tf["term"].astype(str),
+                "tf": tf["n"].astype("int64"),
+                "df": pd.Series(attached, index=tf.index, dtype="int64"),
+            }
+        )
+
+    def _argmax(grp: pd.DataFrame) -> pd.DataFrame:
+        g = grp.copy()
+        g["score"] = g["tf"].to_numpy("float64") / g["df"].to_numpy("float64")
+        g = g.sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
+        best = g.groupby("doc_id", as_index=False).head(1)
+        return best[["doc_id", "term", "tf", "df"]].reset_index(drop=True)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(_tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_attach_df, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(_argmax, batch_format="pandas")
+    )
