@@ -118,3 +118,31 @@ def test_crawl_cli(ray_session, tmp_path, capsys):
     import pyarrow.parquet as pq
 
     assert pq.read_table(str(tmp_path / "pq")).num_rows == 20
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",)  # any unicode except surrogates
+            ),
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    ts=st.integers(min_value=0, max_value=4_000_000_000_000_000),
+)
+def test_wet_text_roundtrip_fuzz(texts, ts):
+    """Any unicode text (embedded CRLF, WARC/1.0 strings, control chars)
+    survives the conversion-record round trip byte-exactly."""
+    recs = b"".join(
+        encode_wet_record(f"http://h/{i}", ts + i, t) for i, t in enumerate(texts)
+    )
+    got = list(iter_wet_rows(io.BytesIO(recs)))
+    assert [r["text"] for r in got] == texts
+    assert [r["warc_ts"] for r in got] == [ts + i for i in range(len(texts))]
