@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.relational import (
         events_asof_orders,
         events_close_pairs,
+        events_funnel,
         events_hourly,
         events_sliding,
         customers_without_orders,
@@ -604,6 +605,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": customers_without_orders,
         "events_asof_orders": events_asof_orders,
         "events_close_pairs": events_close_pairs,
+        # funnel conversion: first view -> earliest purchase within window
+        # (coarse user buckets + vectorized forward merge_asof per bucket)
+        "events_funnel": events_funnel,
         "user_sessions": user_sessions,
     }
 
@@ -1486,6 +1490,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST((epoch_us(e.ts) - epoch_us(o.o_orderdate)) // 3600000000 AS BIGINT) AS lag_hours
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "events_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS view_ts
+                FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            joined AS (
+                SELECT v.user_id, v.view_ts, min(p.ts) AS conv_ts
+                FROM v LEFT JOIN events p
+                  ON p.user_id = v.user_id
+                 AND p.event_type = 'purchase'
+                 AND p.ts >= v.view_ts
+                 AND p.ts <= v.view_ts + INTERVAL 60 MINUTE
+                GROUP BY 1, 2
+            )
+            SELECT user_id, view_ts,
+                   CAST(CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                       AS converted,
+                   CAST(coalesce(date_diff('microsecond', view_ts, conv_ts) // 1000000,
+                                 -1) AS BIGINT) AS secs_to_convert
+            FROM joined
         """,
         "events_close_pairs": """
             SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,

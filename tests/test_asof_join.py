@@ -65,3 +65,45 @@ def test_range_self_join_band(ray_session, tmp_path):
     )
     got = list(zip(out["event_a"], out["event_b"], out["gap_seconds"]))
     assert got == [(1, 2, 0), (1, 3, 180), (2, 3, 180)]
+
+
+def test_events_funnel_manual(ray_session, tmp_path):
+    """Hand-built funnel: conversion inside/outside the window, purchase
+    before view ignored, sub-second floor semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from yomitoku_ray.functions.relational import events_funnel
+
+    T = pd.Timestamp("2024-01-01 00:00:00")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # u1: view then purchase 90s later -> converted, 90
+        {"event_id": 1, "ts": T, "user_id": 1, "event_type": "view"},
+        {"event_id": 2, "ts": T + 90 * s, "user_id": 1, "event_type": "purchase"},
+        # u2: purchase BEFORE the first view only -> not converted
+        {"event_id": 3, "ts": T, "user_id": 2, "event_type": "purchase"},
+        {"event_id": 4, "ts": T + s, "user_id": 2, "event_type": "view"},
+        # u3: purchase outside the 60-min window -> not converted
+        {"event_id": 5, "ts": T, "user_id": 3, "event_type": "view"},
+        {"event_id": 6, "ts": T + 3601 * s, "user_id": 3, "event_type": "purchase"},
+        # u4: two views; funnel anchors on the FIRST; sub-second convert -> 0
+        {"event_id": 7, "ts": T, "user_id": 4, "event_type": "view"},
+        {"event_id": 8, "ts": T + 30 * s, "user_id": 4, "event_type": "view"},
+        {"event_id": 9, "ts": T + pd.Timedelta(microseconds=900_000), "user_id": 4,
+         "event_type": "purchase"},
+        # u5: no view at all -> no row
+        {"event_id": 10, "ts": T, "user_id": 5, "event_type": "purchase"},
+    ]
+    df = pd.DataFrame(rows)
+    df["value"] = 0.0
+    df["props"] = ""
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = events_funnel(str(tmp_path)).set_index("user_id")
+    assert list(out.index) == [1, 2, 3, 4]
+    assert out.loc[1, "converted"] == 1 and out.loc[1, "secs_to_convert"] == 90
+    assert out.loc[2, "converted"] == 0 and out.loc[2, "secs_to_convert"] == -1
+    assert out.loc[3, "converted"] == 0
+    assert out.loc[4, "converted"] == 1 and out.loc[4, "secs_to_convert"] == 0

@@ -742,3 +742,83 @@ def top_supplier_per_nation(sf_dir: str) -> pd.DataFrame:
         .to_pandas()  # one row per nation
     )
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def events_funnel(sf_dir: str, window_minutes: int = 60) -> pd.DataFrame:
+    """Funnel conversion: per user, the first ``view`` event and whether a
+    ``purchase`` follows within ``window_minutes`` — the sequential-pattern
+    shape (first-touch attribution) the windowed relational family
+    otherwise lacks.
+
+    Scale shape: same coarse-bucket idiom as :func:`user_sessions` /
+    :func:`events_asof_orders` — shuffle once on ``user_id & _COARSE_MASK``
+    (~1k buckets), then one vectorized ``merge_asof(by=user_id,
+    direction=forward, tolerance=window)`` per bucket pairs each user's
+    first view with their earliest following purchase. Columns: user_id,
+    view_ts, converted (0/1), secs_to_convert (-1 when unconverted).
+    """
+    tol = pd.Timedelta(minutes=window_minutes)
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch.column("user_id"), pa.int64())
+        return batch.append_column("bucket", pc.bit_wise_and(key, _COARSE_MASK))
+
+    def _funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        views = (
+            g[g["event_type"] == "view"]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "view_ts"})
+            .sort_values("view_ts")
+        )
+        if len(views) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "view_ts": pd.Series([], dtype="datetime64[us]"),
+                    "converted": pd.Series([], dtype="int64"),
+                    "secs_to_convert": pd.Series([], dtype="int64"),
+                }
+            )
+        purchases = (
+            g[g["event_type"] == "purchase"][["user_id", "ts"]]
+            .rename(columns={"ts": "conv_ts"})
+            .sort_values("conv_ts")
+        )
+        m = pd.merge_asof(
+            views,
+            purchases,
+            left_on="view_ts",
+            right_on="conv_ts",
+            by="user_id",
+            direction="forward",
+            tolerance=tol,
+            allow_exact_matches=True,
+        )
+        converted = m["conv_ts"].notna()
+        # exact µs diff floored to seconds (SQL: date_diff('microsecond')
+        # // 1e6 — date_diff('second') counts BOUNDARY CROSSINGS, not the
+        # floored difference, and disagrees on sub-second offsets)
+        dus = (m["conv_ts"] - m["view_ts"]).dt.total_seconds() * 1_000_000
+        secs = pd.Series(
+            np.where(converted, dus.fillna(0).round().astype("int64") // 1_000_000, -1),
+            dtype="int64",
+        )
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"].astype("int64"),
+                "view_ts": m["view_ts"],
+                "converted": converted.astype("int64"),
+                "secs_to_convert": secs,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+    out = (
+        ds.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_funnel_bucket, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
