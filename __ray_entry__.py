@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events_close_pairs,
         events_funnel,
         events_hourly,
+        events_retention,
         events_sliding,
         customers_without_orders,
         orders_priority_monthly,
@@ -608,6 +609,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # funnel conversion: first view -> earliest purchase within window
         # (coarse user buckets + vectorized forward merge_asof per bucket)
         "events_funnel": events_funnel,
+        # cohort retention matrix: one user-bucket shuffle, vectorized
+        # first-day + offsets per bucket, dimension-sized final rollup
+        "events_retention": events_retention,
         "user_sessions": user_sessions,
     }
 
@@ -1490,6 +1494,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST((epoch_us(e.ts) - epoch_us(o.o_orderdate)) // 3600000000 AS BIGINT) AS lag_hours
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "events_retention": """
+            WITH act AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events
+            ),
+            first AS (
+                SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1
+            )
+            SELECT cohort_day,
+                   CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act JOIN first USING (user_id)
+            WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND 7
+            GROUP BY 1, 2
         """,
         "events_funnel": """
             WITH v AS (

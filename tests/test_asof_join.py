@@ -107,3 +107,41 @@ def test_events_funnel_manual(ray_session, tmp_path):
     assert out.loc[2, "converted"] == 0 and out.loc[2, "secs_to_convert"] == -1
     assert out.loc[3, "converted"] == 0
     assert out.loc[4, "converted"] == 1 and out.loc[4, "secs_to_convert"] == 0
+
+
+def test_events_retention_manual(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from yomitoku_ray.functions.relational import events_retention
+
+    D = pd.Timestamp("2024-03-01")
+    day = pd.Timedelta(days=1)
+    rows = []
+    # u1: cohort day0, active day0 (twice -> dedup), day2
+    rows += [
+        {"event_id": 1, "ts": D, "user_id": 1},
+        {"event_id": 2, "ts": D + pd.Timedelta(hours=5), "user_id": 1},
+        {"event_id": 3, "ts": D + 2 * day, "user_id": 1},
+    ]
+    # u2: cohort day0, active only day0
+    rows += [{"event_id": 4, "ts": D + pd.Timedelta(hours=23), "user_id": 2}]
+    # u3: cohort day1, active day1 and day9 (outside max_offset 7 -> dropped)
+    rows += [
+        {"event_id": 5, "ts": D + day, "user_id": 3},
+        {"event_id": 6, "ts": D + 9 * day, "user_id": 3},
+    ]
+    df = pd.DataFrame(rows)
+    df["event_type"] = "view"
+    df["value"] = 0.0
+    df["props"] = ""
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = events_retention(str(tmp_path))
+    got = {(r.cohort_day, r.day_offset): r.n_users for r in out.itertuples()}
+    assert got == {
+        (D, 0): 2,        # u1 + u2 on their first day
+        (D, 2): 1,        # u1 returns on day 2
+        (D + day, 0): 1,  # u3 cohort day1
+    }

@@ -822,3 +822,55 @@ def events_funnel(sf_dir: str, window_minutes: int = 60) -> pd.DataFrame:
         .map_groups(_funnel_bucket, batch_format="pandas")
     )
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def events_retention(sf_dir: str, max_offset_days: int = 7) -> pd.DataFrame:
+    """Cohort retention: users grouped by the day of their FIRST event
+    (cohort_day), counted as retained on each later day they were active
+    (day_offset 0..``max_offset_days``). The classic product-analytics
+    matrix, integer-exact.
+
+    Scale shape: ONE shuffle on ``user_id & _COARSE_MASK`` — a user's
+    whole history lands in one bucket, so first-day and per-day activity
+    resolve vectorized inside the bucket; buckets emit (cohort_day,
+    day_offset, partial n_users) and a final dimension-sized groupby sums
+    the matrix (days x offsets rows — never user-sized on the driver).
+    """
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch.column("user_id"), pa.int64())
+        return batch.append_column("bucket", pc.bit_wise_and(key, _COARSE_MASK))
+
+    def _retention_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        days = g["ts"].dt.floor("D")
+        act = pd.DataFrame({"user_id": g["user_id"].astype("int64"), "day": days})
+        act = act.drop_duplicates()  # one row per (user, active day)
+        first = act.groupby("user_id", as_index=False)["day"].min().rename(
+            columns={"day": "cohort_day"}
+        )
+        m = act.merge(first, on="user_id")
+        off = ((m["day"] - m["cohort_day"]).dt.days).astype("int64")
+        m = m[(off >= 0) & (off <= max_offset_days)]
+        off = off[(off >= 0) & (off <= max_offset_days)]
+        out = (
+            pd.DataFrame(
+                {"cohort_day": m["cohort_day"], "day_offset": off.to_numpy()}
+            )
+            .groupby(["cohort_day", "day_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        out["day_offset"] = out["day_offset"].astype("int64")
+        return out
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    parts = (
+        ds.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_retention_bucket, batch_format="pandas")
+        .to_pandas()  # (buckets x days x offsets)-bounded
+    )
+    out = parts.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
