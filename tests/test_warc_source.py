@@ -241,3 +241,29 @@ def test_cdx_index_random_access(ray_session, tmp_path):
     df = ds.to_pandas()
     assert len(df) == 35
     assert set(df["path"]) == {p, p2}
+
+
+def test_max_record_bytes_guard(ray_session, tmp_path):
+    """An oversized record is size-skipped in bounded chunks: its url
+    surfaces as an empty-html row (per-row error downstream), neighbors
+    parse intact, framing never desyncs."""
+    rows = _sample_rows(5)
+    big = {"url": "http://huge/", "warc_ts": 0,
+           "html": b"<html>" + b"x" * 300_000 + b"</html>", "lang": ""}
+    all_rows = rows[:2] + [big] + rows[2:]
+    p = str(tmp_path / "t.warc.gz")
+    write_warc_file(all_rows, p)
+
+    got = read_warc(p, max_record_bytes=100_000).to_pandas()
+    assert len(got) == 6
+    by_url = dict(zip(got["url"], got["html"]))
+    assert bytes(by_url["http://huge/"]) == b""  # skipped payload, url kept
+    for r in rows:
+        assert bytes(by_url[r["url"]]) == bytes(r["html"])  # neighbors intact
+
+    # default cap admits everything here
+    assert read_warc(p).count() == 6
+    full = read_warc(p).to_pandas()
+    assert bytes(dict(zip(full["url"], full["html"]))["http://huge/"]) == bytes(
+        big["html"]
+    )

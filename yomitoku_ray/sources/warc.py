@@ -99,6 +99,20 @@ class _RecordReader:
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 
+    def skip_exact(self, n: int) -> None:
+        """Advance past n bytes WITHOUT buffering them (oversized-record
+        guard: framing stays intact, heap stays bounded)."""
+        take = min(n, len(self._buf))
+        self._buf = self._buf[take:]
+        n -= take
+        while n > 0:
+            data = self._raw.read(min(self._chunk, n))
+            if not data:
+                raise WarcFormatError(
+                    f"truncated record: {n} bytes left while skipping block"
+                )
+            n -= len(data)
+
 
 def _parse_warc_date(value: str) -> int:
     """WARC-Date (ISO 8601 Zulu) -> microseconds since epoch (integer math:
@@ -161,14 +175,19 @@ def _split_http_response(block: bytes) -> tuple[int, dict[bytes, bytes], bytes]:
 
 
 def iter_warc_records(
-    raw, *, path: str = "<stream>"
-) -> Iterator[tuple[dict[str, str], bytes]]:
+    raw, *, path: str = "<stream>", max_record_bytes: int | None = None
+) -> Iterator[tuple[dict[str, str], bytes | None]]:
     """Yield (warc_headers, block_bytes) per record from a raw byte stream.
 
     Framing errors raise :class:`WarcFormatError` with ``path`` context —
     once a length-delimited stream desyncs, silently resyncing would
     misattribute payload bytes to the wrong url (the one corruption mode a
     byte-identity pipeline can never accept).
+
+    ``max_record_bytes``: records whose block exceeds it are yielded with
+    ``block=None`` — the payload is SKIPPED in bounded chunks (framing
+    intact, heap bounded; one pathological multi-GB record cannot balloon
+    a reader) and downstream turns the record into a per-row error.
     """
     r = _RecordReader(raw)
     while True:
@@ -197,6 +216,10 @@ def iter_warc_records(
             length = int(headers["content-length"])
         except (KeyError, ValueError) as exc:
             raise WarcFormatError(f"{path}: missing/bad Content-Length") from exc
+        if max_record_bytes is not None and length > max_record_bytes:
+            r.skip_exact(length)
+            yield headers, None
+            continue
         block = r.read_exact(length)
         yield headers, block
 
@@ -204,9 +227,27 @@ def iter_warc_records(
 def warc_records_to_rows(
     records: Iterator[tuple[dict[str, str], bytes]],
 ) -> Iterator[dict]:
-    """response-type records -> pages-table rows (others skipped)."""
+    """response-type records -> pages-table rows (others skipped).
+
+    A record whose block was size-skipped (``block is None``) still yields
+    its row with empty html — the url is preserved and the downstream
+    decode turns it into a per-row error instead of silently vanishing.
+    """
     for headers, block in records:
         if headers.get("warc-type", "").lower() != "response":
+            continue
+        if block is None:
+            yield {
+                "url": headers.get("warc-target-uri", ""),
+                "warc_ts": _parse_warc_date(
+                    headers.get("warc-date", "1970-01-01T00:00:00Z")
+                ),
+                "html": b"",
+                "lang": "",
+                "http_status": 0,
+                "content_type": "",
+                "warc_record_id": headers.get("warc-record-id", ""),
+            }
             continue
         status, http_headers, body = _split_http_response(block)
         yield {
@@ -232,7 +273,14 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
     )
 
 
-def read_warc(paths, *, batch_rows: int = 256, on_error: str = "raise", **kwargs):
+def read_warc(
+    paths,
+    *,
+    batch_rows: int = 256,
+    on_error: str = "raise",
+    max_record_bytes: int = 64 << 20,
+    **kwargs,
+):
     """``ray.data`` Dataset of pages-table rows from WARC file(s).
 
     One read task per file (WARC is not splittable without an index; with
@@ -256,7 +304,13 @@ def read_warc(paths, *, batch_rows: int = 256, on_error: str = "raise", **kwargs
     if on_error not in ("raise", "truncate"):
         raise ValueError(f"on_error must be 'raise' or 'truncate', got {on_error!r}")
     return ray.data.read_datasource(
-        WarcDatasource(paths, batch_rows=batch_rows, on_error=on_error, **kwargs)
+        WarcDatasource(
+            paths,
+            batch_rows=batch_rows,
+            on_error=on_error,
+            max_record_bytes=max_record_bytes,
+            **kwargs,
+        )
     )
 
 
@@ -266,10 +320,19 @@ try:  # Datasource plumbing requires ray; keep the parser importable without.
     class WarcDatasource(FileBasedDatasource):
         _FILE_EXTENSIONS = ["warc", "warc.gz"]
 
-        def __init__(self, paths, *, batch_rows: int = 256, on_error: str = "raise", **kwargs):
+        def __init__(
+            self,
+            paths,
+            *,
+            batch_rows: int = 256,
+            on_error: str = "raise",
+            max_record_bytes: int | None = None,
+            **kwargs,
+        ):
             super().__init__(paths, **kwargs)
             self._batch_rows = batch_rows
             self._on_error = on_error
+            self._max_record_bytes = max_record_bytes
 
         def _open_input_source(self, filesystem, path, **open_args):
             # Raw bytes always: gzip is handled per-record-member in
@@ -293,7 +356,11 @@ try:  # Datasource plumbing requires ray; keep the parser importable without.
             else:
                 raw = f
             rows: list[dict] = []
-            it = warc_records_to_rows(iter_warc_records(raw, path=path))
+            it = warc_records_to_rows(
+                iter_warc_records(
+                    raw, path=path, max_record_bytes=self._max_record_bytes
+                )
+            )
             while True:
                 try:
                     row = next(it)
