@@ -93,6 +93,17 @@ def cmd_crawl(args):
     print(json.dumps({"output": args.output, "format": "wet" if args.wet else "parquet"}))
 
 
+def cmd_cdx(args):
+    """Write a CDX-style parquet index (url, offset, length per record)
+    for WARC shard(s) — enables random access via read_warc_record_at."""
+    _init_ray(args.num_cpus)
+    from .sources.warc import build_cdx_dataset
+
+    ds = build_cdx_dataset(args.inputs)
+    ds.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "entries": ds.count()}))
+
+
 def cmd_semantic(args):
     _init_ray(args.num_cpus)
     from .pipelines.semantic import semantic_pages
@@ -183,6 +194,11 @@ def main(argv=None):
                    help="checkpointed per-shard waves (input = directory of WARCs)")
     p.add_argument("--wave-files", type=int, default=4)
     p.set_defaults(fn=cmd_crawl)
+
+    p = sub.add_parser("cdx", help="build a CDX-style parquet index for WARC shard(s)")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_cdx)
 
     p = sub.add_parser("semantic", help="semantic table parsing [+ extraction]")
     p.add_argument("input")
