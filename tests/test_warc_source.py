@@ -267,3 +267,35 @@ def test_max_record_bytes_guard(ray_session, tmp_path):
     assert bytes(dict(zip(full["url"], full["html"]))["http://huge/"]) == bytes(
         big["html"]
     )
+
+
+def test_read_warc_selective(ray_session, tmp_path):
+    from yomitoku_ray.sources.warc import build_cdx_dataset, read_warc_selective
+
+    rows = _sample_rows(30)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"{i}.warc.gz")
+        write_warc_file(rows[i * 10 : (i + 1) * 10], p)
+        paths.append(p)
+    cdx = build_cdx_dataset(paths)
+
+    # full selective read == full streaming read
+    got = read_warc_selective(cdx).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == 30
+    by_url = {r["url"]: bytes(r["html"]) for r in rows}
+    for _, r in got.iterrows():
+        assert bytes(r["html"]) == by_url[r["url"]]
+
+    # prefix pruning fetches only the matching subset
+    some_url = sorted(by_url)[0]
+    prefix = some_url[: len(some_url) // 2]
+    want = [u for u in by_url if u.startswith(prefix)]
+    sel = read_warc_selective(cdx, url_prefix=prefix).to_pandas()
+    assert sorted(sel["url"]) == sorted(want)
+
+    # parquet-sidecar input path
+    cdx_pq = str(tmp_path / "cdx")
+    build_cdx_dataset(paths).write_parquet(cdx_pq)
+    sel2 = read_warc_selective(cdx_pq, url_prefix=prefix).to_pandas()
+    assert sorted(sel2["url"]) == sorted(want)

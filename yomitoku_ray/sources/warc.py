@@ -33,8 +33,6 @@ from typing import Iterator
 
 import pyarrow as pa
 
-WARC_VERSION = b"WARC/1.0"
-
 # Output schema: the extract pipeline's input columns (PAGES_COLUMNS) plus
 # provenance. ``lang`` comes from the HTTP Content-Language header when the
 # response carries one (Common Crawl's own language column is computed
@@ -667,3 +665,49 @@ def read_warc_record_at(path: str, offset: int, length: int) -> dict:
             f"{path}@{offset}+{length}: expected one response record, got {len(rows)}"
         )
     return rows[0]
+
+
+def read_warc_selective(cdx, *, url_prefix: str | None = None, batch_rows: int = 64):
+    """Late-materialization read: fetch ONLY the records selected from a
+    CDX index — the 100 TB pattern for re-processing a url subset (e.g.
+    one domain) without streaming whole shards.
+
+    ``cdx`` is the index produced by :func:`build_cdx_dataset` — a
+    ``ray.data.Dataset``, a pandas DataFrame, or a parquet path (the
+    ``cdx`` CLI sidecar). The index filter (here: url prefix) prunes
+    BEFORE any payload bytes move; the fetch stage then seek-reads just
+    the selected members, batched per shard so each task opens its file
+    once. Returns the same pages-table schema as :func:`read_warc`.
+    """
+    import pandas as pd
+    import ray.data
+
+    if isinstance(cdx, str):
+        cdx = ray.data.read_parquet(cdx)
+    if not isinstance(cdx, ray.data.Dataset):
+        cdx = ray.data.from_pandas(pd.DataFrame(cdx))
+    if url_prefix is not None:
+        hi = url_prefix + "￿"
+        cdx = cdx.filter(expr=f"url >= '{url_prefix}' and url < '{hi}'")
+
+    def _fetch(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows: list[dict] = []
+        for path, grp in df.groupby("path", sort=True):
+            grp = grp.sort_values("offset")
+            with open(path, "rb") as f:
+                for off, length in zip(
+                    grp["offset"].astype("int64"), grp["length"].astype("int64")
+                ):
+                    f.seek(int(off))
+                    member = gzip.decompress(f.read(int(length)))
+                    out_rows.extend(
+                        warc_records_to_rows(
+                            iter_warc_records(io.BytesIO(member), path=path)
+                        )
+                    )
+        if not out_rows:
+            return _rows_to_table([]).to_pandas()
+        t = _rows_to_table(out_rows).to_pandas()
+        return t
+
+    return cdx.map_batches(_fetch, batch_format="pandas", batch_size=batch_rows)
