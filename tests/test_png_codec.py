@@ -170,7 +170,7 @@ def test_images_query_pins_known_values(ray_session):
 
     df = _image_features_summary("/root/testdata/sf0.001").set_index("img_id")
     assert len(df) >= 200
-    assert set(df["format"]) == {"png", "gif", "jpeg", "bmp", "tiff", "unknown"}
+    assert set(df["format"]) == {"png", "gif", "jpeg", "bmp", "tiff", "webp", "unknown"}
     assert (df[df["kind"] == "junk"]["format"] == "unknown").all()
     # pin one solid image's luma analytically (img 0 is a solid png)
     row0 = gen_image(0)

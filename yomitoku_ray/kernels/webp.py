@@ -1,0 +1,1074 @@
+"""WebP-lossless (VP8L) codec, pure stdlib + numpy.
+
+Closes the webp arm of the reference's image-load surface
+(``/root/reference/src/yomitoku/data/functions.py:33-78`` loads whatever
+PIL/cv2 can, which includes webp) without any codec library. Built from
+the public "WebP Lossless Bitstream Specification" only.
+
+Decoder scope — the full still-image VP8L feature set:
+
+- both prefix-code forms (simple 1/2-symbol and normal with the
+  code-length code, incl. 16/17/18 repeats and the max_symbol field),
+- color cache (any 1..11 bits),
+- meta prefix codes (entropy image selecting per-tile code groups),
+- LZ77 backward references with the 120-entry 2D distance map,
+- all four transforms: predictor (14 modes), cross-color,
+  subtract-green, color-indexing incl. sub-byte pixel bundling.
+
+One honest restriction: color-indexing combined with the predictor or
+cross-color transform is rejected (the width-rebinding rules interact;
+real encoders never emit the combo). Lossy VP8 chunks raise
+:class:`WebpError` — this is the *lossless* arm only.
+
+Bit conventions per the spec: value fields are LSB-first; canonical
+prefix codes are read one bit at a time MSB-first (the DEFLATE
+convention). The encoder is spec-shaped (not a toy framing) so tests
+can round-trip every decoder path: per-transform options, color cache,
+LZ77 runs, meta groups, palettes down to 1-bit bundling.
+
+Per-pixel entropy decode is a Python loop — fine for the corpus-feature
+payloads this repo synthesises (<= a few hundred px per side); the
+transform inverses are vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class WebpError(ValueError):
+    pass
+
+
+_MAX_LEN = 15  # max canonical code length
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# 2D offsets for LZ77 distance codes 1..120 (spec "distance mapping"
+# table, transcribed): dist = dy * width + dx, clamped to >= 1.
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return (a + b - 1) // b
+
+
+# ---------------------------------------------------------------- bits
+
+
+class _BitReader:
+    """LSB-first bit reader over the VP8L payload."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def bits(self, n: int) -> int:
+        p = self.pos
+        if p + n > self.nbits:
+            raise WebpError("truncated bitstream")
+        d = self.data
+        v = 0
+        got = 0
+        while got < n:
+            byte = d[(p + got) >> 3]
+            shift = (p + got) & 7
+            take = min(8 - shift, n - got)
+            v |= ((byte >> shift) & ((1 << take) - 1)) << got
+            got += take
+        self.pos = p + n
+        return v
+
+    def bit(self) -> int:
+        p = self.pos
+        if p >= self.nbits:
+            raise WebpError("truncated bitstream")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (p & 7)) & 1
+
+
+class _BitWriter:
+    """LSB-first bit writer (value fields); codes go MSB-first via
+    :meth:`code`."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def code(self, code: int, length: int) -> None:
+        for k in range(length - 1, -1, -1):
+            self.bits((code >> k) & 1, 1)
+
+    def getvalue(self) -> bytes:
+        out = bytes(self.out)
+        if self.nbits:
+            out += bytes([self.acc & 0xFF])
+        return out
+
+
+# ------------------------------------------------------------- huffman
+
+
+class _Code:
+    """Canonical prefix code: decode bit-by-bit MSB-first."""
+
+    __slots__ = ("single", "first_code", "count", "syms_at")
+
+    def __init__(self, single=None):
+        self.single = single
+        self.first_code = None
+        self.count = None
+        self.syms_at = None
+
+    @staticmethod
+    def from_lengths(lengths: list[int], stream_order_pair=None) -> "_Code":
+        """Canonical code from per-symbol lengths (symbols sorted by
+        (length, symbol)); ``stream_order_pair`` overrides for the
+        simple two-symbol form where assignment follows stream order."""
+        c = _Code()
+        if stream_order_pair is not None:
+            c.count = [0, 2] + [0] * (_MAX_LEN - 1)
+            c.first_code = [0] * (_MAX_LEN + 1)
+            c.syms_at = [[], list(stream_order_pair)] + [[] for _ in range(_MAX_LEN - 1)]
+            return c
+        count = [0] * (_MAX_LEN + 1)
+        for l in lengths:
+            if l > _MAX_LEN:
+                raise WebpError("code length too long")
+            if l:
+                count[l] += 1
+        total = sum(count)
+        if total == 0:
+            raise WebpError("empty prefix code")
+        if total == 1:
+            c.single = lengths.index(next(l for l in lengths if l))
+            return c
+        kraft = sum(count[l] << (_MAX_LEN - l) for l in range(1, _MAX_LEN + 1))
+        if kraft != 1 << _MAX_LEN:
+            raise WebpError("invalid (incomplete or over-subscribed) prefix code")
+        syms_at = [[] for _ in range(_MAX_LEN + 1)]
+        for s, l in enumerate(lengths):
+            if l:
+                syms_at[l].append(s)
+        first_code = [0] * (_MAX_LEN + 1)
+        code = 0
+        for l in range(1, _MAX_LEN + 1):
+            code = (code + count[l - 1]) << 1
+            first_code[l] = code
+        c.count, c.first_code, c.syms_at = count, first_code, syms_at
+        return c
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        fc, cnt, syms = self.first_code, self.count, self.syms_at
+        for l in range(1, _MAX_LEN + 1):
+            code = (code << 1) | br.bit()
+            if cnt[l]:
+                idx = code - fc[l]
+                if 0 <= idx < cnt[l]:
+                    return syms[l][idx]
+        raise WebpError("bad prefix code in stream")
+
+    def encode_map(self) -> dict[int, tuple[int, int]]:
+        if self.single is not None:
+            return {self.single: (0, 0)}
+        out = {}
+        for l in range(1, _MAX_LEN + 1):
+            for i, s in enumerate(self.syms_at[l]):
+                out[s] = (self.first_code[l] + i, l)
+        return out
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Code:
+    if br.bit():  # simple form
+        num_symbols = br.bit() + 1
+        if br.bit():
+            s0 = br.bits(8)
+        else:
+            s0 = br.bit()
+        if num_symbols == 1:
+            return _Code(single=s0)
+        s1 = br.bits(8)
+        if max(s0, s1) >= alphabet_size:
+            raise WebpError("simple-code symbol out of range")
+        return _Code.from_lengths([], stream_order_pair=(s0, s1))
+    num_cl = 4 + br.bits(4)
+    if num_cl > 19:
+        raise WebpError("bad code-length count")
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.bits(3)
+    cl_code = _Code.from_lengths(cl_lengths)
+    if br.bit():
+        nb = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(nb)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    sym = 0
+    prev = 8
+    while sym < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_code.decode(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        else:
+            if cl == 16:
+                rep, val = 3 + br.bits(2), prev
+            elif cl == 17:
+                rep, val = 3 + br.bits(3), 0
+            else:
+                rep, val = 11 + br.bits(7), 0
+            if sym + rep > alphabet_size:
+                raise WebpError("code-length repeat overflows alphabet")
+            for _ in range(rep):
+                lengths[sym] = val
+                sym += 1
+    return _Code.from_lengths(lengths)
+
+
+def _prefix_value(sym: int, br: _BitReader) -> int:
+    """LZ77 length/distance prefix symbol -> value (reads extra bits)."""
+    if sym < 4:
+        return sym + 1
+    eb = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << eb
+    return offset + br.bits(eb) + 1
+
+
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """value (>=1) -> (symbol, n_extra_bits, extra_value)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for sym in range(4, 40):
+        eb = (sym - 2) >> 1
+        lo = ((2 + (sym & 1)) << eb) + 1
+        if lo <= v <= lo + (1 << eb) - 1:
+            return sym, eb, v - lo
+    raise WebpError(f"value {v} out of prefix range")
+
+
+# ------------------------------------------------------- entropy image
+
+
+def _cache_key(argb: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _decode_entropy_image(br: _BitReader, w: int, h: int, *, allow_meta: bool) -> list[int]:
+    """One entropy-coded image -> list of h*w ARGB ints (no transforms)."""
+    cache_bits = br.bits(4) if br.bit() else 0
+    if cache_bits > 11:
+        raise WebpError("bad color-cache size")
+    meta_bits = 0
+    meta_idx: list[int] | None = None
+    num_groups = 1
+    if allow_meta and br.bit():
+        meta_bits = br.bits(3) + 2
+        tw, th = _ceil_div(w, 1 << meta_bits), _ceil_div(h, 1 << meta_bits)
+        ent = _decode_entropy_image(br, tw, th, allow_meta=False)
+        meta_idx = [(p >> 8) & 0xFFFF for p in ent]
+        num_groups = max(meta_idx) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_size = 256 + 24 + cache_size
+    groups = []
+    for _ in range(num_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_size),
+                _read_prefix_code(br, 256),  # red
+                _read_prefix_code(br, 256),  # blue
+                _read_prefix_code(br, 256),  # alpha
+                _read_prefix_code(br, 40),  # distance
+            )
+        )
+    cache = [0] * cache_size
+    tiles_w = _ceil_div(w, 1 << meta_bits) if meta_idx is not None else 0
+    pix: list[int] = [0] * (w * h)
+    n = w * h
+    i = 0
+    group = groups[0]
+    while i < n:
+        if meta_idx is not None:
+            x, y = i % w, i // w
+            group = groups[meta_idx[(y >> meta_bits) * tiles_w + (x >> meta_bits)]]
+        g_code, r_code, b_code, a_code, d_code = group
+        s = g_code.decode(br)
+        if s < 256:
+            r = r_code.decode(br)
+            b = b_code.decode(br)
+            a = a_code.decode(br)
+            argb = (a << 24) | (r << 16) | (s << 8) | b
+            pix[i] = argb
+            i += 1
+            if cache_bits:
+                cache[_cache_key(argb, cache_bits)] = argb
+        elif s < 280:
+            length = _prefix_value(s - 256, br)
+            dcode = _prefix_value(d_code.decode(br), br)
+            if dcode <= 120:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            else:
+                dist = dcode - 120
+            if dist > i or i + length > n:
+                raise WebpError("backward reference out of range")
+            for _ in range(length):
+                argb = pix[i - dist]
+                pix[i] = argb
+                i += 1
+                if cache_bits:
+                    cache[_cache_key(argb, cache_bits)] = argb
+        else:
+            idx = s - 280
+            if idx >= cache_size:
+                raise WebpError("color-cache index out of range")
+            pix[i] = cache[idx]
+            i += 1
+    return pix
+
+
+# ---------------------------------------------------------- transforms
+
+
+def _avg2(a: int, b: int) -> int:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _add_px(a: int, b: int) -> int:
+    """Per-byte (mod 256) add of two ARGB ints."""
+    return (((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF) | (
+        ((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00
+    )
+
+
+def _sub_px(a: int, b: int) -> int:
+    """Per-byte (mod 256) subtract b from a."""
+    return (
+        ((a | 0x01000100) - (b & 0x00FF00FF)) & 0x00FF00FF
+        | ((((a >> 8) | 0x01000100) - ((b >> 8) & 0x00FF00FF)) & 0x00FF00FF) << 8
+    )
+
+
+def _bytes4(p: int) -> tuple[int, int, int, int]:
+    return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+
+def _clamp_add_sub_full(l: int, t: int, tl: int) -> int:
+    out = 0
+    for shift in (24, 16, 8, 0):
+        v = ((l >> shift) & 0xFF) + ((t >> shift) & 0xFF) - ((tl >> shift) & 0xFF)
+        out |= (0 if v < 0 else 255 if v > 255 else v) << shift
+    return out
+
+
+def _clamp_add_sub_half(l: int, t: int, tl: int) -> int:
+    ave = _avg2(l, t)
+    out = 0
+    for shift in (24, 16, 8, 0):
+        a = (ave >> shift) & 0xFF
+        d = a - ((tl >> shift) & 0xFF)
+        half = (d >> 1) if d >= 0 else -((-d) >> 1)
+        v = a + half
+        out |= (0 if v < 0 else 255 if v > 255 else v) << shift
+    return out
+
+
+def _select(l: int, t: int, tl: int) -> int:
+    # Manhattan distance of L and T to the (unclamped) gradient estimate
+    # L + T - TL reduces to sum|T-TL| vs sum|L-TL|.
+    p_l = sum(abs(a - b) for a, b in zip(_bytes4(t), _bytes4(tl)))
+    p_t = sum(abs(a - b) for a, b in zip(_bytes4(l), _bytes4(tl)))
+    return l if p_l <= p_t else t
+
+
+def _predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(l, t, tl)
+    if mode == 12:
+        return _clamp_add_sub_full(l, t, tl)
+    if mode == 13:
+        return _clamp_add_sub_half(l, t, tl)
+    raise WebpError(f"bad predictor mode {mode}")
+
+
+def _predictor_pass(pix: list[int], w: int, h: int, sb: int, modes: list[int], *, inverse: bool) -> list[int]:
+    """Apply (encode) or invert (decode) the predictor transform.
+
+    ``inverse=True``: ``pix`` holds residuals, returns reconstruction.
+    ``inverse=False``: ``pix`` holds pixels, returns residuals — the
+    prediction context is always the *reconstructed* image, which on the
+    encode side is the input itself.
+    """
+    tiles_w = _ceil_div(w, 1 << sb)
+    out = [0] * (w * h)
+    recon = out if inverse else pix
+    for i in range(w * h):
+        x, y = i % w, i // w
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = recon[i - 1]
+        elif x == 0:
+            pred = recon[i - w]
+        else:
+            mode = modes[(y >> sb) * tiles_w + (x >> sb)]
+            pred = _predict(
+                mode, recon[i - 1], recon[i - w], recon[i - w - 1], recon[i - w + 1]
+            )
+        out[i] = _add_px(pix[i], pred) if inverse else _sub_px(pix[i], pred)
+    return out
+
+
+def _cross_color_pass(
+    argb: np.ndarray, w: int, h: int, sb: int, tiles: list[int], *, inverse: bool
+) -> np.ndarray:
+    """Vectorized cross-color transform over a flat uint32 array."""
+    tiles_w = _ceil_div(w, 1 << sb)
+    tile_arr = np.asarray(tiles, dtype=np.uint32).reshape(-1, tiles_w)
+    xs = np.arange(w) >> sb
+    ys = np.arange(h) >> sb
+    cte = tile_arr[np.ix_(ys, xs)].reshape(-1)  # per-pixel element
+    g2r = (cte & 0xFF).astype(np.uint8).view(np.int8).astype(np.int32)
+    g2b = ((cte >> 8) & 0xFF).astype(np.uint8).view(np.int8).astype(np.int32)
+    r2b = ((cte >> 16) & 0xFF).astype(np.uint8).view(np.int8).astype(np.int32)
+    a = (argb >> 24) & 0xFF
+    r = ((argb >> 16) & 0xFF).astype(np.int32)
+    g = ((argb >> 8) & 0xFF).astype(np.uint8).view(np.int8).astype(np.int32)
+    b = (argb & 0xFF).astype(np.int32)
+    dg_r = (g2r * g) >> 5
+    if inverse:
+        new_r = (r + dg_r) & 0xFF
+        r_signed = new_r.astype(np.uint8).view(np.int8).astype(np.int32)
+        new_b = (b + ((g2b * g) >> 5) + ((r2b * r_signed) >> 5)) & 0xFF
+    else:
+        r_signed = (r & 0xFF).astype(np.uint8).view(np.int8).astype(np.int32)
+        new_r = (r - dg_r) & 0xFF
+        new_b = (b - ((g2b * g) >> 5) - ((r2b * r_signed) >> 5)) & 0xFF
+    green = (argb & 0x0000FF00).astype(np.uint32)
+    return (
+        (a.astype(np.uint32) << 24)
+        | (new_r.astype(np.uint32) << 16)
+        | green
+        | new_b.astype(np.uint32)
+    )
+
+
+def _inv_subtract_green(argb: np.ndarray) -> np.ndarray:
+    g = (argb >> 8) & 0xFF
+    r = (((argb >> 16) & 0xFF) + g) & 0xFF
+    b = ((argb & 0xFF) + g) & 0xFF
+    return (argb & 0xFF00FF00) | (r << 16) | b
+
+
+def _palette_xbits(n: int) -> int:
+    if n <= 2:
+        return 3
+    if n <= 4:
+        return 2
+    if n <= 16:
+        return 1
+    return 0
+
+
+def _inv_palette(pix: list[int], packed_w: int, h: int, xbits: int, pal: np.ndarray, w: int) -> np.ndarray:
+    """Unbundle green-channel indices and look up the palette."""
+    green = ((np.asarray(pix, dtype=np.uint32) >> 8) & 0xFF).reshape(h, packed_w)
+    if xbits:
+        per = 1 << xbits
+        bits = 8 >> xbits
+        shifts = (np.arange(per, dtype=np.uint32) * bits).astype(np.uint32)
+        idx = ((green[:, :, None] >> shifts[None, None, :]) & ((1 << bits) - 1)).reshape(
+            h, packed_w * per
+        )[:, :w]
+    else:
+        idx = green
+    if int(idx.max(initial=0)) >= len(pal):
+        raise WebpError("palette index out of range")
+    return pal[idx.astype(np.int64)].reshape(-1)
+
+
+# --------------------------------------------------------------- decode
+
+
+def _vp8l_payload(blob: bytes) -> bytes:
+    if len(blob) < 20 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise WebpError("not a WebP file")
+    pos = 12
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + size]
+        if tag == b"VP8L":
+            return body
+        if tag == b"VP8 ":
+            raise WebpError("lossy VP8 webp is out of scope (VP8L only)")
+        pos += 8 + size + (size & 1)
+    raise WebpError("no VP8L chunk found")
+
+
+def decode_webp(blob: bytes) -> np.ndarray:
+    """WebP-lossless bytes -> (H, W, 3) uint8 RGB, or (H, W, 4) RGBA
+    when the stream's alpha hint is set."""
+    data = _vp8l_payload(blob)
+    if not data or data[0] != 0x2F:
+        raise WebpError("bad VP8L signature")
+    br = _BitReader(data[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    has_alpha = br.bit()
+    if br.bits(3) != 0:
+        raise WebpError("unsupported VP8L version")
+
+    transforms = []
+    seen = set()
+    dec_w = w
+    while br.bit():
+        t = br.bits(2)
+        if t in seen:
+            raise WebpError("duplicate transform")
+        seen.add(t)
+        if t in (0, 1):
+            sb = br.bits(3) + 2
+            tw, th = _ceil_div(dec_w, 1 << sb), _ceil_div(h, 1 << sb)
+            data_img = _decode_entropy_image(br, tw, th, allow_meta=False)
+            transforms.append((t, sb, data_img))
+        elif t == 2:
+            transforms.append((2,))
+        else:
+            n = br.bits(8) + 1
+            deltas = _decode_entropy_image(br, n, 1, allow_meta=False)
+            pal = np.zeros(n, dtype=np.uint32)
+            prev = 0
+            for j, d in enumerate(deltas):
+                prev = _add_px(prev, d)
+                pal[j] = prev
+            xbits = _palette_xbits(n)
+            transforms.append((3, xbits, pal, dec_w))
+            dec_w = _ceil_div(dec_w, 1 << xbits)
+    if 3 in seen and (0 in seen or 1 in seen):
+        raise WebpError("color-indexing combined with a spatial transform is unsupported")
+
+    pix = _decode_entropy_image(br, dec_w, h, allow_meta=True)
+
+    cur_w = dec_w
+    arr: np.ndarray | None = None
+    for tr in reversed(transforms):
+        if tr[0] == 0:
+            modes = [(p >> 8) & 0xFF for p in tr[2]]
+            pix = _predictor_pass(
+                pix if arr is None else [int(v) for v in arr], cur_w, h, tr[1], modes, inverse=True
+            )
+            arr = None
+        elif tr[0] == 1:
+            a = np.asarray(pix, dtype=np.uint32) if arr is None else arr
+            arr = _cross_color_pass(a, cur_w, h, tr[1], tr[2], inverse=True)
+        elif tr[0] == 2:
+            a = np.asarray(pix, dtype=np.uint32) if arr is None else arr
+            arr = _inv_subtract_green(a)
+        else:
+            _, xbits, pal, orig_w = tr
+            arr = _inv_palette(
+                pix if arr is None else [int(v) for v in arr], cur_w, h, xbits, pal, orig_w
+            )
+            cur_w = orig_w
+    if arr is None:
+        arr = np.asarray(pix, dtype=np.uint32)
+    arr = arr.reshape(h, cur_w)
+    rgb = np.empty((h, cur_w, 4 if has_alpha else 3), dtype=np.uint8)
+    rgb[:, :, 0] = (arr >> 16) & 0xFF
+    rgb[:, :, 1] = (arr >> 8) & 0xFF
+    rgb[:, :, 2] = arr & 0xFF
+    if has_alpha:
+        rgb[:, :, 3] = (arr >> 24) & 0xFF
+    return rgb
+
+
+def sniff_webp_dims(blob: bytes) -> tuple[int, int]:
+    """Cheap (w, h) from the VP8L header, for metadata sniffing."""
+    data = _vp8l_payload(blob)
+    if len(data) < 5 or data[0] != 0x2F:
+        raise WebpError("bad VP8L signature")
+    bits = int.from_bytes(data[1:5], "little")
+    return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+
+
+# --------------------------------------------------------------- encode
+
+
+def _huff_lengths(freqs: dict[int, int], alphabet_size: int, max_len: int = _MAX_LEN) -> list[int]:
+    """Huffman code lengths (complete Kraft, >=2 symbols, capped depth)."""
+    import heapq
+
+    freqs = {s: c for s, c in freqs.items() if c > 0}
+    if not freqs:
+        freqs = {0: 1}
+    if len(freqs) == 1:
+        (only,) = freqs
+        dummy = 0 if only != 0 else 1
+        freqs = dict(freqs)
+        freqs[dummy] = 1
+
+    def build(fr: dict[int, int]) -> list[int]:
+        heap = [(c, s, None) for s, c in fr.items()]
+        counter = alphabet_size
+        heapq.heapify(heap)
+        while len(heap) > 1:
+            n1 = heapq.heappop(heap)
+            n2 = heapq.heappop(heap)
+            counter += 1
+            heapq.heappush(heap, (n1[0] + n2[0], counter, (n1, n2)))
+        lengths = [0] * alphabet_size
+        stack = [(heap[0], 0)]
+        while stack:
+            (c, s, kids), depth = stack.pop()
+            if kids is None:
+                lengths[s] = max(depth, 1)
+            else:
+                stack.append((kids[0], depth + 1))
+                stack.append((kids[1], depth + 1))
+        return lengths
+
+    lengths = build(freqs)
+    if max(lengths) > max_len:
+        lengths = build({s: 1 for s in freqs})  # flat-ish, depth <= ceil(log2 n)
+        if max(lengths) > max_len:
+            raise WebpError("cannot cap code depth")
+    return lengths
+
+
+def _write_prefix_code(bw: _BitWriter, lengths: list[int], used: list[int]) -> _Code:
+    """Emit a prefix-code definition; returns the code for token writing."""
+    if len(used) == 1 and used[0] <= 255:
+        s0 = used[0]
+        bw.bits(1, 1)
+        bw.bits(0, 1)  # one symbol
+        if s0 <= 1:
+            bw.bits(0, 1)
+            bw.bits(s0, 1)
+        else:
+            bw.bits(1, 1)
+            bw.bits(s0, 8)
+        return _Code(single=s0)
+    if len(used) == 2 and max(used) <= 255:
+        s0, s1 = used
+        bw.bits(1, 1)
+        bw.bits(1, 1)  # two symbols
+        if s0 <= 1:
+            bw.bits(0, 1)
+            bw.bits(s0, 1)
+        else:
+            bw.bits(1, 1)
+            bw.bits(s0, 8)
+        bw.bits(s1, 8)
+        return _Code.from_lengths([], stream_order_pair=(s0, s1))
+
+    bw.bits(0, 1)  # normal form
+    # token stream over the code-length alphabet; the reader consumes
+    # tokens until the WHOLE alphabet is covered, so zero runs (17/18)
+    # must cover the tail too
+    tokens: list[tuple[int, int, int]] = []  # (cl_sym, n_extra, extra)
+    n = len(lengths)
+    i = 0
+    while i < n:
+        if lengths[i] == 0:
+            run = 0
+            while i + run < n and lengths[i + run] == 0:
+                run += 1
+            while run >= 3:
+                take = min(run, 138)
+                if take > 10:
+                    tokens.append((18, 7, take - 11))
+                else:
+                    tokens.append((17, 3, take - 3))
+                run -= take
+                i += take
+            for _ in range(run):
+                tokens.append((lengths[i], 0, 0))
+                i += 1
+        else:
+            tokens.append((lengths[i], 0, 0))
+            i += 1
+    cl_freqs: dict[int, int] = {}
+    for t, _, _ in tokens:
+        cl_freqs[t] = cl_freqs.get(t, 0) + 1
+    cl_lengths = _huff_lengths(cl_freqs, 19, max_len=7)
+    num_cl = max(
+        4, max(pos + 1 for pos, sym in enumerate(_CL_ORDER) if cl_lengths[sym])
+    )
+    bw.bits(num_cl - 4, 4)
+    for pos in range(num_cl):
+        bw.bits(cl_lengths[_CL_ORDER[pos]], 3)
+    bw.bits(0, 1)  # no max_symbol cap: tokens cover the whole alphabet
+    cl_code = _Code.from_lengths(cl_lengths)
+    cl_map = cl_code.encode_map()
+    for t, nbits, extra in tokens:
+        c, l = cl_map[t]
+        bw.code(c, l)
+        if nbits:
+            bw.bits(extra, nbits)
+    return _Code.from_lengths(lengths)
+
+
+class _Tok:
+    __slots__ = ("kind", "a", "b")
+
+    def __init__(self, kind, a, b=0):
+        self.kind, self.a, self.b = kind, a, b
+
+
+def _tokenize(pix: list[int], w: int, *, cache_bits: int, use_lz77: bool) -> list[tuple[int, _Tok]]:
+    """Pixels -> [(pixel_index, token)]; runs become dist-1/dist-w refs."""
+    n = len(pix)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * cache_size
+    toks: list[tuple[int, _Tok]] = []
+    i = 0
+    while i < n:
+        if use_lz77 and i > 0:
+            for dist in (1, w) if w > 1 else (1,):
+                if dist <= i and pix[i] == pix[i - dist]:
+                    run = 0
+                    while i + run < n and run < 4096 and pix[i + run] == pix[i + run - dist]:
+                        run += 1
+                    if run >= 4:
+                        toks.append((i, _Tok("copy", run, dist)))
+                        if cache_size:
+                            for k in range(i, i + run):
+                                argb = pix[k]
+                                cache[_cache_key(argb, cache_bits)] = argb
+                        i += run
+                        break
+            else:
+                run = 0
+            if run >= 4:
+                continue
+        argb = pix[i]
+        if cache_size:
+            key = _cache_key(argb, cache_bits)
+            if cache[key] == argb:
+                toks.append((i, _Tok("cache", key)))
+                i += 1
+                continue
+            cache[key] = argb
+        toks.append((i, _Tok("lit", argb)))
+        i += 1
+    return toks
+
+
+def _dist_to_code(dist: int, w: int) -> int:
+    """Plain distance -> distance-code value (prefer the 2D map)."""
+    for idx, (dx, dy) in enumerate(_DIST_MAP):
+        d = dy * w + dx
+        if d == dist and d >= 1:
+            return idx + 1
+    return dist + 120
+
+
+def _encode_entropy_image(
+    bw: _BitWriter,
+    pix: list[int],
+    w: int,
+    h: int,
+    *,
+    cache_bits: int = 0,
+    use_lz77: bool = True,
+    meta_bits: int | None = None,
+    level0: bool = False,
+) -> None:
+    if cache_bits:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)
+
+    toks = _tokenize(pix, w, cache_bits=cache_bits, use_lz77=use_lz77)
+
+    num_groups = 1
+    group_of_tile: list[int] = []
+    tiles_w = 0
+    if level0:  # only the spatially-coded image carries the meta bit
+        if meta_bits is not None:
+            bw.bits(1, 1)
+            bw.bits(meta_bits - 2, 3)
+            tiles_w = _ceil_div(w, 1 << meta_bits)
+            tiles_h = _ceil_div(h, 1 << meta_bits)
+            # two groups: left vs right half of the tile grid
+            num_groups = 2 if tiles_w > 1 else 1
+            group_of_tile = [
+                (1 if (tx >= tiles_w // 2 and num_groups == 2) else 0)
+                for _ty in range(tiles_h)
+                for tx in range(tiles_w)
+            ]
+            ent_pix = [0xFF000000 | (g << 8) for g in group_of_tile]
+            _encode_entropy_image(bw, ent_pix, tiles_w, tiles_h, use_lz77=False)
+        else:
+            bw.bits(0, 1)
+    if not level0:
+        meta_bits = None
+
+    def group_at(i: int) -> int:
+        if meta_bits is None:
+            return 0
+        x, y = i % w, i // w
+        return group_of_tile[(y >> meta_bits) * tiles_w + (x >> meta_bits)]
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_size = 256 + 24 + cache_size
+    g_fr: list[dict[int, int]] = [dict() for _ in range(num_groups)]
+    r_fr: list[dict[int, int]] = [dict() for _ in range(num_groups)]
+    b_fr: list[dict[int, int]] = [dict() for _ in range(num_groups)]
+    a_fr: list[dict[int, int]] = [dict() for _ in range(num_groups)]
+    d_fr: list[dict[int, int]] = [dict() for _ in range(num_groups)]
+
+    def bump(d: dict[int, int], k: int) -> None:
+        d[k] = d.get(k, 0) + 1
+
+    for pos, t in toks:
+        gi = group_at(pos)
+        if t.kind == "lit":
+            a, r, g, b = _bytes4(t.a)
+            bump(g_fr[gi], g)
+            bump(r_fr[gi], r)
+            bump(b_fr[gi], b)
+            bump(a_fr[gi], a)
+        elif t.kind == "copy":
+            lsym, _, _ = _prefix_encode(t.a)
+            bump(g_fr[gi], 256 + lsym)
+            dsym, _, _ = _prefix_encode(_dist_to_code(t.b, w))
+            bump(d_fr[gi], dsym)
+        else:
+            bump(g_fr[gi], 280 + t.a)
+
+    codes = []
+    for gi in range(num_groups):
+        row = []
+        for fr, size in (
+            (g_fr[gi], green_size),
+            (r_fr[gi], 256),
+            (b_fr[gi], 256),
+            (a_fr[gi], 256),
+            (d_fr[gi], 40),
+        ):
+            lengths = _huff_lengths(fr, size)
+            used = [s for s, l in enumerate(lengths) if l]
+            row.append(_write_prefix_code(bw, lengths, used).encode_map())
+        codes.append(row)
+
+    for pos, t in toks:
+        g_map, r_map, b_map, a_map, d_map = codes[group_at(pos)]
+        if t.kind == "lit":
+            a, r, g, b = _bytes4(t.a)
+            c, l = g_map[g]
+            bw.code(c, l)
+            c, l = r_map[r]
+            bw.code(c, l)
+            c, l = b_map[b]
+            bw.code(c, l)
+            c, l = a_map[a]
+            bw.code(c, l)
+        elif t.kind == "copy":
+            lsym, ln, lex = _prefix_encode(t.a)
+            c, l = g_map[256 + lsym]
+            bw.code(c, l)
+            if ln:
+                bw.bits(lex, ln)
+            dval = _dist_to_code(t.b, w)
+            dsym, dn, dex = _prefix_encode(dval)
+            c, l = d_map[dsym]
+            bw.code(c, l)
+            if dn:
+                bw.bits(dex, dn)
+        else:
+            c, l = g_map[280 + t.a]
+            bw.code(c, l)
+
+
+def encode_webp_lossless(
+    px: np.ndarray,
+    *,
+    subtract_green: bool = True,
+    cache_bits: int = 0,
+    predictor: int | None = None,
+    cross_color: tuple[int, int, int] | None = None,
+    palette: bool = False,
+    use_lz77: bool = True,
+    meta_bits: int | None = None,
+) -> bytes:
+    """(H, W, 3|4) uint8 -> WebP-lossless bytes.
+
+    The options map 1:1 onto decoder features so tests can exercise
+    each path: ``predictor`` applies one mode uniformly, ``cross_color``
+    is a fixed (green_to_red, green_to_blue, red_to_blue) element,
+    ``palette`` switches to color-indexing (incompatible with the two
+    spatial transforms, like the decoder).
+    """
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None].repeat(3, axis=2)
+    h, w, ch = px.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise WebpError("dimensions out of range")
+    has_alpha = ch == 4
+    if palette and (predictor is not None or cross_color is not None):
+        raise WebpError("palette cannot combine with spatial transforms")
+
+    a = px[:, :, 3].astype(np.uint32) if has_alpha else np.full((h, w), 255, np.uint32)
+    argb = (
+        (a << 24)
+        | (px[:, :, 0].astype(np.uint32) << 16)
+        | (px[:, :, 1].astype(np.uint32) << 8)
+        | px[:, :, 2].astype(np.uint32)
+    ).reshape(-1)
+
+    bw = _BitWriter()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(1 if has_alpha else 0, 1)
+    bw.bits(0, 3)
+
+    enc_w = w
+    if palette:
+        colors, inv = np.unique(argb, return_inverse=True)
+        n = len(colors)
+        if n > 256:
+            raise WebpError("too many colors for palette")
+        bw.bits(1, 1)
+        bw.bits(3, 2)  # transform type 3
+        bw.bits(n - 1, 8)
+        deltas = []
+        prev = 0
+        for cval in colors.tolist():
+            deltas.append(_sub_px(int(cval), prev))
+            prev = int(cval)
+        _encode_entropy_image(bw, deltas, n, 1, use_lz77=False)
+        xbits = _palette_xbits(n)
+        enc_w = _ceil_div(w, 1 << xbits)
+        idx = inv.reshape(h, w).astype(np.uint32)
+        if xbits:
+            per = 1 << xbits
+            bits = 8 >> xbits
+            padded = np.zeros((h, enc_w * per), dtype=np.uint32)
+            padded[:, :w] = idx
+            shifts = (np.arange(per, dtype=np.uint32) * bits).astype(np.uint32)
+            packed = (padded.reshape(h, enc_w, per) << shifts[None, None, :]).sum(
+                axis=2, dtype=np.uint32
+            )
+            green = packed
+        else:
+            green = idx
+        argb = (0xFF000000 | (green << 8)).reshape(-1)
+    else:
+        if subtract_green:
+            bw.bits(1, 1)
+            bw.bits(2, 2)
+            g = (argb >> 8) & 0xFF
+            r = (((argb >> 16) & 0xFF) - g) & 0xFF
+            b = ((argb & 0xFF) - g) & 0xFF
+            argb = (argb & 0xFF00FF00) | (r << 16) | b
+        if predictor is not None:
+            if not 0 <= predictor <= 13:
+                raise WebpError("bad predictor mode")
+            sb = 9 if max(w, h) > 16 else 4
+            bw.bits(1, 1)
+            bw.bits(0, 2)
+            bw.bits(sb - 2, 3)
+            tw, th = _ceil_div(w, 1 << sb), _ceil_div(h, 1 << sb)
+            tile_pix = [0xFF000000 | (predictor << 8)] * (tw * th)
+            _encode_entropy_image(bw, tile_pix, tw, th, use_lz77=False)
+            argb = np.asarray(
+                _predictor_pass(
+                    [int(v) for v in argb], w, h, sb, [predictor] * (tw * th), inverse=False
+                ),
+                dtype=np.uint32,
+            )
+        if cross_color is not None:
+            g2r, g2b, r2b = (int(v) & 0xFF for v in cross_color)
+            sb = 9 if max(w, h) > 16 else 4
+            bw.bits(1, 1)
+            bw.bits(1, 2)
+            bw.bits(sb - 2, 3)
+            tw, th = _ceil_div(w, 1 << sb), _ceil_div(h, 1 << sb)
+            cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+            _encode_entropy_image(bw, [cte] * (tw * th), tw, th, use_lz77=False)
+            argb = _cross_color_pass(argb, w, h, sb, [cte] * (tw * th), inverse=False)
+    bw.bits(0, 1)  # end of transforms
+
+    _encode_entropy_image(
+        bw,
+        [int(v) for v in argb],
+        enc_w,
+        h,
+        cache_bits=cache_bits,
+        use_lz77=use_lz77,
+        meta_bits=meta_bits,
+        level0=True,
+    )
+
+    payload = b"\x2f" + bw.getvalue()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

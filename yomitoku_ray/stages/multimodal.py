@@ -92,6 +92,14 @@ def sniff_image_meta(blob: bytes) -> dict:
             h = tags.get(_H, [-1])[0]
         except Exception:
             w = h = -1
+    elif blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        fmt = "webp"
+        try:
+            from ..kernels.webp import sniff_webp_dims
+
+            w, h = sniff_webp_dims(blob)
+        except Exception:
+            w = h = -1
     return {
         "format": fmt,
         "width": int(w),
@@ -102,11 +110,12 @@ def sniff_image_meta(blob: bytes) -> dict:
 
 
 class DecoderBackend:
-    """Pixel-decode: REAL for PNG/GIF/JPEG — baseline AND progressive
-    SOF2 incl. successive approximation (pure zlib+numpy codecs in
-    kernels/); a seam only for formats beyond them (webp, arithmetic
-    jpeg, ...) — NotImplementedError in strict mode, deterministic fake
-    pixels in fake mode."""
+    """Pixel-decode: REAL for PNG/GIF/JPEG/BMP/TIFF/WebP-lossless —
+    baseline AND progressive SOF2 JPEG incl. successive approximation,
+    full VP8L (pure zlib+numpy codecs in kernels/); a seam only for
+    formats beyond them (lossy VP8 webp, arithmetic jpeg, ...) —
+    NotImplementedError in strict mode, deterministic fake pixels in
+    fake mode."""
 
     def __init__(self, mode: str = "strict"):
         if mode not in ("strict", "fake"):
@@ -146,11 +155,18 @@ class DecoderBackend:
             # is the paged source's job; features use page 0)
         except TiffError:
             pass
+        from ..kernels.webp import WebpError, decode_webp
+
+        try:
+            return decode_webp(blob)
+        except WebpError:
+            pass
         if self.mode == "strict":
             raise NotImplementedError(
-                "image decode beyond PNG/GIF/JPEG requires a codec "
-                "library not present in this container; run with "
-                "DecoderBackend(mode='fake') for the deterministic stand-in"
+                "image decode beyond PNG/GIF/JPEG/BMP/TIFF/WebP-lossless "
+                "requires a codec library not present in this container; "
+                "run with DecoderBackend(mode='fake') for the "
+                "deterministic stand-in"
             )
         # Deterministic fake pixels from a stable digest of the bytes —
         # stands in for a real decode so downstream feature plumbing

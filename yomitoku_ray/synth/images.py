@@ -1,4 +1,4 @@
-"""Deterministic synthetic images table (PNG/GIF/JPEG/junk binary blobs).
+"""Deterministic synthetic images table (PNG/GIF/JPEG/BMP/TIFF/WebP/junk).
 
 Every row is a pure function of its index: solid fills, horizontal
 gradients and 2x2 checkerboards encoded with the repo's own PNG/GIF
@@ -46,7 +46,18 @@ def gen_image(i: int) -> dict:
         a, b = rng.randint(0, 256, 3, dtype=np.uint8), rng.randint(0, 256, 3, dtype=np.uint8)
         mask = ((np.arange(h)[:, None] // 2 + np.arange(w)[None, :] // 2) % 2).astype(bool)
         px = np.where(mask[:, :, None], a[None, None, :], b[None, None, :]).astype(np.uint8)
-    enc = i % 8
+    enc = i % 9
+    if enc == 8:  # webp lossless, rotating through decoder-path variants
+        from ..kernels.webp import encode_webp_lossless
+
+        variant = (i // 9) % 4
+        kw = (
+            {},
+            {"cache_bits": 6},
+            {"predictor": 7},
+            {"palette": True},
+        )[variant]
+        return {"img_id": i, "image": encode_webp_lossless(px, **kw), "kind": "webp"}
     if enc == 0:
         return {"img_id": i, "image": encode_png(px), "kind": "png"}
     if enc == 1:
@@ -88,7 +99,7 @@ def gen_image(i: int) -> dict:
     }
 
 
-def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v5") -> str:
+def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v6") -> str:
     import pyarrow.parquet as pq
 
     from .pages import rows_for_sf_dir
