@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events_close_pairs,
         events_funnel,
         events_hourly,
+        event_pagerank,
         events_retention,
         events_sliding,
         customers_without_orders,
@@ -474,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.clean import (
         contamination_check,
         dedup_corpus,
+        segment_dedup,
         gopher_repetition,
         pack_sequences,
         props_scrub,
@@ -553,6 +555,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup RESOLUTION applied to the corpus: components -> drop
         # non-representatives -> anti-join rollup of the surviving docs
         "dedup_corpus": dedup_corpus,
+        # C4-style cross-doc segment dedup: hash-bucketed distinct-doc
+        # count per 10-word segment, doc rebuild in segment order
+        "segment_dedup": segment_dedup,
         # Gopher/MassiveText-style repetition quality signals (exact ints)
         "gopher_repetition": gopher_repetition,
         # regex scrub stage (PII-redaction plumbing) exercised over props
@@ -612,6 +617,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort retention matrix: one user-bucket shuffle, vectorized
         # first-day + offsets per bucket, dimension-sized final rollup
         "events_retention": events_retention,
+        # integer fixed-point PageRank over the event-type transition
+        # graph: one coarse user-bucket shuffle for edge extraction,
+        # dimension-sized driver iteration
+        "event_pagerank": event_pagerank,
         "user_sessions": user_sessions,
     }
 
@@ -1487,6 +1496,88 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY user_id, session_id
+        """,
+        "segment_dedup": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            ),
+            segs AS (
+                SELECT doc_id, (i - 1) // 10 AS seg,
+                       string_agg(word, ' ' ORDER BY i) AS seg_text
+                FROM words GROUP BY doc_id, (i - 1) // 10
+            ),
+            cnt AS (
+                SELECT seg_text, count(DISTINCT doc_id) AS nd
+                FROM segs GROUP BY seg_text
+            ),
+            kept AS (
+                SELECT s.doc_id, s.seg, s.seg_text
+                FROM segs s JOIN cnt USING (seg_text) WHERE cnt.nd = 1
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_total FROM segs GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.seg_text, ' ' ORDER BY k.seg), '') AS clean_text,
+                   CAST(count(k.seg) AS BIGINT) AS n_kept,
+                   CAST(coalesce(any_value(t.n_total), 0) - count(k.seg) AS BIGINT) AS n_dropped
+            FROM documents d
+            LEFT JOIN tot t ON t.doc_id = d.doc_id
+            LEFT JOIN kept k ON k.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        """,
+        "event_pagerank": """
+            WITH ordered AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                FROM events
+            ),
+            edges AS (
+                SELECT prev_type AS src, event_type AS dst,
+                       CAST(count(*) AS BIGINT) AS w
+                FROM ordered WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, event_type
+            ),
+            nodes AS (SELECT DISTINCT event_type AS node FROM events),
+            outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS total_w FROM edges GROUP BY src),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+            r1 AS (
+                SELECT n.node,
+                       CAST(150000000 + coalesce(sum(
+                           (85 * r0.r * e.w) // (100 * o.total_w)), 0) AS BIGINT) AS r
+                FROM nodes n
+                LEFT JOIN edges e ON e.dst = n.node
+                LEFT JOIN r0 ON r0.node = e.src
+                LEFT JOIN outw o ON o.src = e.src
+                GROUP BY n.node
+            ),
+            r2 AS (
+                SELECT n.node,
+                       CAST(150000000 + coalesce(sum(
+                           (85 * r1.r * e.w) // (100 * o.total_w)), 0) AS BIGINT) AS r
+                FROM nodes n
+                LEFT JOIN edges e ON e.dst = n.node
+                LEFT JOIN r1 ON r1.node = e.src
+                LEFT JOIN outw o ON o.src = e.src
+                GROUP BY n.node
+            ),
+            r3 AS (
+                SELECT n.node,
+                       CAST(150000000 + coalesce(sum(
+                           (85 * r2.r * e.w) // (100 * o.total_w)), 0) AS BIGINT) AS r
+                FROM nodes n
+                LEFT JOIN edges e ON e.dst = n.node
+                LEFT JOIN r2 ON r2.node = e.src
+                LEFT JOIN outw o ON o.src = e.src
+                GROUP BY n.node
+            )
+            SELECT r3.node AS event_type, r3.r AS pr3,
+                   CAST(coalesce(o.total_w, 0) AS BIGINT) AS out_w,
+                   CAST(coalesce((SELECT sum(w) FROM edges e2
+                                  WHERE e2.dst = r3.node), 0) AS BIGINT) AS in_w
+            FROM r3 LEFT JOIN outw o ON o.src = r3.node
         """,
         "events_asof_orders": """
             SELECT e.event_id, e.user_id,

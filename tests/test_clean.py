@@ -208,3 +208,66 @@ def test_props_scrub_rollup(ray_session, tmp_path):
     # both props become '{"k": <NUM>}' (12 chars)
     assert df.loc["click", "redacted_chars"] == 24
     assert df.loc["view", "redacted_chars"] == 12
+
+
+def test_segment_dedup_cross_doc(ray_session, tmp_path):
+    from yomitoku_ray.functions.clean import segment_dedup
+
+    shared = " ".join(f"s{k}" for k in range(10))  # one full shared segment
+    docs = [
+        # doc 0: shared segment + unique tail (tail is a short segment)
+        {"doc_id": 0, "text": shared + " tail0 tail1"},
+        # doc 1: same shared segment + its own unique words
+        {"doc_id": 1, "text": shared + " other words here"},
+        # doc 2: entirely unique, repeated WITHIN the doc (kept: within-doc
+        # repeats don't disqualify)
+        {"doc_id": 2, "text": ("u " * 20).strip()},
+        # doc 3: empty text -> zero segments, still present in output
+        {"doc_id": 3, "text": ""},
+    ]
+    for r in docs:
+        r["lang"], r["source"], r["n_chars"] = "en", "a", len(r["text"])
+    pq.write_table(pa.Table.from_pylist(docs), str(tmp_path / "documents.parquet"))
+    df = (
+        segment_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df["doc_id"].tolist() == [0, 1, 2, 3]
+    assert df.loc[0, "clean_text"] == "tail0 tail1"  # shared segment dropped
+    assert df.loc[0, "n_kept"] == 1 and df.loc[0, "n_dropped"] == 1
+    assert df.loc[1, "clean_text"] == "other words here"
+    # doc 2: 'u'x10 twice -> same seg_text twice in ONE doc -> both kept
+    assert df.loc[2, "n_kept"] == 2 and df.loc[2, "n_dropped"] == 0
+    assert df.loc[3, "clean_text"] == "" and df.loc[3, "n_kept"] == 0
+    assert df.loc[3, "n_dropped"] == 0
+
+
+def test_event_pagerank_integer_fixed_point(ray_session, tmp_path):
+    import datetime as dt
+
+    from yomitoku_ray.functions.relational import event_pagerank
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: a -> b -> a ; user 2: b -> b
+    rows = [
+        {"event_id": 1, "user_id": 1, "event_type": "a", "ts": t0},
+        {"event_id": 2, "user_id": 1, "event_type": "b", "ts": t0 + dt.timedelta(minutes=1)},
+        {"event_id": 3, "user_id": 1, "event_type": "a", "ts": t0 + dt.timedelta(minutes=2)},
+        {"event_id": 4, "user_id": 2, "event_type": "b", "ts": t0},
+        {"event_id": 5, "user_id": 2, "event_type": "b", "ts": t0 + dt.timedelta(minutes=3)},
+    ]
+    for r in rows:
+        r["value"], r["props"] = 1.0, "{}"
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+    df = event_pagerank(str(tmp_path), iterations=1).set_index("event_type")
+    # edges: a->b w1, b->a w1, b->b w1; out_w: a=1, b=2; in_w: a=1, b=2
+    assert df.loc["a", "out_w"] == 1 and df.loc["b", "out_w"] == 2
+    assert df.loc["a", "in_w"] == 1 and df.loc["b", "in_w"] == 2
+    S = 1_000_000_000
+    base = (15 * S) // 100
+    # r1[a] = base + (85*S*1)//(100*2) ; r1[b] = base + (85*S*1)//(100*1)
+    #                                           + (85*S*1)//(100*2)
+    assert df.loc["a", "pr3"] == base + (85 * S) // 200
+    assert df.loc["b", "pr3"] == base + (85 * S) // 100 + (85 * S) // 200

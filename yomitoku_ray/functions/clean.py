@@ -672,3 +672,107 @@ def substring_dedup_rollup(sf_dir: str, w: int = 5) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     out["kept_tokens"] = (out["n_tokens"] - out["n_dup_tokens"]).astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def segment_dedup(sf_dir: str, seg_words: int = 10) -> ray.data.Dataset:
+    """C4-style cross-document segment dedup: split each document into
+    non-overlapping ``seg_words``-word segments and drop EVERY occurrence
+    of any segment whose exact text appears in more than one distinct
+    document (within-document repeats alone don't disqualify a segment).
+    Rebuilds the cleaned text per document.
+
+    Scale shape (two coarse-bucketed shuffles, no broadcast — the
+    segment-count table is corpus-sized):
+
+    1. per-batch combiner splits docs into segments and keys them by
+       ``hash(seg_text) & mask``; one marker row per document carries the
+       segment total (and keeps empty docs alive);
+    2. per-segment-bucket ``map_groups`` counts distinct docs per segment
+       text and keeps singles, re-keyed by ``doc_id & mask``;
+    3. per-doc-bucket ``map_groups`` rebuilds the text in segment order.
+
+    Columns: doc_id, clean_text, n_kept, n_dropped (int64).
+    """
+    mask = _COARSE_MASK
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split(" ")
+        seg_lists = words.apply(
+            lambda ws: [
+                " ".join(ws[k : k + seg_words]) for k in range(0, len(ws), seg_words)
+            ]
+            if ws and ws[0] != ""
+            else []
+        )
+        n_total = seg_lists.str.len().astype("int64")
+        segs = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "seg_text": seg_lists}
+        ).explode("seg_text")
+        segs = segs[segs["seg_text"].notna()]
+        segs["seg"] = segs.groupby("doc_id").cumcount().astype("int64")
+        seg_rows = pd.DataFrame(
+            {
+                "bucket": pd.util.hash_array(
+                    segs["seg_text"].to_numpy(dtype=object)
+                ).astype("int64")
+                & mask
+                if len(segs)
+                else np.zeros(0, dtype="int64"),
+                "side": np.zeros(len(segs), dtype="int8"),
+                "doc_id": segs["doc_id"].to_numpy("int64"),
+                "seg": segs["seg"].to_numpy("int64"),
+                "seg_text": segs["seg_text"].astype(str),
+            }
+        )
+        marker_rows = pd.DataFrame(
+            {
+                "bucket": df["doc_id"].to_numpy("int64") & mask,
+                "side": np.ones(len(df), dtype="int8"),
+                "doc_id": df["doc_id"].to_numpy("int64"),
+                "seg": n_total.to_numpy("int64"),  # marker carries the total
+                "seg_text": np.full(len(df), "", dtype=object),
+            }
+        )
+        return pd.concat([seg_rows, marker_rows], ignore_index=True)
+
+    def _keep_singles(grp: pd.DataFrame) -> pd.DataFrame:
+        side = grp["side"].to_numpy()
+        out = [grp[side == 1]]  # markers pass through (already doc-keyed)
+        segs = grp[side == 0]
+        if len(segs):
+            nd = segs.groupby("seg_text")["doc_id"].nunique()
+            kept = segs[nd.reindex(segs["seg_text"]).to_numpy() == 1].copy()
+            kept["bucket"] = kept["doc_id"].to_numpy("int64") & mask
+            out.append(kept)
+        return pd.concat(out, ignore_index=True)
+
+    def _rebuild(grp: pd.DataFrame) -> pd.DataFrame:
+        side = grp["side"].to_numpy()
+        markers = grp[side == 1]
+        kept = grp[side == 0].sort_values(["doc_id", "seg"])
+        joined = kept.groupby("doc_id")["seg_text"].agg(" ".join)
+        n_kept = kept.groupby("doc_id").size()
+        doc_ids = markers["doc_id"].to_numpy("int64")
+        totals = markers.set_index("doc_id")["seg"]
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "clean_text": joined.reindex(doc_ids).fillna("").to_numpy(dtype=object),
+                "n_kept": n_kept.reindex(doc_ids).fillna(0).to_numpy("int64"),
+                "n_dropped": (
+                    totals.reindex(doc_ids).to_numpy("int64")
+                    - n_kept.reindex(doc_ids).fillna(0).to_numpy("int64")
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return (
+        ds.map_batches(_tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_keep_singles, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_rebuild, batch_format="pandas")
+    )

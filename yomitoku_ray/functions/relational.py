@@ -874,3 +874,81 @@ def events_retention(sf_dir: str, max_offset_days: int = 7) -> pd.DataFrame:
     out = parts.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"].sum()
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+def event_pagerank(sf_dir: str, iterations: int = 3) -> pd.DataFrame:
+    """PageRank over the event-type transition graph (damping 0.85,
+    ``iterations`` fixed-point steps in INTEGER arithmetic so both engines
+    produce bit-identical values — each edge contribution is
+    ``(85 * r * w) // (100 * W_out)``, a single exact integer division,
+    and integer sums are order-independent).
+
+    Scale shape: the heavy step is edge extraction — consecutive-event
+    pairs per user over the whole events table — done with ONE coarse
+    user-bucket shuffle (``user_id & _COARSE_MASK``) and vectorized
+    shift-compare inside each bucket, pre-aggregated to (src, dst) partial
+    counts per bucket. The aggregated edge table is
+    |event_type|^2-sized (dimension-sized), so the power iteration runs
+    driver-side on exact ints — the right split for a 10^12-event corpus.
+
+    Columns: event_type, pr3 (int64, scaled by 1e9), out_w, in_w.
+    """
+    mask = _COARSE_MASK
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["bucket"] = out["user_id"].to_numpy("int64") & mask
+        return out
+
+    def _edges(grp: pd.DataFrame) -> pd.DataFrame:
+        g = grp.sort_values(["user_id", "ts", "event_id"])
+        users = g["user_id"].to_numpy("int64")
+        types = g["event_type"].to_numpy(dtype=object)
+        same = users[1:] == users[:-1]
+        pairs = pd.DataFrame(
+            {
+                "src": types[:-1][same],
+                "dst": types[1:][same],
+                "w": np.ones(int(same.sum()), dtype="int64"),
+            }
+        )
+        return pairs.groupby(["src", "dst"], as_index=False).sum()
+
+    edges = (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_edges, batch_format="pandas")
+        .to_pandas()  # dimension-sized: |event_type|^2 * n_buckets partials
+        .groupby(["src", "dst"], as_index=False)["w"]
+        .sum()
+    )
+    nodes = sorted(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type"]
+        ).unique("event_type")
+    )
+
+    scale = 1_000_000_000
+    out_w = {n: 0 for n in nodes}
+    in_w = {n: 0 for n in nodes}
+    for row in edges.itertuples(index=False):
+        out_w[row.src] += int(row.w)
+        in_w[row.dst] += int(row.w)
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        nxt = {n: (15 * scale) // 100 for n in nodes}
+        for row in edges.itertuples(index=False):
+            nxt[row.dst] += (85 * r[row.src] * int(row.w)) // (100 * out_w[row.src])
+        r = nxt
+    return pd.DataFrame(
+        {
+            "event_type": nodes,
+            "pr3": pd.Series([r[n] for n in nodes], dtype="int64"),
+            "out_w": pd.Series([out_w[n] for n in nodes], dtype="int64"),
+            "in_w": pd.Series([in_w[n] for n in nodes], dtype="int64"),
+        }
+    )
