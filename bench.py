@@ -144,7 +144,9 @@ def run_bench() -> dict:
             contamination_check,
             pack_sequences,
             quality_topk,
+            segment_dedup,
         )
+        from yomitoku_ray.functions.relational import event_pagerank
 
         def timed(name, fn):
             t0 = time.perf_counter()
@@ -188,6 +190,8 @@ def run_bench() -> dict:
         timed("bigram_coverage", bigram_coverage)
         timed("top_supplier_per_nation", top_supplier_per_nation)
         timed("dup_ngram_spans", dup_ngram_spans)
+        timed("segment_dedup", segment_dedup)
+        timed("event_pagerank", event_pagerank)
 
     ray.shutdown()
     return {
