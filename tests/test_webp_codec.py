@@ -166,3 +166,28 @@ def test_synth_webp_rows_decode_exactly():
         px = be.decode_image(row["image"])
         assert px.ndim == 3 and px.shape[2] == 3
     assert seen >= 5  # all four encoder variants cycle through
+
+
+def test_sniff_lossy_and_extended_headers():
+    """Hand-built VP8 (lossy) and VP8X chunks: dims sniffed, decode
+    refuses lossy honestly."""
+    import struct
+
+    def riff(tag, body):
+        chunk = tag + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", 320, 240))
+    assert sniff_webp_dims(vp8) == (320, 240)
+    with pytest.raises(WebpError, match="lossy"):
+        decode_webp(vp8)
+
+    vp8x = riff(
+        b"VP8X",
+        b"\x00\x00\x00\x00"
+        + (639).to_bytes(3, "little")
+        + (479).to_bytes(3, "little"),
+    )
+    assert sniff_webp_dims(vp8x) == (640, 480)

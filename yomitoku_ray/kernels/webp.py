@@ -647,12 +647,41 @@ def decode_webp(blob: bytes) -> np.ndarray:
 
 
 def sniff_webp_dims(blob: bytes) -> tuple[int, int]:
-    """Cheap (w, h) from the VP8L header, for metadata sniffing."""
-    data = _vp8l_payload(blob)
-    if len(data) < 5 or data[0] != 0x2F:
-        raise WebpError("bad VP8L signature")
-    bits = int.from_bytes(data[1:5], "little")
-    return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    """Cheap (w, h) from the container headers, for metadata sniffing.
+
+    Unlike :func:`decode_webp` this also reads dims from lossy VP8
+    keyframes and VP8X extended headers — metadata sweeps over a real
+    web corpus should report those rows even though pixel decode is
+    lossless-only."""
+    if len(blob) < 20 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise WebpError("not a WebP file")
+    pos = 12
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        data = blob[pos + 8 : pos + 8 + size]
+        if tag == b"VP8L":
+            if len(data) < 5 or data[0] != 0x2F:
+                raise WebpError("bad VP8L signature")
+            bits = int.from_bytes(data[1:5], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if tag == b"VP8 ":
+            # lossy keyframe: 3-byte frame tag, 3-byte start code
+            # 0x9d 0x01 0x2a, then 14-bit w / 14-bit h little-endian
+            if len(data) < 10 or data[3:6] != b"\x9d\x01\x2a":
+                raise WebpError("bad VP8 keyframe header")
+            w = int.from_bytes(data[6:8], "little") & 0x3FFF
+            h = int.from_bytes(data[8:10], "little") & 0x3FFF
+            return w, h
+        if tag == b"VP8X":
+            # 4 bytes flags, then 24-bit canvas width-1 / height-1
+            if len(data) < 10:
+                raise WebpError("truncated VP8X header")
+            w = int.from_bytes(data[4:7], "little") + 1
+            h = int.from_bytes(data[7:10], "little") + 1
+            return w, h
+        pos += 8 + size + (size & 1)
+    raise WebpError("no image chunk found")
 
 
 # --------------------------------------------------------------- encode
