@@ -50,6 +50,12 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 
+def _corpus_build(sf_dir: str) -> pd.DataFrame:
+    from yomitoku_ray.pipelines.corpus import corpus_build_summary
+
+    return corpus_build_summary(_pages_path(sf_dir))
+
+
 def _extract_summary(sf_dir: str) -> pd.DataFrame:
     from yomitoku_ray.pipelines.extract import ExtractConfig, extract_pages
 
@@ -502,6 +508,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline (pages synthesized from BASELINE input_hint)
         "extract_summary": _extract_summary,
+        # flagship composition: extract -> clean/quality -> digest dedup
+        # in one streaming run (pipelines/corpus.py); rows-only (the
+        # extraction stage is not SQL-expressible) but every gate is
+        # pinned by tests/test_corpus_pipeline.py
+        "corpus_build": _corpus_build,
         "extract_match_rate": _extract_match_rate,
         "semantic_summary": _semantic_summary,
         "page_merge_by_domain": _page_merge_by_domain,

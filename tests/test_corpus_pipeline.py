@@ -1,0 +1,101 @@
+"""End-to-end corpus_build composition: extract -> clean/quality ->
+digest dedup -> shards, streaming with one shuffle."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from yomitoku_ray.pipelines.corpus import (
+    CorpusConfig,
+    build_corpus,
+    corpus_build_summary,
+)
+from yomitoku_ray.synth.pages import generate_pages_table
+
+
+def _pages_with_dups(tmp_path, n=60):
+    t = generate_pages_table(n).to_pylist()
+    # recrawl: same html under a different url + later ts -> same
+    # extracted text -> one survivor per digest
+    dups = []
+    for r in t[:10]:
+        d = dict(r)
+        d["url"] = r["url"] + "?recrawl=1"
+        dups.append(d)
+    full = pa.Table.from_pylist(t + dups)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(full, p)
+    return p
+
+
+def test_corpus_build_dedups_recrawls(ray_session, tmp_path):
+    p = _pages_with_dups(tmp_path)
+    df = build_corpus(p).to_pandas()
+    # every digest unique after dedup; recrawled pages fold into n_copies
+    assert df["digest"].is_unique
+    # every surviving recrawl pair contributes one extra source doc
+    n_dup_pairs = int((df["n_copies"] > 1).sum())
+    assert int(df["n_copies"].sum()) == len(df) + n_dup_pairs
+    assert n_dup_pairs > 0  # the crafted recrawls actually collided
+    dup_rows = df[df["n_copies"] > 1]
+    assert (dup_rows["n_copies"] == 2).all()
+    # first url wins: kept url is the lexicographic min (original, since
+    # '?recrawl=1' sorts after)
+    assert not dup_rows["url"].str.contains("recrawl").any()
+
+
+def test_corpus_build_quality_gates(ray_session, tmp_path):
+    rows = [
+        {
+            "url": "http://a.example/ok",
+            "warc_ts": 1_700_000_000_000_000,
+            "html": "<html><body><p>"
+            + " ".join(f"w{i}" for i in range(30))
+            + "</p></body></html>",
+            "text": "",
+            "lang": "en",
+        },
+        {  # too short: fewer than min_words
+            "url": "http://a.example/short",
+            "warc_ts": 1_700_000_000_000_000,
+            "html": "<html><body><p>tiny page</p></body></html>",
+            "text": "",
+            "lang": "en",
+        },
+        {  # degenerate repetition: one word repeated
+            "url": "http://a.example/rep",
+            "warc_ts": 1_700_000_000_000_000,
+            "html": "<html><body><p>" + "spam " * 40 + "</p></body></html>",
+            "text": "",
+            "lang": "en",
+        },
+    ]
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(
+        t.schema.get_field_index("warc_ts"),
+        pa.field("warc_ts", pa.timestamp("us")),
+        t["warc_ts"].cast(pa.timestamp("us")),
+    )
+    t = t.set_column(
+        t.schema.get_field_index("html"),
+        pa.field("html", pa.binary()),
+        t["html"].cast(pa.string()).cast(pa.binary()),
+    )
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    df = build_corpus(p).to_pandas()
+    assert df["url"].tolist() == ["http://a.example/ok"]
+    summary = corpus_build_summary(p)
+    assert summary.loc[0, "n_docs"] == 1
+    assert summary.loc[0, "n_source_docs"] == 1
+    assert summary.loc[0, "n_langs"] == 1
+
+
+def test_corpus_build_writes_shards(ray_session, tmp_path):
+    p = _pages_with_dups(tmp_path, n=40)
+    out = str(tmp_path / "shards")
+    build_corpus(p, CorpusConfig(digest_buckets=64)).write_parquet(out)
+    back = pq.read_table(out)
+    assert back.num_rows > 0
+    assert set(back.schema.names) == {
+        "digest", "url", "warc_ts", "lang", "text", "n_words", "n_copies",
+    }

@@ -1,0 +1,118 @@
+"""End-to-end training-corpus build: ONE streaming composition.
+
+The flagship "a user of the reference could switch" pipeline: raw
+Common-Crawl-style pages go in, deduplicated quality-filtered training
+shards come out, without any driver-side materialization of page or
+document payloads:
+
+    read_parquet (column-pruned)
+      -> FusedExtractStage actor pool        (extract.py, per-page)
+      -> per-batch clean + quality signals   (vectorized, no shuffle)
+      -> ONE digest-bucket shuffle           (exact dedup, first url wins)
+      -> write_parquet shards / summary
+
+Quality gates follow the repo's Gopher/C4-flavored signals
+(`functions/text_stats.py`, `functions/clean.py`) in cheap vectorized
+form: minimum word count and maximum duplicate-word fraction. The dedup
+shuffle ships (digest, url, text, n_words) only — render columns are
+dropped before the exchange so the all-to-all moves the minimum bytes.
+
+At 100 TB this composition is exactly the shape the north rule asks
+for: every stage is a batch transform with backpressure, the single
+wide exchange keys on a uniform content digest (no salting needed), and
+the output is many parquet shards (resumable via the checkpointed
+driver in `state/checkpoint.py`, which accepts this pipeline's stage
+chain through `crawl --resumable`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from .extract import ExtractConfig, extract_pages
+
+
+@dataclass
+class CorpusConfig:
+    extract: ExtractConfig | None = None
+    min_words: int = 5
+    max_dup_word_frac_pct: int = 50  # drop if 100*(1 - unique/total) > this
+    digest_buckets: int = 256
+
+
+def _clean_batch(df: pd.DataFrame, *, min_words: int, max_dup_pct: int, mask: int) -> pd.DataFrame:
+    """Error filter + quality gates + content digest, all per-batch."""
+    ok = df[df["error"].isna()]
+    texts = ok["extracted_text"].fillna("")
+    words = texts.str.split()
+    n_words = words.str.len().fillna(0).astype("int64")
+    n_unique = words.apply(lambda ws: len(set(ws)) if ws else 0).astype("int64")
+    dup_pct = np.where(n_words > 0, 100 - (100 * n_unique) // np.maximum(n_words, 1), 0)
+    keep = (n_words >= min_words) & (dup_pct <= max_dup_pct)
+    kept = ok[keep.to_numpy() if hasattr(keep, "to_numpy") else keep]
+    kept_texts = texts[keep]
+    digests = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() for t in kept_texts
+    ]
+    return pd.DataFrame(
+        {
+            "bucket": np.array(
+                [int(d[:8], 16) & mask for d in digests], dtype="int64"
+            ),
+            "digest": digests,
+            "url": kept["url"].astype(str),
+            "warc_ts": kept["warc_ts"],
+            "lang": kept["lang"].astype(str),
+            "text": kept_texts.astype(str),
+            "n_words": n_words[keep].to_numpy("int64"),
+        }
+    )
+
+
+def _dedup_bucket(grp: pd.DataFrame) -> pd.DataFrame:
+    """First (min url) wins per digest; count the copies dropped."""
+    g = grp.sort_values(["digest", "url"], kind="mergesort")
+    first = ~g["digest"].duplicated()
+    out = g[first].copy()
+    out["n_copies"] = g.groupby("digest").size().reindex(out["digest"]).to_numpy("int64")
+    return out.drop(columns=["bucket"])
+
+
+def build_corpus(pages_path: str, cfg: CorpusConfig | None = None) -> ray.data.Dataset:
+    """pages parquet -> deduplicated, quality-filtered corpus Dataset
+    (columns: digest, url, warc_ts, lang, text, n_words, n_copies)."""
+    cfg = cfg or CorpusConfig()
+    mask = cfg.digest_buckets - 1
+    ds = extract_pages(pages_path, cfg.extract)
+    cleaned = ds.map_batches(
+        _clean_batch,
+        fn_kwargs={
+            "min_words": cfg.min_words,
+            "max_dup_pct": cfg.max_dup_word_frac_pct,
+            "mask": mask,
+        },
+        batch_format="pandas",
+    )
+    return cleaned.groupby("bucket").map_groups(_dedup_bucket, batch_format="pandas")
+
+
+def corpus_build_summary(pages_path: str, cfg: CorpusConfig | None = None) -> pd.DataFrame:
+    """One-row rollup of a full corpus build (the driver-query view):
+    documents surviving each gate plus corpus-level token mass."""
+    corpus = build_corpus(pages_path, cfg).materialize()
+    n_docs = corpus.count()
+    agg = corpus.sum(["n_words", "n_copies"]) if n_docs else {"sum(n_words)": 0, "sum(n_copies)": 0}
+    langs = corpus.unique("lang") if n_docs else []
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n_docs], dtype="int64"),
+            "n_words_total": pd.Series([int(agg["sum(n_words)"])], dtype="int64"),
+            "n_source_docs": pd.Series([int(agg["sum(n_copies)"])], dtype="int64"),
+            "n_langs": pd.Series([len(langs)], dtype="int64"),
+        }
+    )
