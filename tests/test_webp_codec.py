@@ -191,3 +191,20 @@ def test_sniff_lossy_and_extended_headers():
         + (479).to_bytes(3, "little"),
     )
     assert sniff_webp_dims(vp8x) == (640, 480)
+
+
+def test_decode_pixel_cap_rejects_bombs():
+    """A tiny blob claiming huge dims must fail fast (per-row error),
+    not pin the actor in the per-pixel loop."""
+    import struct
+
+    # VP8L header bits: w-1=16383, h-1=16383 (14+14 bits), alpha 0, ver 0
+    bits = 16383 | (16383 << 14)
+    payload = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload + b"\x00"
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(WebpError, match="max_pixels"):
+        decode_webp(blob)
+    # and a legitimate large-cap override still reaches the bitstream
+    with pytest.raises(WebpError, match="truncated|prefix|transform"):
+        decode_webp(blob, max_pixels=1 << 30)

@@ -569,15 +569,23 @@ def _vp8l_payload(blob: bytes) -> bytes:
     raise WebpError("no VP8L chunk found")
 
 
-def decode_webp(blob: bytes) -> np.ndarray:
+def decode_webp(blob: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
     """WebP-lossless bytes -> (H, W, 3) uint8 RGB, or (H, W, 4) RGBA
-    when the stream's alpha hint is set."""
+    when the stream's alpha hint is set.
+
+    ``max_pixels`` (default 16.7M) bounds the decode: a 30-byte crafted
+    blob can claim 16384x16384 and LZ77-expand it, which would pin a
+    pipeline actor for minutes in the per-pixel entropy loop — the same
+    decompression-bomb class as the r3 JPEG accumulator finding. Over
+    the cap raises :class:`WebpError` (the per-row error policy)."""
     data = _vp8l_payload(blob)
     if not data or data[0] != 0x2F:
         raise WebpError("bad VP8L signature")
     br = _BitReader(data[1:])
     w = br.bits(14) + 1
     h = br.bits(14) + 1
+    if w * h > max_pixels:
+        raise WebpError(f"image {w}x{h} exceeds max_pixels={max_pixels}")
     has_alpha = br.bit()
     if br.bits(3) != 0:
         raise WebpError("unsupported VP8L version")
