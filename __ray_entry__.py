@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from yomitoku_ray.functions.clean import (
         contamination_check,
+        corpus_split,
         dedup_corpus,
         segment_dedup,
         gopher_repetition,
@@ -569,6 +570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # C4-style cross-doc segment dedup: hash-bucketed distinct-doc
         # count per 10-word segment, doc rebuild in segment order
         "segment_dedup": segment_dedup,
+        # deterministic stratified split rollup (md5-residue assignment)
+        "corpus_split": corpus_split,
         # Gopher/MassiveText-style repetition quality signals (exact ints)
         "gopher_repetition": gopher_repetition,
         # regex scrub stage (PII-redaction plumbing) exercised over props
@@ -881,6 +884,17 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
         FROM reach GROUP BY node
+        """,
+        "corpus_split": """
+            SELECT source,
+                   CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 10
+                        THEN 'test'
+                        WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 20
+                        THEN 'val' ELSE 'train' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars
+            FROM documents
+            GROUP BY source, split
         """,
         "corpus_sample": """
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars

@@ -271,3 +271,30 @@ def test_event_pagerank_integer_fixed_point(ray_session, tmp_path):
     #                                           + (85*S*1)//(100*2)
     assert df.loc["a", "pr3"] == base + (85 * S) // 200
     assert df.loc["b", "pr3"] == base + (85 * S) // 100 + (85 * S) // 200
+
+
+def test_corpus_split_deterministic_strata(ray_session, tmp_path):
+    from yomitoku_ray.functions.clean import corpus_split
+    from yomitoku_ray.kernels.md5_vec import md5_u64_of_ints
+
+    docs = [
+        {"doc_id": i, "text": "x" * (i + 1), "source": "s" + str(i % 2)}
+        for i in range(50)
+    ]
+    for r in docs:
+        r["lang"], r["n_chars"] = "en", len(r["text"])
+    pq.write_table(pa.Table.from_pylist(docs), str(tmp_path / "documents.parquet"))
+    df = corpus_split(str(tmp_path))
+    # exact reconstruction from the same residue rule
+    import numpy as np
+
+    res = md5_u64_of_ints(np.arange(50, dtype="int64")) % np.uint64(100)
+    split = np.where(res < 10, "test", np.where(res < 20, "val", "train"))
+    for (src, sp), grp in pd.DataFrame(
+        {"src": ["s" + str(i % 2) for i in range(50)], "sp": split,
+         "chars": [i + 1 for i in range(50)]}
+    ).groupby(["src", "sp"]):
+        row = df[(df["source"] == src) & (df["split"] == sp)]
+        assert int(row["n_docs"].iloc[0]) == len(grp)
+        assert int(row["n_chars"].iloc[0]) == int(grp["chars"].sum())
+    assert int(df["n_docs"].sum()) == 50

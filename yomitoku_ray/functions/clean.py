@@ -776,3 +776,44 @@ def segment_dedup(sf_dir: str, seg_words: int = 10) -> ray.data.Dataset:
         .groupby("bucket")
         .map_groups(_rebuild, batch_format="pandas")
     )
+
+
+def corpus_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified train/val/test split rollup: each doc is
+    assigned by md5(doc_id) residue mod 100 (<10 test, <20 val, else
+    train — reproducible across engines via the same md5-residue
+    predicate as :func:`yomitoku_ray.functions.dedup.corpus_sample`),
+    counted per (source, split). No shuffle of documents: per-batch
+    vectorized assignment + combiner, one dimension-sized groupby.
+
+    Columns: source, split, n_docs, n_chars (int64).
+    """
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        res = md5_u64_of_ints(df["doc_id"].to_numpy("int64")) % np.uint64(100)
+        split = np.where(res < 10, "test", np.where(res < 20, "val", "train"))
+        work = pd.DataFrame(
+            {
+                "source": df["source"].astype(str),
+                "split": split,
+                "n_docs": np.ones(len(df), dtype="int64"),
+                "n_chars": df["text"].fillna("").str.len().to_numpy("int64"),
+            }
+        )
+        return work.groupby(["source", "split"], as_index=False).sum()
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
+        .map_batches(_assign, batch_format="pandas")
+        .groupby(["source", "split"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+        .to_pandas()  # dimension-sized: |source| x 3
+    )
+    for c in ("n_docs", "n_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source", "split"]).reset_index(drop=True)
