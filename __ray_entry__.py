@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         exact_dedup,
         corpus_sample,
         cross_corpus_near_dup,
+        shuffle_rank,
         dup_components,
         dup_ngram_spans,
         minhash_lsh_pairs,
@@ -589,6 +590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_rollup": substring_dedup_rollup,
         # deterministic hash sampling (no count, no shuffle, SQL-replicable)
         "corpus_sample": corpus_sample,
+        # deterministic training-order shuffle: global md5-order rank via
+        # ordered-bucket counts + driver prefix scan (no global sort)
+        "shuffle_rank": shuffle_rank,
         # similarity search (embeddings)
         "knn_brute_force": knn_brute_force,
         "ann_lsh": ann_lsh,
@@ -895,6 +899,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM documents
             GROUP BY source, split
+        """,
+        "shuffle_rank": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id
+                   ) - 1 AS BIGINT) AS rank
+            FROM documents
         """,
         "corpus_sample": """
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars

@@ -391,3 +391,28 @@ def test_ann_stats_bounds(ray_session, tmp_path):
     assert len(ivf) == 10
     assert (ivf["n_probed"] == 5).all()  # min(nprobe=6, 5 labels)
     assert (ivf["n_candidates"] == n).all()  # probing every cell covers all
+
+
+def test_shuffle_rank_dense_and_deterministic(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yomitoku_ray.functions.dedup import shuffle_rank
+    from yomitoku_ray.kernels.md5_vec import md5_u64_of_ints
+
+    docs = [{"doc_id": i, "text": "t", "source": "a", "lang": "en", "n_chars": 1}
+            for i in range(97)]
+    pq.write_table(pa.Table.from_pylist(docs), str(tmp_path / "documents.parquet"))
+    df = shuffle_rank(str(tmp_path)).to_pandas().sort_values("rank")
+    # dense 0..n-1, and identical to a driver-side argsort of the md5 key
+    assert df["rank"].tolist() == list(range(97))
+    h = md5_u64_of_ints(np.arange(97, dtype="int64"))
+    order = pd.DataFrame({"h": h, "doc_id": range(97)}).sort_values(
+        ["h", "doc_id"]
+    )["doc_id"].tolist()
+    assert df["doc_id"].tolist() == order
+    # rerun is byte-identical (no RNG anywhere)
+    df2 = shuffle_rank(str(tmp_path)).to_pandas().sort_values("rank")
+    assert df2["doc_id"].tolist() == order

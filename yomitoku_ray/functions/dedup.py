@@ -42,7 +42,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 _U64 = np.uint64
 _BITS64 = np.arange(64, dtype=np.uint64)
@@ -1056,3 +1056,66 @@ def cross_corpus_near_dup(
         )
 
     return pairs.map_batches(_xor_sides, batch_format="pandas")
+
+
+def shuffle_rank(sf_dir: str, n_buckets: int = 1024) -> ray.data.Dataset:
+    """Deterministic training-order shuffle: every doc's global position
+    in the md5-keyed order (tie-break doc_id) — the reproducible
+    "shuffle the corpus before packing" step of an LLM data pipeline.
+
+    Distributed rank WITHOUT a global sort: the md5 key's top bits give
+    ``n_buckets`` ORDERED ranges, so per-bucket counts + a tiny driver
+    cumsum yield exact base offsets (the :func:`clean.pack_sequences`
+    prefix-scan idiom); one coarse shuffle groups each bucket, which
+    sorts locally and adds its base. Every stage is corpus-sized work
+    over dimension-sized coordination state.
+
+    Columns: doc_id, rank (int64, dense 0..n-1).
+    """
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+
+    def _key(batch: pa.Table) -> pa.Table:
+        from ..kernels.md5_vec import md5_u64_of_ints
+
+        ids = batch.column("doc_id").to_numpy()
+        h = md5_u64_of_ints(ids)
+        return pa.table(
+            {
+                "bucket": pa.array((h >> shift).astype(np.int64), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(h.astype(np.int64), pa.int64()),  # order-safe:
+                # int64 view only for transport; compared as uint64 below
+            }
+        )
+
+    keyed = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(_key, batch_format="pyarrow")
+
+    counts = (
+        keyed.map_batches(
+            lambda df: df.groupby("bucket", as_index=False).size().rename(columns={"size": "n"}),
+            batch_format="pandas",
+        )
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # dimension-sized: n_buckets rows
+        .sort_values("bucket")
+    )
+    base = np.zeros(n_buckets, dtype=np.int64)
+    np.add.at(base, counts["bucket"].to_numpy("int64"), counts["n"].to_numpy("int64"))
+    base = np.concatenate([[0], np.cumsum(base)[:-1]])
+
+    def _rank(grp: pd.DataFrame) -> pd.DataFrame:
+        g = grp.copy()
+        g["hu"] = g["h"].to_numpy("int64").astype(np.uint64)
+        g = g.sort_values(["hu", "doc_id"], kind="mergesort")
+        b = int(g["bucket"].iloc[0])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy("int64"),
+                "rank": base[b] + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return keyed.groupby("bucket").map_groups(_rank, batch_format="pandas")
