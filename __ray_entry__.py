@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top_supplier_per_nation,
         user_sessions,
     )
+    from yomitoku_ray.state.dedup_index import streaming_dedup_count
     from yomitoku_ray.functions.similarity import (
         ann_ivf,
         ann_ivf_stats,
@@ -590,6 +591,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_rollup": substring_dedup_rollup,
         # deterministic hash sampling (no count, no shuffle, SQL-replicable)
         "corpus_sample": corpus_sample,
+        # cross-block STREAMING dedup via the sharded raw-actor index
+        # (the Dataset API can't hold mutable state across blocks); the
+        # survivor COUNTS are deterministic and SQL-pinned
+        "streaming_dedup_count": streaming_dedup_count,
         # deterministic training-order shuffle: global md5-order rank via
         # ordered-bucket counts + driver prefix scan (no global sort)
         "shuffle_rank": shuffle_rank,
@@ -899,6 +904,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM documents
             GROUP BY source, split
+        """,
+        "streaming_dedup_count": """
+            SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dropped
+            FROM documents
         """,
         "shuffle_rank": """
             SELECT doc_id,
