@@ -79,3 +79,27 @@ def test_bpe_apply_matches_reference_loop(words, merges):
 
     got = bpe_token_counts(pd.Series(words), merges)
     assert got.tolist() == [ref_apply(w) for w in words]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(3, 4),
+    st.integers(0, 8),
+    st.sampled_from([None, 0, 1, 5, 7, 11, 12, 13]),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_webp_roundtrip_property(h, w, ch, cache_bits, predictor, subg, seed):
+    """Any uint8 image survives encode->decode bit-exactly under any
+    option combination (the decoder paths compose)."""
+    import numpy as np
+
+    from yomitoku_ray.kernels.webp import decode_webp, encode_webp_lossless
+
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, ch), dtype=np.uint8)
+    blob = encode_webp_lossless(
+        px, cache_bits=cache_bits, predictor=predictor, subtract_green=subg
+    )
+    assert np.array_equal(decode_webp(blob), px)
