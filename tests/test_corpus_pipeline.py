@@ -99,3 +99,33 @@ def test_corpus_build_writes_shards(ray_session, tmp_path):
     assert set(back.schema.names) == {
         "digest", "url", "warc_ts", "lang", "text", "n_words", "n_copies",
     }
+
+
+def test_corpus_build_streaming_mode_matches_counts(ray_session, tmp_path):
+    p = _pages_with_dups(tmp_path, n=50)
+    shuffle_df = build_corpus(p).to_pandas()
+    stream_df = build_corpus(
+        p, CorpusConfig(streaming_dedup=True)
+    ).to_pandas()
+    # survivor SET of digests is identical; which url survives may differ
+    assert set(stream_df["digest"]) == set(shuffle_df["digest"])
+    assert "n_copies" not in stream_df.columns
+
+
+def test_corpus_cli_end_to_end(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    p = _pages_with_dups(tmp_path, n=30)
+    out = str(tmp_path / "shards")
+    r = subprocess.run(
+        [sys.executable, "-m", "yomitoku_ray", "corpus", p, out, "--num-cpus", "4"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_docs"] > 0 and summary["n_words"] > 0

@@ -169,6 +169,19 @@ def cmd_visualize(args):
     print(json.dumps({"rendered": len(stats), "bytes": int(stats["n_bytes"].sum()) if len(stats) else 0}))
 
 
+def cmd_corpus(args):
+    _init_ray(args.num_cpus)
+    from .pipelines.corpus import CorpusConfig, build_corpus
+
+    cfg = CorpusConfig(min_words=args.min_words, streaming_dedup=args.streaming)
+    ds = build_corpus(args.input, cfg)
+    ds.write_parquet(args.output, compression="zstd")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(args.output, columns=["n_words"])
+    print(json.dumps({"n_docs": t.num_rows, "n_words": (__import__('pyarrow').compute.sum(t.column('n_words')).as_py() or 0)}))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="yomitoku_ray")
     parser.add_argument("--num-cpus", type=int, default=8)
@@ -185,6 +198,19 @@ def main(argv=None):
                    choices=["auto", "top2bottom", "right2left", "left2right"])
     p.add_argument("--url-prefix", help="process only urls with this prefix")
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser(
+        "corpus", help="pages parquet -> extract -> quality gates -> dedup -> shards"
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--num-cpus", type=int, default=8)
+    p.add_argument("--min-words", type=int, default=5)
+    p.add_argument(
+        "--streaming", action="store_true",
+        help="dedup via the sharded actor index instead of the digest shuffle",
+    )
+    p.set_defaults(fn=cmd_corpus)
 
     p = sub.add_parser("crawl", help="WARC shard(s) -> extract -> parquet or WET")
     p.add_argument("inputs", nargs="+", help=".warc / .warc.gz file(s)")

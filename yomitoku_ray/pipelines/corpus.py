@@ -43,6 +43,12 @@ class CorpusConfig:
     min_words: int = 5
     max_dup_word_frac_pct: int = 50  # drop if 100*(1 - unique/total) > this
     digest_buckets: int = 256
+    # streaming_dedup=True swaps the digest-bucket shuffle for the
+    # sharded actor index (state/dedup_index.py): no all-to-all exchange
+    # and the index persists across runs (incremental-crawl dedup), at
+    # the cost of arrival-order survivor choice and no n_copies column.
+    streaming_dedup: bool = False
+    dedup_index_shards: int = 8
 
 
 def _clean_batch(df: pd.DataFrame, *, min_words: int, max_dup_pct: int, mask: int) -> pd.DataFrame:
@@ -98,6 +104,18 @@ def build_corpus(pages_path: str, cfg: CorpusConfig | None = None) -> ray.data.D
         },
         batch_format="pandas",
     )
+    if cfg.streaming_dedup:
+        from ..state.dedup_index import StreamingDedupFilter, create_dedup_index
+
+        idx = create_dedup_index(n_shards=cfg.dedup_index_shards)
+        return cleaned.drop_columns(["bucket"]).map_batches(
+            StreamingDedupFilter,
+            fn_constructor_kwargs={"index_handles": idx, "column": "digest"},
+            batch_format="pyarrow",
+            # elastic (min 1): a fixed pool can deadlock against the
+            # upstream extract pool on small CPU budgets
+            concurrency=(1, 4),
+        )
     return cleaned.groupby("bucket").map_groups(_dedup_bucket, batch_format="pandas")
 
 
@@ -106,7 +124,14 @@ def corpus_build_summary(pages_path: str, cfg: CorpusConfig | None = None) -> pd
     documents surviving each gate plus corpus-level token mass."""
     corpus = build_corpus(pages_path, cfg).materialize()
     n_docs = corpus.count()
-    agg = corpus.sum(["n_words", "n_copies"]) if n_docs else {"sum(n_words)": 0, "sum(n_copies)": 0}
+    has_copies = n_docs and "n_copies" in corpus.schema().names
+    if n_docs:
+        cols = ["n_words"] + (["n_copies"] if has_copies else [])
+        agg = corpus.sum(cols)
+        if not has_copies:  # streaming mode: copies were dropped in-flight
+            agg["sum(n_copies)"] = n_docs
+    else:
+        agg = {"sum(n_words)": 0, "sum(n_copies)": 0}
     langs = corpus.unique("lang") if n_docs else []
     return pd.DataFrame(
         {

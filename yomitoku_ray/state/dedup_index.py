@@ -141,7 +141,7 @@ def streaming_dedup_count(sf_dir: str, n_shards: int = 8) -> "pd.DataFrame":
         StreamingDedupFilter,
         fn_constructor_kwargs={"index_handles": idx},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),  # elastic: never deadlocks small CPU budgets
     ).count()
     return pd.DataFrame(
         {
