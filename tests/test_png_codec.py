@@ -274,3 +274,20 @@ class TestPngVariants:
             f[x] = (arr[x] - arr[x - 6]) & 0xFF  # sub filter, bpp=6
         got = decode_png(self._build(2, 1, 16, 2, b"\x01" + bytes(f.astype(np.uint8))))
         assert np.array_equal(got, (px.astype(np.uint32) >> 8).astype(np.uint8))
+
+
+def test_resize_stage_all_decodable_formats():
+    """Resize now decodes every real codec; output normalized to PNG."""
+    from yomitoku_ray.kernels.bmp import encode_bmp
+    from yomitoku_ray.kernels.gif import encode_gif
+    from yomitoku_ray.kernels.webp import encode_webp_lossless
+
+    px = _rand_px(8, 6, 3, seed=9)
+    blobs = [encode_bmp(px), encode_gif(px), encode_webp_lossless(px)]
+    batch = pa.table({"image": pa.array(blobs, pa.binary())})
+    out = ImageResizeStage(4, 4)(batch)
+    assert out.column("resized").to_pylist() == [True, True, True]
+    for b in out.column("image").to_pylist():
+        small = decode_png(b)
+        assert small.shape == (4, 4, 3)
+        assert (small == resize_nearest(px, 4, 4)).all()

@@ -226,27 +226,34 @@ class ImageFeatureStage:
 
 
 class ImageResizeStage:
-    """Actor stage: real PNG resize (decode -> nearest-neighbor -> re-encode).
+    """Actor stage: real resize (decode -> nearest-neighbor -> PNG
+    re-encode) for every decodable format (PNG/GIF/JPEG/BMP/TIFF/WebP
+    via :class:`DecoderBackend`); the normalized output is always PNG.
 
-    Non-PNG payloads pass through unchanged with ``resized=False`` — resize
-    without a decoder would be a lie. Small batches: payloads are re-encoded
-    in-stage and both copies briefly coexist.
+    Undecodable payloads pass through unchanged with ``resized=False`` —
+    resize without a decoder would be a lie. Small batches: payloads are
+    re-encoded in-stage and both copies briefly coexist.
     """
 
     def __init__(self, out_w: int, out_h: int, blob_column: str = "image"):
         self.out_w = out_w
         self.out_h = out_h
         self.blob_column = blob_column
+        self.backend = DecoderBackend(mode="strict")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_blobs, flags = [], []
         for blob in batch.column(self.blob_column).to_pylist():
             try:
-                px = decode_png(blob or b"")
-            except PngError:
+                px = self.backend.decode_image(blob or b"")
+            except (ValueError, NotImplementedError):
                 out_blobs.append(blob)
                 flags.append(False)
                 continue
+            if px.shape[2] == 4:
+                px = px[:, :, :3]  # normalize to RGB before PNG re-encode
+            elif px.shape[2] == 1:
+                px = px.repeat(3, axis=2)
             out_blobs.append(encode_png(resize_nearest(px, self.out_w, self.out_h)))
             flags.append(True)
         idx = batch.schema.get_field_index(self.blob_column)
