@@ -59,8 +59,8 @@ def _clean_batch(df: pd.DataFrame, *, min_words: int, max_dup_pct: int, mask: in
     n_words = words.str.len().fillna(0).astype("int64")
     n_unique = words.apply(lambda ws: len(set(ws)) if ws else 0).astype("int64")
     dup_pct = np.where(n_words > 0, 100 - (100 * n_unique) // np.maximum(n_words, 1), 0)
-    keep = (n_words >= min_words) & (dup_pct <= max_dup_pct)
-    kept = ok[keep.to_numpy() if hasattr(keep, "to_numpy") else keep]
+    keep = ((n_words >= min_words) & (dup_pct <= max_dup_pct)).to_numpy()
+    kept = ok[keep]
     kept_texts = texts[keep]
     digests = [
         hashlib.md5(t.encode("utf-8")).hexdigest() for t in kept_texts
