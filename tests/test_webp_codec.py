@@ -208,3 +208,37 @@ def test_decode_pixel_cap_rejects_bombs():
     # and a legitimate large-cap override still reaches the bitstream
     with pytest.raises(WebpError, match="truncated|prefix|transform"):
         decode_webp(blob, max_pixels=1 << 30)
+
+
+def test_corrupt_input_raises_only_webperror():
+    """Mutation + garbage fuzz: a corpus run must see WebpError (per-row
+    error policy), never a leaked IndexError/OverflowError or a hang."""
+    import struct
+
+    rng = np.random.RandomState(3)
+    blobs = [
+        encode_webp_lossless(rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)),
+        encode_webp_lossless(
+            (rng.randint(0, 3, (8, 8, 3)) * 80).astype(np.uint8), palette=True
+        ),
+    ]
+    for blob in blobs:
+        b = bytearray(blob)
+        for _ in range(150):
+            i = rng.randint(12, len(b))
+            old = b[i]
+            b[i] = rng.randint(0, 256)
+            try:
+                decode_webp(bytes(b), max_pixels=1 << 20)
+            except WebpError:
+                pass
+            b[i] = old
+    for _ in range(300):
+        body = bytes(rng.randint(0, 256, rng.randint(0, 100), dtype=np.uint8))
+        payload = b"\x2f" + body
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        try:
+            decode_webp(blob, max_pixels=1 << 18)
+        except WebpError:
+            pass
