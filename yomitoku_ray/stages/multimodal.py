@@ -100,6 +100,14 @@ def sniff_image_meta(blob: bytes) -> dict:
             w, h = sniff_webp_dims(blob)
         except Exception:
             w = h = -1
+    elif blob[:1] == b"P" and blob[1:2] in b"123456":
+        fmt = "pnm"
+        try:
+            from ..kernels.netpbm import _tokens
+
+            (w, h), _ = _tokens(blob, 2, 2)
+        except Exception:
+            w = h = -1
     return {
         "format": fmt,
         "width": int(w),
@@ -160,6 +168,13 @@ class DecoderBackend:
         try:
             return decode_webp(blob)
         except WebpError:
+            pass
+        from ..kernels.netpbm import NetpbmError, decode_netpbm
+
+        try:
+            px = decode_netpbm(blob)
+            return px[:, :, None] if px.ndim == 2 else px
+        except NetpbmError:
             pass
         if self.mode == "strict":
             raise NotImplementedError(
