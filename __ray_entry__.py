@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events_hourly,
         event_pagerank,
         events_retention,
+        events_spike_days,
         events_sliding,
         customers_without_orders,
         orders_priority_monthly,
@@ -644,6 +645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph: one coarse user-bucket shuffle for edge extraction,
         # dimension-sized driver iteration
         "event_pagerank": event_pagerank,
+        # integer-exact 2-sigma daily spike flags (monitoring shape)
+        "events_spike_days": events_spike_days,
         "user_sessions": user_sessions,
     }
 
@@ -1625,6 +1628,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce((SELECT sum(w) FROM edges e2
                                   WHERE e2.dst = r3.node), 0) AS BIGINT) AS in_w
             FROM r3 LEFT JOIN outw o ON o.src = r3.node
+        """,
+        "events_spike_days": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT event_type AS etype,
+                       CAST(count(*) AS BIGINT) AS d,
+                       CAST(sum(n_events) AS BIGINT) AS t,
+                       CAST(sum(n_events * n_events) AS BIGINT) AS sq
+                FROM daily GROUP BY event_type
+            )
+            SELECT event_type, day, n_events,
+                   CAST(
+                     (n_events * d - t) > 0
+                     AND (n_events * d - t) * (n_events * d - t)
+                         > 4 * (d * sq - t * t)
+                     AS BIGINT) AS is_spike
+            FROM daily JOIN stats ON daily.event_type = stats.etype
         """,
         "events_asof_orders": """
             SELECT e.event_id, e.user_id,

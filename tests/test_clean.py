@@ -298,3 +298,31 @@ def test_corpus_split_deterministic_strata(ray_session, tmp_path):
         assert int(row["n_docs"].iloc[0]) == len(grp)
         assert int(row["n_chars"].iloc[0]) == int(grp["chars"].sum())
     assert int(df["n_docs"].sum()) == 50
+
+
+def test_events_spike_days_integer_sigma(ray_session, tmp_path):
+    import datetime as dt
+
+    from yomitoku_ray.functions.relational import events_spike_days
+
+    rows = []
+    eid = 0
+    # type 'a': 1 event/day for 9 days, 10 events on day 10 -> spike
+    for day in range(9):
+        rows.append({"event_id": (eid := eid + 1), "user_id": 1, "event_type": "a",
+                     "ts": dt.datetime(2024, 1, 1 + day)})
+    for k in range(10):
+        rows.append({"event_id": (eid := eid + 1), "user_id": 1, "event_type": "a",
+                     "ts": dt.datetime(2024, 1, 10, k)})
+    # type 'b': perfectly flat -> zero variance, no spikes
+    for day in range(5):
+        rows.append({"event_id": (eid := eid + 1), "user_id": 2, "event_type": "b",
+                     "ts": dt.datetime(2024, 1, 1 + day)})
+    for r in rows:
+        r["value"], r["props"] = 1.0, "{}"
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+    df = events_spike_days(str(tmp_path))
+    a = df[df["event_type"] == "a"]
+    assert a["is_spike"].tolist() == [0] * 9 + [1]
+    b = df[df["event_type"] == "b"]
+    assert b["is_spike"].sum() == 0

@@ -952,3 +952,47 @@ def event_pagerank(sf_dir: str, iterations: int = 3) -> pd.DataFrame:
             "in_w": pd.Series([in_w[n] for n in nodes], dtype="int64"),
         }
     )
+
+
+def events_spike_days(sf_dir: str) -> pd.DataFrame:
+    """Data-quality monitoring: flag days where an event type's daily
+    count exceeds its own mean + 2 sigma — with the test done ENTIRELY in
+    integer arithmetic so both engines agree bit-for-bit:
+    ``x > mu + 2*sigma  <=>  (x*D - T) > 0 and (x*D - T)^2 > 4*(D*SQ - T^2)``
+    where D = days, T = sum of counts, SQ = sum of squared counts.
+
+    Scale shape: daily counts via per-batch combiner + one
+    dimension-sized groupby (|event_type| x |days| rows); the per-type
+    moments are driver-side sums over that table.
+
+    Columns: event_type, day (timestamp), n_events, is_spike (int64).
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        work = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": df["ts"].dt.floor("D"),
+                "n_events": np.ones(len(df), dtype="int64"),
+            }
+        )
+        return work.groupby(["event_type", "day"], as_index=False).sum()
+
+    daily = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()  # dimension-sized: |event_type| x |days|
+    )
+    daily["n_events"] = daily["n_events"].astype("int64")
+    st = daily.groupby("event_type")["n_events"].agg(
+        d="size", t="sum", sq=lambda s: int((s.astype("int64") ** 2).sum())
+    )
+    d = st["d"].reindex(daily["event_type"]).to_numpy("int64")
+    t = st["t"].reindex(daily["event_type"]).to_numpy("int64")
+    sq = st["sq"].reindex(daily["event_type"]).to_numpy("int64")
+    x = daily["n_events"].to_numpy("int64")
+    dev = x * d - t
+    daily["is_spike"] = ((dev > 0) & (dev * dev > 4 * (d * sq - t * t))).astype("int64")
+    return daily.sort_values(["event_type", "day"]).reset_index(drop=True)
