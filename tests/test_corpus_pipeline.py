@@ -129,3 +129,18 @@ def test_corpus_cli_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["n_docs"] > 0 and summary["n_words"] > 0
+
+
+def test_corpus_build_lang_pushdown(ray_session, tmp_path):
+    """langs filter is applied at the parquet read (row filter), so only
+    allowed languages reach extraction."""
+    p = _pages_with_dups(tmp_path, n=40)
+    import pyarrow.parquet as pq2
+
+    langs = set(pq2.read_table(p, columns=["lang"])["lang"].to_pylist())
+    assert len(langs) > 1  # synth mixes languages
+    pick = sorted(langs)[0]
+    df = build_corpus(p, CorpusConfig(langs=(pick,))).to_pandas()
+    assert set(df["lang"]) == {pick}
+    full = build_corpus(p).to_pandas()
+    assert len(df) == (full["lang"] == pick).sum()

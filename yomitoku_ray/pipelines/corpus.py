@@ -49,6 +49,10 @@ class CorpusConfig:
     # the cost of arrival-order survivor choice and no n_copies column.
     streaming_dedup: bool = False
     dedup_index_shards: int = 8
+    # language allowlist, pushed down INTO the parquet read as a row
+    # filter — excluded pages never leave storage (row-group pruning),
+    # the cheapest possible language gate at 100 TB
+    langs: tuple[str, ...] | None = None
 
 
 def _clean_batch(df: pd.DataFrame, *, min_words: int, max_dup_pct: int, mask: int) -> pd.DataFrame:
@@ -94,7 +98,20 @@ def build_corpus(pages_path: str, cfg: CorpusConfig | None = None) -> ray.data.D
     (columns: digest, url, warc_ts, lang, text, n_words, n_copies)."""
     cfg = cfg or CorpusConfig()
     mask = cfg.digest_buckets - 1
-    ds = extract_pages(pages_path, cfg.extract)
+    if cfg.langs is not None:
+        import pyarrow.compute as pc
+        import pyarrow.dataset  # noqa: F401  (registers expression filtering)
+
+        from .extract import PAGES_COLUMNS, ExtractConfig, build_extract_pipeline
+
+        src = ray.data.read_parquet(
+            pages_path,
+            columns=list(PAGES_COLUMNS),
+            filter=pc.field("lang").isin(list(cfg.langs)),
+        )
+        ds = build_extract_pipeline(src, cfg.extract or ExtractConfig())
+    else:
+        ds = extract_pages(pages_path, cfg.extract)
     cleaned = ds.map_batches(
         _clean_batch,
         fn_kwargs={
