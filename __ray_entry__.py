@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann_lsh_stats,
         ann_recall,
         embedding_near_dup,
+        kmeans_assign,
         knn_brute_force,
     )
     from yomitoku_ray.functions.clean import (
@@ -601,6 +602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank": shuffle_rank,
         # similarity search (embeddings)
         "knn_brute_force": knn_brute_force,
+        # distributed Lloyd k-means: broadcast centroids, combiner update
+        "kmeans_assign": kmeans_assign,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         # IVF invariant: probing every partition must reproduce brute force
@@ -1421,6 +1424,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents
             GROUP BY md5(text)
+        """,
+        "kmeans_assign": """
+            WITH c0 AS (
+                SELECT vec_id AS cl, embedding AS c FROM embeddings WHERE vec_id < 8
+            ),
+            a1 AS (
+                SELECT vec_id, cl FROM (
+                    SELECT e.vec_id, c0.cl,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.embedding, c0.c), c0.cl
+                           ) AS rn
+                    FROM embeddings e, c0
+                ) WHERE rn = 1
+            ),
+            dims AS (
+                SELECT a1.cl,
+                       generate_subscripts(e.embedding, 1) AS dim,
+                       unnest(e.embedding) AS val
+                FROM embeddings e JOIN a1 USING (vec_id)
+            ),
+            c1 AS (
+                SELECT cl, list(avg_val ORDER BY dim) AS c FROM (
+                    SELECT cl, dim, avg(val) AS avg_val FROM dims GROUP BY cl, dim
+                ) GROUP BY cl
+            ),
+            a2 AS (
+                SELECT vec_id, cl FROM (
+                    SELECT e.vec_id, c1.cl,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.embedding, c1.c), c1.cl
+                           ) AS rn
+                    FROM embeddings e, c1
+                ) WHERE rn = 1
+            )
+            SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a2
         """,
         "knn_brute_force": _KNN_SQL,
         "ann_ivf_exhaustive": _KNN_SQL,

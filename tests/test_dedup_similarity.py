@@ -416,3 +416,27 @@ def test_shuffle_rank_dense_and_deterministic(ray_session, tmp_path):
     # rerun is byte-identical (no RNG anywhere)
     df2 = shuffle_rank(str(tmp_path)).to_pandas().sort_values("rank")
     assert df2["doc_id"].tolist() == order
+
+
+def test_kmeans_assign_two_blobs(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yomitoku_ray.functions.similarity import kmeans_assign
+
+    rng = np.random.RandomState(0)
+    # two well-separated blobs; seeds 0 and 1 land one in each
+    a = rng.normal(0, 0.1, (30, 8)) + np.array([5.0] + [0] * 7)
+    b = rng.normal(0, 0.1, (30, 8)) - np.array([5.0] + [0] * 7)
+    vecs = np.concatenate([a[:1], b[:1], a[1:], b[1:]]).astype(np.float32)
+    rows = [
+        {"vec_id": i, "embedding": v.tolist(), "label": 0}
+        for i, v in enumerate(vecs)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "embeddings.parquet"))
+    df = kmeans_assign(str(tmp_path), k=2, iterations=3).set_index("vec_id")
+    blob_a = [0] + list(range(2, 31))
+    blob_b = [1] + list(range(31, 60))
+    assert set(df.loc[blob_a, "cluster"]) == {0}
+    assert set(df.loc[blob_b, "cluster"]) == {1}

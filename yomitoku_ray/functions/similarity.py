@@ -486,3 +486,84 @@ def embedding_near_dup(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
     return ds.groupby("label").map_groups(_block, batch_format="pandas")
+
+
+def kmeans_assign(sf_dir: str, k: int = 8, iterations: int = 2) -> pd.DataFrame:
+    """Distributed Lloyd k-means over the embeddings table: ``iterations``
+    assignment rounds from a deterministic seed (centroids = the
+    embeddings of vec_id 0..k-1), returning the final assignment.
+
+    Scale shape: centroids broadcast via ``ray.put`` each round; the
+    assignment is a vectorized per-batch argmin; the centroid update is a
+    per-batch partial (sum-vector, count) combiner aggregated driver-side
+    — k x dim floats of coordination state, never a shuffle of vectors.
+    Discrete outputs only (cluster ids, ties to the smallest cluster id),
+    so float ulp noise between numpy and the DuckDB oracle cannot leak
+    into the hash. Clusters that lose all members are dropped from later
+    rounds (matching the SQL formulation).
+
+    Columns: vec_id, cluster (int64).
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    init = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {k}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    labels = init["vec_id"].to_numpy("int64")
+    cents = _emb_matrix(init)
+
+    def _assign_of(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # direct difference form (matches list_distance ordering closely);
+        # argmin takes the first (= smallest label, rows label-sorted)
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d, axis=1)
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    for _ in range(iterations - 1):
+        ref = ray.put((labels, cents))
+
+        def _partial(df: pd.DataFrame) -> pd.DataFrame:
+            labels, cents = ray.get(ref)
+            mat = _emb_matrix(df)
+            a = _assign_of(mat, cents)
+            rows = []
+            for ci in np.unique(a):
+                sel = mat[a == ci]
+                rows.append(
+                    {
+                        "cluster": int(labels[ci]),
+                        "n": len(sel),
+                        "vec_sum": sel.sum(axis=0).tolist(),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        parts = (
+            ds.map_batches(_partial, batch_format="pandas", batch_size=1024)
+            .to_pandas()  # dimension-sized: k rows per batch
+        )
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in parts.itertuples(index=False):
+            v = np.asarray(r.vec_sum, dtype=np.float64)
+            sums[r.cluster] = sums.get(r.cluster, 0) + v
+            counts[r.cluster] = counts.get(r.cluster, 0) + int(r.n)
+        labels = np.array(sorted(counts), dtype="int64")
+        cents = np.stack([sums[c] / counts[c] for c in labels])
+
+    ref = ray.put((labels, cents))
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        labels, cents = ray.get(ref)
+        a = _assign_of(_emb_matrix(df), cents)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "cluster": labels[a],
+            }
+        )
+
+    out = ds.map_batches(_final, batch_format="pandas", batch_size=1024).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
