@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann_lsh_stats,
         ann_recall,
         embedding_near_dup,
+        ann_kmeans,
         kmeans_assign,
         knn_brute_force,
     )
@@ -614,6 +615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # force exactly (hash/route/partition plumbing changes only scan
         # scope); hash-checked against the same SQL oracle.
         "ann_lsh_exhaustive": lambda sf_dir: ann_lsh(sf_dir, probe_all=True),
+        # learned-partition IVF (kmeans centroids): probing every
+        # partition must reproduce brute force exactly, same oracle
+        "ann_kmeans_exhaustive": lambda sf_dir: ann_kmeans(sf_dir, probe_all=True),
         # Exact-int bounds of the DEFAULT approximate configs (probed-bucket
         # count + candidate-set size per query) — SQL reproduces the index
         # routing, shrinking the approximate rows to summary-only no_oracle.
@@ -1465,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute_force": _KNN_SQL,
         "ann_ivf_exhaustive": _KNN_SQL,
         "ann_lsh_exhaustive": _KNN_SQL,
+        "ann_kmeans_exhaustive": _KNN_SQL,
         "ann_lsh_stats": _ann_lsh_stats_sql(),
         "ann_ivf_stats": _ANN_IVF_STATS_SQL,
         "embedding_near_dup": """

@@ -440,3 +440,17 @@ def test_kmeans_assign_two_blobs(ray_session, tmp_path):
     blob_b = [1] + list(range(31, 60))
     assert set(df.loc[blob_a, "cluster"]) == {0}
     assert set(df.loc[blob_b, "cluster"]) == {1}
+
+
+def test_ann_kmeans_recall_and_exhaustive(ray_session):
+    from yomitoku_ray.functions.similarity import ann_kmeans, knn_brute_force
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_brute_force(sf)
+    full = ann_kmeans(sf, probe_all=True)
+    # exhaustive invariant: probing everything IS brute force
+    assert full.equals(exact)
+    approx = ann_kmeans(sf)  # default nprobe=3 of 8 learned partitions
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].to_numpy()))
+    assert len(a & e) / len(e) >= 0.3  # weakly-clustered synth floor

@@ -488,23 +488,19 @@ def embedding_near_dup(
     return ds.groupby("label").map_groups(_block, batch_format="pandas")
 
 
-def kmeans_assign(sf_dir: str, k: int = 8, iterations: int = 2) -> pd.DataFrame:
-    """Distributed Lloyd k-means over the embeddings table: ``iterations``
-    assignment rounds from a deterministic seed (centroids = the
-    embeddings of vec_id 0..k-1), returning the final assignment.
+def _kmeans_assign_of(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    # direct difference form (matches list_distance ordering closely);
+    # argmin takes the first (= smallest label, rows label-sorted)
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d, axis=1)
 
-    Scale shape: centroids broadcast via ``ray.put`` each round; the
-    assignment is a vectorized per-batch argmin; the centroid update is a
-    per-batch partial (sum-vector, count) combiner aggregated driver-side
-    — k x dim floats of coordination state, never a shuffle of vectors.
-    Discrete outputs only (cluster ids, ties to the smallest cluster id),
-    so float ulp noise between numpy and the DuckDB oracle cannot leak
-    into the hash. Clusters that lose all members are dropped from later
-    rounds (matching the SQL formulation).
 
-    Columns: vec_id, cluster (int64).
-    """
-    path = f"{sf_dir}/embeddings.parquet"
+def _kmeans_train(
+    path: str, k: int, iterations: int, normalize: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd training loop shared by :func:`kmeans_assign` and
+    :func:`ann_kmeans`: deterministic seed (vec_id 0..k-1), broadcast
+    centroids, per-batch (sum, count) combiner, k x dim driver state."""
     init = (
         ray.data.read_parquet(path, columns=["vec_id", "embedding"])
         .filter(expr=f"vec_id < {k}")
@@ -513,12 +509,8 @@ def kmeans_assign(sf_dir: str, k: int = 8, iterations: int = 2) -> pd.DataFrame:
     )
     labels = init["vec_id"].to_numpy("int64")
     cents = _emb_matrix(init)
-
-    def _assign_of(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
-        # direct difference form (matches list_distance ordering closely);
-        # argmin takes the first (= smallest label, rows label-sorted)
-        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        return np.argmin(d, axis=1)
+    if normalize:
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     for _ in range(iterations - 1):
@@ -527,7 +519,9 @@ def kmeans_assign(sf_dir: str, k: int = 8, iterations: int = 2) -> pd.DataFrame:
         def _partial(df: pd.DataFrame) -> pd.DataFrame:
             labels, cents = ray.get(ref)
             mat = _emb_matrix(df)
-            a = _assign_of(mat, cents)
+            if normalize:
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            a = _kmeans_assign_of(mat, cents)
             rows = []
             for ci in np.unique(a):
                 sel = mat[a == ci]
@@ -552,12 +546,33 @@ def kmeans_assign(sf_dir: str, k: int = 8, iterations: int = 2) -> pd.DataFrame:
             counts[r.cluster] = counts.get(r.cluster, 0) + int(r.n)
         labels = np.array(sorted(counts), dtype="int64")
         cents = np.stack([sums[c] / counts[c] for c in labels])
+    return labels, cents
 
+
+def kmeans_assign(sf_dir: str, k: int = 8, iterations: int = 2) -> pd.DataFrame:
+    """Distributed Lloyd k-means over the embeddings table: ``iterations``
+    assignment rounds from a deterministic seed (centroids = the
+    embeddings of vec_id 0..k-1), returning the final assignment.
+
+    Scale shape: centroids broadcast via ``ray.put`` each round; the
+    assignment is a vectorized per-batch argmin; the centroid update is a
+    per-batch partial (sum-vector, count) combiner aggregated driver-side
+    — k x dim floats of coordination state, never a shuffle of vectors.
+    Discrete outputs only (cluster ids, ties to the smallest cluster id),
+    so float ulp noise between numpy and the DuckDB oracle cannot leak
+    into the hash. Clusters that lose all members are dropped from later
+    rounds (matching the SQL formulation).
+
+    Columns: vec_id, cluster (int64).
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    labels, cents = _kmeans_train(path, k, iterations)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     ref = ray.put((labels, cents))
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
         labels, cents = ray.get(ref)
-        a = _assign_of(_emb_matrix(df), cents)
+        a = _kmeans_assign_of(_emb_matrix(df), cents)
         return pd.DataFrame(
             {
                 "vec_id": df["vec_id"].astype("int64"),
@@ -567,3 +582,37 @@ def kmeans_assign(sf_dir: str, k: int = 8, iterations: int = 2) -> pd.DataFrame:
 
     out = ds.map_batches(_final, batch_format="pandas", batch_size=1024).to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def ann_kmeans(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    nprobe: int = 3,
+    n_clusters: int = 8,
+    probe_all: bool = False,
+) -> pd.DataFrame:
+    """IVF over LEARNED partitions: the index composition of
+    :func:`_kmeans_train` (cosine-space Lloyd on normalized vectors) with
+    the shared partitioned-ANN skeleton — queries probe their ``nprobe``
+    nearest centroids, only probed partitions shuffle and score.
+
+    ``probe_all=True`` is the exhaustive invariant: probing every
+    partition must reproduce brute force exactly (hash-checked against
+    the same SQL oracle as :func:`knn_brute_force`).
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    _, cents = _kmeans_train(path, n_clusters, 2, normalize=True)
+
+    def _assign_fn(mat: np.ndarray) -> np.ndarray:
+        return _kmeans_assign_of(mat, cents).astype(np.int64)
+
+    q_ids, q_mat = _load_queries(path, n_queries)
+    qd = ((q_mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    nb = len(cents) if probe_all else min(nprobe, len(cents))
+    probes: dict[int, list] = {}
+    for qi in range(len(q_ids)):
+        for b in np.argsort(qd[qi])[:nb]:
+            probes.setdefault(int(b), []).append(qi)
+    probe_map = {b: np.array(v, dtype=np.int64) for b, v in probes.items()}
+    return _bucketed_topk(path, q_ids, q_mat, _assign_fn, probe_map, k)
