@@ -144,3 +144,32 @@ def test_corpus_build_lang_pushdown(ray_session, tmp_path):
     assert set(df["lang"]) == {pick}
     full = build_corpus(p).to_pandas()
     assert len(df) == (full["lang"] == pick).sum()
+
+
+def test_corpus_output_feeds_packing(ray_session, tmp_path):
+    """The full LLM-data chain composes: pages -> corpus_build ->
+    pack_sequences over the cleaned corpus."""
+    from yomitoku_ray.functions.clean import pack_sequences
+
+    p = _pages_with_dups(tmp_path, n=40)
+    corpus = build_corpus(p).to_pandas().sort_values("url").reset_index(drop=True)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(corpus)), pa.int64()),
+            "text": pa.array(corpus["text"], pa.string()),
+        }
+    )
+    docs_dir = tmp_path / "packdir"
+    docs_dir.mkdir()
+    pq.write_table(docs, str(docs_dir / "documents.parquet"))
+    packed = pack_sequences(str(docs_dir))
+    if hasattr(packed, "to_pandas"):
+        packed = packed.to_pandas()
+    packed = packed.sort_values("doc_id").reset_index(drop=True)
+    assert len(packed) == len(corpus)
+    # offsets are a dense prefix sum of token counts
+    n_tok = corpus["text"].str.split().str.len().to_numpy()
+    import numpy as np
+
+    expect = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    assert (packed["tok_offset"].to_numpy() == expect).all()
