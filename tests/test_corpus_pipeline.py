@@ -173,3 +173,25 @@ def test_corpus_output_feeds_packing(ray_session, tmp_path):
 
     expect = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
     assert (packed["tok_offset"].to_numpy() == expect).all()
+
+
+def test_corpus_cli_streaming_flag(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    p = _pages_with_dups(tmp_path, n=30)
+    out = str(tmp_path / "shards_stream")
+    r = subprocess.run(
+        [sys.executable, "-m", "yomitoku_ray", "corpus", p, out,
+         "--num-cpus", "4", "--streaming"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_docs"] > 0
+    back = pq.read_table(out)
+    assert "n_copies" not in back.schema.names  # streaming mode marker
