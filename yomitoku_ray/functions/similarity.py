@@ -500,7 +500,8 @@ def _kmeans_train(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lloyd training loop shared by :func:`kmeans_assign` and
     :func:`ann_kmeans`: deterministic seed (vec_id 0..k-1), broadcast
-    centroids, per-batch (sum, count) combiner, k x dim driver state."""
+    centroids, per-batch (sum, count) combiner reduced through a k-key
+    groupby — the driver only ever sees k x dim floats."""
     init = (
         ray.data.read_parquet(path, columns=["vec_id", "embedding"])
         .filter(expr=f"vec_id < {k}")
@@ -534,16 +535,29 @@ def _kmeans_train(
                 )
             return pd.DataFrame(rows)
 
+        def _reduce_cluster(g: pd.DataFrame) -> pd.DataFrame:
+            vec = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in g["vec_sum"]]
+            ).sum(axis=0)
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series([int(g["cluster"].iloc[0])], dtype="int64"),
+                    "n": pd.Series([int(g["n"].sum())], dtype="int64"),
+                    "vec_sum": [vec.tolist()],
+                }
+            )
+
         parts = (
             ds.map_batches(_partial, batch_format="pandas", batch_size=1024)
-            .to_pandas()  # dimension-sized: k rows per batch
+            .groupby("cluster")
+            .map_groups(_reduce_cluster, batch_format="pandas")
+            .to_pandas()  # k rows — the ONLY driver-side state
         )
-        sums: dict[int, np.ndarray] = {}
-        counts: dict[int, int] = {}
-        for r in parts.itertuples(index=False):
-            v = np.asarray(r.vec_sum, dtype=np.float64)
-            sums[r.cluster] = sums.get(r.cluster, 0) + v
-            counts[r.cluster] = counts.get(r.cluster, 0) + int(r.n)
+        counts = {int(r.cluster): int(r.n) for r in parts.itertuples(index=False)}
+        sums = {
+            int(r.cluster): np.asarray(r.vec_sum, dtype=np.float64)
+            for r in parts.itertuples(index=False)
+        }
         labels = np.array(sorted(counts), dtype="int64")
         cents = np.stack([sums[c] / counts[c] for c in labels])
     return labels, cents
