@@ -42,7 +42,11 @@ class CorpusConfig:
     extract: ExtractConfig | None = None
     min_words: int = 5
     max_dup_word_frac_pct: int = 50  # drop if 100*(1 - unique/total) > this
-    digest_buckets: int = 256
+    # the dedup exchange groups by digest & (digest_buckets-1); a whole
+    # bucket is held in one map_groups call, so size this at roughly
+    # corpus_bytes / 1 GiB (uniform digest keys -> uniform buckets).
+    # 4096 suits the test scales; a 100 TB run wants ~10^5.
+    digest_buckets: int = 4096
     # streaming_dedup=True swaps the digest-bucket shuffle for the
     # sharded actor index (state/dedup_index.py): no all-to-all exchange
     # and the index persists across runs (incremental-crawl dedup), at
