@@ -265,27 +265,57 @@ def ann_lsh(
 
 def _ivf_centroids(path: str) -> np.ndarray:
     """Label-partition centroids (normalized, label-sorted), computed
-    distributed; the C x dim result is the one tiny driver-side collect."""
+    distributed with the :func:`_kmeans_train` combiner shape: a per-batch
+    (vec_sum, count) partial keyed by label, reduced through a label-key
+    groupby. No task ever materializes a full label partition — the shuffle
+    carries one dim-sized row per (batch, label), and the C x dim result is
+    the one tiny driver-side collect.
 
-    def _label_mean(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")  # fixed float-sum order -> stable centroid
-        mat = _emb_matrix(g)
+    Float note: partial-sum order follows block layout, so centroids are
+    deterministic only to summation ulps — exactly the tolerance the gate
+    already grants (the DuckDB oracle computes AVG in its own order); the
+    discrete outputs downstream (routing, candidate counts) are far from
+    any ulp-scale tie on the synthetic embeddings.
+    """
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = _emb_matrix(df)
+        lab = df["label"].to_numpy(dtype="int64")
+        rows = []
+        for lb in np.unique(lab):
+            sel = mat[lab == lb]
+            rows.append(
+                {"label": int(lb), "n": len(sel), "vec_sum": sel.sum(axis=0).tolist()}
+            )
+        return pd.DataFrame(rows, columns=["label", "n", "vec_sum"])
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        vec = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in g["vec_sum"]]
+        ).sum(axis=0)
         return pd.DataFrame(
             {
                 "label": pd.Series([int(g["label"].iloc[0])], dtype="int64"),
-                "centroid": [mat.mean(axis=0)],
+                "n": pd.Series([int(g["n"].sum())], dtype="int64"),
+                "vec_sum": [vec.tolist()],
             }
         )
 
-    cent_df = (
-        ray.data.read_parquet(path, columns=["vec_id", "label", "embedding"])
+    parts = (
+        ray.data.read_parquet(path, columns=["label", "embedding"])
+        .map_batches(_partial, batch_format="pandas", batch_size=1024)
         .groupby("label")
-        .map_groups(_label_mean, batch_format="pandas")
-        .to_pandas()
+        .map_groups(_reduce, batch_format="pandas")
+        .to_pandas()  # C rows of (label, n, dim floats) — the ONLY collect
         .sort_values("label")
         .reset_index(drop=True)
     )
-    cents = np.stack([np.asarray(c, dtype=np.float64) for c in cent_df["centroid"]])
+    cents = np.stack(
+        [
+            np.asarray(v, dtype=np.float64) / int(n)
+            for v, n in zip(parts["vec_sum"], parts["n"])
+        ]
+    )
     return cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
 
