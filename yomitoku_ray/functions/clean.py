@@ -32,7 +32,8 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..kernels.md5_vec import md5_u64_of_ints
-from .dedup import _COARSE_MASK, dup_components, shingle_hashes
+from .buckets import resolve_mask
+from .dedup import dup_components, shingle_hashes
 
 # RE2-compatible patterns (no lookaround, no backreferences) so the exact
 # same strings run under DuckDB's regexp_replace / regexp_extract_all for
@@ -448,7 +449,10 @@ def quality_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
 
 def dedup_corpus(
-    sf_dir: str, threshold: float = 0.5, max_bucket: int = 4096
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_bucket: int = 4096,
+    n_buckets: int | None = None,
 ) -> pd.DataFrame:
     """The corpus AFTER near-dup resolution: MinHash pairs -> connected
     components -> drop every non-representative member (component id =
@@ -460,7 +464,10 @@ def dedup_corpus(
     is shipped as a dataset through the shuffle, never broadcast to every
     task. Columns: source, n_docs, n_kept, kept_chars (all int64).
     """
-    comp = dup_components(sf_dir, threshold=threshold, max_bucket=max_bucket)
+    mask = resolve_mask(n_buckets, paths=f"{sf_dir}/documents.parquet")
+    comp = dup_components(
+        sf_dir, threshold=threshold, max_bucket=max_bucket, n_buckets=n_buckets
+    )
     # Non-representative members, filtered as a batch transform on the
     # streaming component Dataset — the drop set never touches the driver.
     drop_ds = comp.map_batches(
@@ -477,7 +484,7 @@ def dedup_corpus(
         key = df["doc_id"].astype("int64").to_numpy()
         return pd.DataFrame(
             {
-                "bucket": key & _COARSE_MASK,
+                "bucket": key & mask,
                 "key": key,
                 "side": np.zeros(len(df), dtype="int8"),
                 "source": df["source"].astype(str),
@@ -489,7 +496,7 @@ def dedup_corpus(
         key = df["doc_id"].astype("int64").to_numpy()
         return pd.DataFrame(
             {
-                "bucket": key & _COARSE_MASK,
+                "bucket": key & mask,
                 "key": key,
                 "side": np.ones(len(df), dtype="int8"),
                 "source": np.full(len(df), "", dtype=object),
@@ -586,7 +593,9 @@ def source_mix_weights(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
-def substring_dedup_rollup(sf_dir: str, w: int = 5) -> pd.DataFrame:
+def substring_dedup_rollup(
+    sf_dir: str, w: int = 5, n_buckets: int | None = None
+) -> pd.DataFrame:
     """Resolution rollup for exact substring-window dedup: per source, how
     many token positions the Lee-et-al excision pass would remove and what
     survives — the number a corpus curator actually acts on.
@@ -604,8 +613,9 @@ def substring_dedup_rollup(sf_dir: str, w: int = 5) -> pd.DataFrame:
 
     from .dedup import dup_ngram_spans
 
-    mask = (1 << 10) - 1
-    spans = dup_ngram_spans(sf_dir, w=w)
+    # This join ships one row per doc — expansion ~1 over file bytes.
+    mask = resolve_mask(n_buckets, paths=f"{sf_dir}/documents.parquet")
+    spans = dup_ngram_spans(sf_dir, w=w, n_buckets=n_buckets)
 
     def _doc_side(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64")
@@ -674,7 +684,9 @@ def substring_dedup_rollup(sf_dir: str, w: int = 5) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
-def segment_dedup(sf_dir: str, seg_words: int = 10) -> ray.data.Dataset:
+def segment_dedup(
+    sf_dir: str, seg_words: int = 10, n_buckets: int | None = None
+) -> ray.data.Dataset:
     """C4-style cross-document segment dedup: split each document into
     non-overlapping ``seg_words``-word segments and drop EVERY occurrence
     of any segment whose exact text appears in more than one distinct
@@ -693,7 +705,11 @@ def segment_dedup(sf_dir: str, seg_words: int = 10) -> ray.data.Dataset:
 
     Columns: doc_id, clean_text, n_kept, n_dropped (int64).
     """
-    mask = _COARSE_MASK
+    # Segment rows ~= text bytes shuffled once — expansion ~4 over
+    # compressed file bytes.
+    mask = resolve_mask(
+        n_buckets, paths=f"{sf_dir}/documents.parquet", expansion=4.0
+    )
 
     def _tag(df: pd.DataFrame) -> pd.DataFrame:
         words = df["text"].fillna("").str.split(" ")

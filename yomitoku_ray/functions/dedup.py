@@ -44,6 +44,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
+from .buckets import resolve_mask
+
 _U64 = np.uint64
 _BITS64 = np.arange(64, dtype=np.uint64)
 
@@ -190,13 +192,14 @@ def _unpack_pair(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return key >> 32, key & 0xFFFFFFFF
 
 
-def _band_rows_fn(num_perm: int, bands: int, shingle_k: int):
+def _band_rows_fn(num_perm: int, bands: int, shingle_k: int, mask: int):
     """Task-pool stage: docs -> (pbucket, band_id, band_hash, doc_id) rows.
 
     Plain function (closure over the tiny permutation arrays) rather than an
     actor pool: no model state to amortize, so the task pool gets full
     cluster parallelism with zero actor-ramp cost. ``pbucket`` is the
-    coarse shuffle key (hash of band_id+band_hash masked to ~1k values).
+    coarse shuffle key (hash of band_id+band_hash masked per the
+    ``buckets.resolve_mask`` sizing rule).
     """
     a, b = _minhash_params(num_perm)
     rows_per_band = num_perm // bands
@@ -221,7 +224,7 @@ def _band_rows_fn(num_perm: int, bands: int, shingle_k: int):
                 out_doc.append(int(doc_ids[i]))
         band_arr = np.asarray(out_band, dtype=np.int64)
         hash_arr = np.asarray(out_hash, dtype=np.int64)
-        pbucket = ((hash_arr * 1000003) ^ band_arr) & _COARSE_MASK
+        pbucket = ((hash_arr * 1000003) ^ band_arr) & mask
         return pa.table(
             {
                 "pbucket": pa.array(pbucket),
@@ -232,9 +235,6 @@ def _band_rows_fn(num_perm: int, bands: int, shingle_k: int):
         )
 
     return _fn
-
-
-_COARSE_MASK = 1023  # ~1k coarse shuffle groups: amortizes per-group overhead
 
 
 def _bucket_pair_keys(ids: np.ndarray, max_bucket: int) -> np.ndarray:
@@ -280,7 +280,7 @@ _SHINGLE_SIDE_SCHEMA = pa.schema(
 )
 
 
-def _doc_shingle_rows_fn(shingle_k: int):
+def _doc_shingle_rows_fn(shingle_k: int, mask: int):
     def _fn(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
@@ -298,7 +298,7 @@ def _doc_shingle_rows_fn(shingle_k: int):
         ids = np.asarray(keep_ids, dtype=np.int64)
         return pa.table(
             {
-                "dbucket": pa.array(ids & _COARSE_MASK),
+                "dbucket": pa.array(ids & mask),
                 "doc_id": pa.array(ids),
                 "pair_key": pa.array([-1] * len(keep_ids), pa.int64()),
                 "shingles": pa.array(shingles, pa.list_(pa.uint64())),
@@ -309,51 +309,57 @@ def _doc_shingle_rows_fn(shingle_k: int):
     return _fn
 
 
-def _pair_need_rows(batch: pa.Table) -> pa.Table:
-    """Candidate pair keys -> two (doc_id, pair_key) need-rows per pair.
+def _pair_need_rows_fn(mask: int):
+    def _fn(batch: pa.Table) -> pa.Table:
+        """Candidate pair keys -> two (doc_id, pair_key) need-rows per pair.
 
-    Per-batch ``np.unique`` removes most cross-band duplicate pairs here
-    without a dedicated dedup shuffle; the verify stage dedups stragglers
-    (duplicate rows are idempotent there)."""
-    keys = np.unique(batch.column("pair_key").to_numpy())
-    a, b = _unpack_pair(keys)
-    doc_id = np.concatenate([a, b])
-    return pa.table(
-        {
-            "dbucket": pa.array(doc_id & _COARSE_MASK),
-            "doc_id": pa.array(doc_id, pa.int64()),
-            "pair_key": pa.array(np.concatenate([keys, keys]), pa.int64()),
-            "shingles": pa.array([[]] * (2 * len(keys)), pa.list_(pa.uint64())),
-        },
-        schema=_SHINGLE_SIDE_SCHEMA,
-    )
+        Per-batch ``np.unique`` removes most cross-band duplicate pairs here
+        without a dedicated dedup shuffle; the verify stage dedups stragglers
+        (duplicate rows are idempotent there)."""
+        keys = np.unique(batch.column("pair_key").to_numpy())
+        a, b = _unpack_pair(keys)
+        doc_id = np.concatenate([a, b])
+        return pa.table(
+            {
+                "dbucket": pa.array(doc_id & mask),
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "pair_key": pa.array(np.concatenate([keys, keys]), pa.int64()),
+                "shingles": pa.array([[]] * (2 * len(keys)), pa.list_(pa.uint64())),
+            },
+            schema=_SHINGLE_SIDE_SCHEMA,
+        )
+
+    return _fn
 
 
-def _attach_shingles(group: pd.DataFrame) -> pd.DataFrame:
-    """Reduce-side join for one coarse doc partition: one vectorized pandas
-    merge copies each doc's shingles onto all pair rows needing them (no
-    per-doc group calls)."""
-    is_doc = group["pair_key"].to_numpy() == -1
-    docs = group[is_doc][["doc_id", "shingles"]]
-    need = group[~is_doc][["doc_id", "pair_key"]]
-    if len(docs) == 0 or len(need) == 0:
+def _attach_shingles_fn(mask: int):
+    def _fn(group: pd.DataFrame) -> pd.DataFrame:
+        """Reduce-side join for one coarse doc partition: one vectorized pandas
+        merge copies each doc's shingles onto all pair rows needing them (no
+        per-doc group calls)."""
+        is_doc = group["pair_key"].to_numpy() == -1
+        docs = group[is_doc][["doc_id", "shingles"]]
+        need = group[~is_doc][["doc_id", "pair_key"]]
+        if len(docs) == 0 or len(need) == 0:
+            return pd.DataFrame(
+                {
+                    "vbucket": pd.Series([], dtype="int64"),
+                    "pair_key": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "shingles": pd.Series([], dtype=object),
+                }
+            )
+        m = need.merge(docs, on="doc_id", how="inner")
         return pd.DataFrame(
             {
-                "vbucket": pd.Series([], dtype="int64"),
-                "pair_key": pd.Series([], dtype="int64"),
-                "doc_id": pd.Series([], dtype="int64"),
-                "shingles": pd.Series([], dtype=object),
+                "vbucket": (m["pair_key"].to_numpy() & mask).astype("int64"),
+                "pair_key": m["pair_key"].astype("int64").to_numpy(),
+                "doc_id": m["doc_id"].astype("int64").to_numpy(),
+                "shingles": m["shingles"].to_numpy(),
             }
         )
-    m = need.merge(docs, on="doc_id", how="inner")
-    return pd.DataFrame(
-        {
-            "vbucket": (m["pair_key"].to_numpy() & _COARSE_MASK).astype("int64"),
-            "pair_key": m["pair_key"].astype("int64").to_numpy(),
-            "doc_id": m["doc_id"].astype("int64").to_numpy(),
-            "shingles": m["shingles"].to_numpy(),
-        }
-    )
+
+    return _fn
 
 
 def _verify_pairs_factory(thr_pct: int):
@@ -394,12 +400,14 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 64,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
 
     shingle -> minhash -> band -> candidate pair keys -> distributed
-    verification. Three shuffles, each keyed COARSELY (~1k hash buckets,
-    see ``_COARSE_MASK``) with the exact grouping done vectorized inside
+    verification. Three shuffles, each keyed COARSELY (input-sized hash
+    buckets per ``buckets.resolve_mask``; ``n_buckets`` overrides) with
+    the exact grouping done vectorized inside
     each partition — per-bucket map_groups calls would pay Python/pandas
     overhead once per band bucket (~80k at sf0.1, measured 7.6s; this
     shape pays it ~1k times):
@@ -429,27 +437,29 @@ def minhash_lsh_pairs(
     """
     thr_pct = int(round(threshold * 100))
     path = f"{sf_dir}/documents.parquet"
+    # Band/doc/pair rows are all O(corpus rows) x small — expansion ~1.
+    mask = resolve_mask(n_buckets, paths=path)
     # Fine-grained read blocks + small batches keep the signature stage on
     # every core even when the input is one parquet file.
     read_kw = {"columns": ["doc_id", "text"], "override_num_blocks": 32}
     ds = ray.data.read_parquet(path, **read_kw)
     banded = ds.map_batches(
-        _band_rows_fn(num_perm, bands, shingle_k),
+        _band_rows_fn(num_perm, bands, shingle_k, mask),
         batch_format="pyarrow",
         batch_size=256,
     )
     cand = banded.groupby("pbucket").map_groups(
         lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
     )
-    need = cand.map_batches(_pair_need_rows, batch_format="pyarrow")
+    need = cand.map_batches(_pair_need_rows_fn(mask), batch_format="pyarrow")
 
     doc_side = ray.data.read_parquet(path, **read_kw).map_batches(
-        _doc_shingle_rows_fn(shingle_k), batch_format="pyarrow", batch_size=256
+        _doc_shingle_rows_fn(shingle_k, mask), batch_format="pyarrow", batch_size=256
     )
     paired = (
         doc_side.union(need)
         .groupby("dbucket")
-        .map_groups(_attach_shingles, batch_format="pandas")
+        .map_groups(_attach_shingles_fn(mask), batch_format="pandas")
     )
     return paired.groupby("vbucket").map_groups(
         _verify_pairs_factory(thr_pct), batch_format="pandas"
@@ -484,7 +494,7 @@ def simhash64(text: str) -> int:
     return int(simhash64_batch([text])[0])
 
 
-def _simhash_chunk_rows_fn(n_chunks: int):
+def _simhash_chunk_rows_fn(n_chunks: int, coarse_mask: int):
     chunk_bits = 64 // n_chunks
     mask = _U64((1 << chunk_bits) - 1)
 
@@ -502,7 +512,7 @@ def _simhash_chunk_rows_fn(n_chunks: int):
         sigs = np.tile(sig, n_chunks)
         shifts = (chunk_id * chunk_bits).astype(np.uint64)
         values = (sigs >> shifts) & mask
-        cbucket = ((values.view(np.int64) * 1000003) ^ chunk_id) & _COARSE_MASK
+        cbucket = ((values.view(np.int64) * 1000003) ^ chunk_id) & coarse_mask
         return pa.table(
             {
                 "cbucket": pa.array(cbucket),
@@ -568,7 +578,12 @@ def _simhash_bucket_pairs_fn(hamming_max: int, max_bucket_compare: int = 4096):
     return _fn
 
 
-def simhash_dup_pairs(sf_dir: str, n_chunks: int = 4, hamming_max: int = 3) -> pd.DataFrame:
+def simhash_dup_pairs(
+    sf_dir: str,
+    n_chunks: int = 4,
+    hamming_max: int = 3,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
     """Near-dup pairs with Hamming(simhash) <= hamming_max.
 
     n_chunks > hamming_max gives pigeonhole *completeness*: the output is
@@ -578,13 +593,15 @@ def simhash_dup_pairs(sf_dir: str, n_chunks: int = 4, hamming_max: int = 3) -> p
     pairs; a final groupby(pair_key) dedups across the chunks. No driver
     materialization before the output-sized collection.
     """
+    path = f"{sf_dir}/documents.parquet"
+    mask = resolve_mask(n_buckets, paths=path)  # n_chunks rows/doc: ~1x
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
+        path,
         columns=["doc_id", "text"],
         override_num_blocks=32,
     )
     chunked = ds.map_batches(
-        _simhash_chunk_rows_fn(n_chunks), batch_format="pyarrow", batch_size=256
+        _simhash_chunk_rows_fn(n_chunks, mask), batch_format="pyarrow", batch_size=256
     )
     pairs = chunked.groupby("cbucket").map_groups(
         _simhash_bucket_pairs_fn(hamming_max), batch_format="pandas"
@@ -677,6 +694,7 @@ def dup_components(
     threshold: float = 0.5,
     max_rounds: int = 10,
     max_bucket: int = 4096,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Connected components over the MinHash near-duplicate pair graph —
     the resolution step of dedup (component id = min doc id = the doc to
@@ -697,7 +715,11 @@ def dup_components(
     Returns a Dataset of (doc_id, component), one row per doc incident to
     a pair.
     """
-    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold, max_bucket=max_bucket)
+    # Propagation shuffles are pair-graph-sized (<= corpus-sized).
+    mask = resolve_mask(n_buckets, paths=f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        sf_dir, threshold=threshold, max_bucket=max_bucket, n_buckets=n_buckets
+    )
 
     def _sym_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -738,7 +760,7 @@ def dup_components(
     def _bucket_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "bucket": df["u"].to_numpy() & _COARSE_MASK,
+                "bucket": df["u"].to_numpy() & mask,
                 "kind": np.zeros(len(df), dtype="int8"),  # 0 = edge (keyed by u)
                 "node": df["u"].to_numpy(),
                 "other": df["v"].to_numpy(),
@@ -748,7 +770,7 @@ def dup_components(
     def _bucket_labels(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "bucket": df["node"].to_numpy() & _COARSE_MASK,
+                "bucket": df["node"].to_numpy() & mask,
                 "kind": np.ones(len(df), dtype="int8"),  # 1 = label row
                 "node": df["node"].to_numpy(),
                 "other": df["label"].to_numpy(),
@@ -770,7 +792,7 @@ def dup_components(
             own.append(np.zeros(len(m), dtype="int8"))
         return pd.DataFrame(
             {
-                "mbucket": np.concatenate(dst) & _COARSE_MASK,
+                "mbucket": np.concatenate(dst) & mask,
                 "dst": np.concatenate(dst).astype("int64"),
                 "lab": np.concatenate(val).astype("int64"),
                 "is_self": np.concatenate(own),
@@ -846,7 +868,9 @@ def corpus_sample(sf_dir: str, mod: int = 20) -> ray.data.Dataset:
     return ds.map_batches(_sample, batch_format="pyarrow")
 
 
-def dup_ngram_spans(sf_dir: str, w: int = 5) -> ray.data.Dataset:
+def dup_ngram_spans(
+    sf_dir: str, w: int = 5, n_buckets: int | None = None
+) -> ray.data.Dataset:
     """Exact substring-window duplication signal — the distributable core of
     suffix-array exact-substring dedup ("Deduplicating Training Data Makes
     Language Models Better", Lee et al. 2022): a length-``w`` token window
@@ -876,7 +900,9 @@ def dup_ngram_spans(sf_dir: str, w: int = 5) -> ray.data.Dataset:
     coverage with count(DISTINCT pos + k).
     """
     path = f"{sf_dir}/documents.parquet"
-    mask = (1 << 10) - 1
+    # Token-window explode: one occurrence row (~window text + 3 int64s)
+    # per input token — expansion ~16x over file bytes.
+    mask = resolve_mask(n_buckets, paths=path, expansion=16.0)
 
     def _windows(df: pd.DataFrame):
         """Vectorized (doc_index, pos_in_doc, window-string) explode."""
@@ -1019,7 +1045,10 @@ def dup_ngram_spans(sf_dir: str, w: int = 5) -> ray.data.Dataset:
 
 
 def cross_corpus_near_dup(
-    sf_dir: str, sample_mod: int = 5, max_bucket: int = 4096
+    sf_dir: str,
+    sample_mod: int = 5,
+    max_bucket: int = 4096,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Incremental-ingest dedup: near-dup pairs where exactly ONE side is in
     the "new batch" — the check a pipeline runs before admitting a fresh
@@ -1037,7 +1066,7 @@ def cross_corpus_near_dup(
     """
     from ..kernels.md5_vec import md5_u64_of_ints
 
-    pairs = minhash_lsh_pairs(sf_dir, max_bucket=max_bucket)
+    pairs = minhash_lsh_pairs(sf_dir, max_bucket=max_bucket, n_buckets=n_buckets)
 
     def _xor_sides(df: pd.DataFrame) -> pd.DataFrame:
         a = df["doc_a"].to_numpy("int64")

@@ -24,17 +24,21 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
+from .buckets import resolve_mask
+
+
 def _cents(x: pd.Series) -> pd.Series:
     return np.floor(x * 100 + 0.5).astype("int64")
 
 
-# ~1k coarse shuffle groups for per-entity operators (sessionize, as-of,
+# Coarse shuffle groups for per-entity operators (sessionize, as-of,
 # range join): groupby on the raw entity key costs ~90 us of map_groups
 # overhead PER GROUP (measured round 2) — hours of pure overhead at 1e8
-# users. Shuffling on ``key & _COARSE_MASK`` instead pays that overhead
-# ~1k times total, with the exact per-entity grouping done vectorized
-# (pandas groupby / merge_asof / segment searchsorted) inside each bucket.
-_COARSE_MASK = 1023
+# users. Shuffling on ``key & mask`` instead pays that overhead once per
+# bucket, with the exact per-entity grouping done vectorized (pandas
+# groupby / merge_asof / segment searchsorted) inside each bucket. The
+# bucket count is INPUT-SIZED per ``buckets.resolve_mask`` (floor 1024);
+# every operator takes ``n_buckets`` to override.
 
 
 def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pd.DataFrame:
@@ -268,7 +272,9 @@ def part_type_stats(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("p_type").reset_index(drop=True)
 
 
-def customers_without_orders(sf_dir: str, since: str = "1998-01-01") -> pd.DataFrame:
+def customers_without_orders(
+    sf_dir: str, since: str = "1998-01-01", n_buckets: int | None = None
+) -> pd.DataFrame:
     """Distributed ANTI-join: customers with no order since ``since``,
     rolled up per market segment.
 
@@ -282,12 +288,15 @@ def customers_without_orders(sf_dir: str, since: str = "1998-01-01") -> pd.DataF
     import pyarrow.dataset as pads
 
     since_ts = pd.Timestamp(since)
+    mask = resolve_mask(
+        n_buckets, paths=[f"{sf_dir}/customer.parquet", f"{sf_dir}/orders.parquet"]
+    )
 
     def _tag_cust(df: pd.DataFrame) -> pd.DataFrame:
         key = df["c_custkey"].astype("int64")
         return pd.DataFrame(
             {
-                "bucket": key.to_numpy() & _COARSE_MASK,
+                "bucket": key.to_numpy() & mask,
                 "key": key,
                 "side": np.zeros(len(df), dtype="int8"),
                 "seg": df["c_mktsegment"].astype(str),
@@ -298,7 +307,7 @@ def customers_without_orders(sf_dir: str, since: str = "1998-01-01") -> pd.DataF
         key = df["o_custkey"].astype("int64")
         return pd.DataFrame(
             {
-                "bucket": key.to_numpy() & _COARSE_MASK,
+                "bucket": key.to_numpy() & mask,
                 "key": key,
                 "side": np.ones(len(df), dtype="int8"),
                 "seg": np.full(len(df), "", dtype=object),
@@ -349,23 +358,26 @@ def customers_without_orders(sf_dir: str, since: str = "1998-01-01") -> pd.DataF
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
-def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+def user_sessions(
+    sf_dir: str, gap_minutes: int = 30, n_buckets: int | None = None
+) -> pd.DataFrame:
     """Session windows per user (gap-based sessionization).
 
     Streaming-shaped op per the ray guide: partition by key, order by ts
     within the group, split on inactivity gaps > ``gap_minutes``. The
-    shuffle key is COARSE (``user_id & _COARSE_MASK``, ~1k buckets) — the
+    shuffle key is COARSE (``user_id & mask``, input-sized buckets) — the
     exact per-user sessionization runs as one vectorized pandas groupby
     inside each bucket, so Ray's per-group overhead is paid ~1k times, not
     once per user. Columns: user_id, session_id, n_events, session_start,
     session_end.
     """
     gap = pd.Timedelta(minutes=gap_minutes)
+    mask = resolve_mask(n_buckets, paths=f"{sf_dir}/events.parquet")
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         # zero-copy Arrow: append the coarse key without touching data cols
         key = pc.cast(batch.column("user_id"), pa.int64())
-        return batch.append_column("bucket", pc.bit_wise_and(key, _COARSE_MASK))
+        return batch.append_column("bucket", pc.bit_wise_and(key, mask))
 
     def _sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
@@ -478,13 +490,13 @@ def events_sliding(
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
-def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
+def events_asof_orders(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Distributed AS-OF join: each event matched to the most recent order
     (by the same key) at or before the event time.
 
     The custom-operator pattern Ray Data lacks natively: tag both sides,
-    union, hash-shuffle once on a COARSE key (``key & _COARSE_MASK``,
-    ~1k buckets — per-entity map_groups overhead would be hours at 1e8
+    union, hash-shuffle once on a COARSE key (``key & mask``,
+    input-sized buckets — per-entity map_groups overhead would be hours at 1e8
     users), then resolve every key of a bucket at once with one
     ``pd.merge_asof(by='key')`` — no per-row loops, no broadcast of the
     large side. Output is tie-safe
@@ -492,6 +504,9 @@ def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
     arbitrary row id) and integer-exact (lag in whole hours from
     microsecond arithmetic), so DuckDB's native ASOF JOIN hash-verifies it.
     """
+    mask = resolve_mask(
+        n_buckets, paths=[f"{sf_dir}/events.parquet", f"{sf_dir}/orders.parquet"]
+    )
 
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
@@ -505,7 +520,7 @@ def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame(
             {
                 "key": key,
-                "bucket": key.to_numpy() & _COARSE_MASK,
+                "bucket": key.to_numpy() & mask,
                 "side": np.zeros(len(df), dtype="int8"),
                 "event_id": df["event_id"].astype("int64"),
                 "t_us": df["ts"].astype("datetime64[us]").astype("int64"),
@@ -517,7 +532,7 @@ def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame(
             {
                 "key": key,
-                "bucket": key.to_numpy() & _COARSE_MASK,
+                "bucket": key.to_numpy() & mask,
                 "side": np.ones(len(df), dtype="int8"),
                 "event_id": np.full(len(df), -1, dtype="int64"),
                 "t_us": df["o_orderdate"].astype("datetime64[us]").astype("int64"),
@@ -577,12 +592,14 @@ def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
     return both.groupby("bucket").map_groups(_resolve_bucket, batch_format="pandas")
 
 
-def events_close_pairs(sf_dir: str, max_gap_minutes: int = 5) -> ray.data.Dataset:
+def events_close_pairs(
+    sf_dir: str, max_gap_minutes: int = 5, n_buckets: int | None = None
+) -> ray.data.Dataset:
     """Range self-join: ordered pairs of same-user events within a time
     band (0 <= gap <= max_gap; later-by-(time, id) side is event_b).
 
     The range-join pattern over one COARSE hash shuffle
-    (``user_id & _COARSE_MASK``): each bucket co-locates ~1/1k of the
+    (``user_id & mask``): each bucket co-locates a slice of the
     users; inside a bucket, rows are lexsorted by (user, time, id), each
     user's segment gets its in-band window via one ``searchsorted``, and
     pairs are emitted with vectorized ragged-range arithmetic (np.repeat +
@@ -591,6 +608,7 @@ def events_close_pairs(sf_dir: str, max_gap_minutes: int = 5) -> ray.data.Datase
     ordering; integer-second gaps keep the SQL oracle hash-exact.
     """
     gap_us = max_gap_minutes * 60 * 1_000_000
+    mask = resolve_mask(n_buckets, paths=f"{sf_dir}/events.parquet")
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
@@ -598,7 +616,7 @@ def events_close_pairs(sf_dir: str, max_gap_minutes: int = 5) -> ray.data.Datase
     def _bucketize(batch: pa.Table) -> pa.Table:
         # zero-copy Arrow: append the coarse key without touching data cols
         key = pc.cast(batch.column("user_id"), pa.int64())
-        return batch.append_column("bucket", pc.bit_wise_and(key, _COARSE_MASK))
+        return batch.append_column("bucket", pc.bit_wise_and(key, mask))
 
     def _pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -659,7 +677,7 @@ def events_close_pairs(sf_dir: str, max_gap_minutes: int = 5) -> ray.data.Datase
     )
 
 
-def top_supplier_per_nation(sf_dir: str) -> pd.DataFrame:
+def top_supplier_per_nation(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
     """Arg-max per group over a three-table join: for each nation, the
     supplier with the highest lineitem revenue.
 
@@ -671,6 +689,9 @@ def top_supplier_per_nation(sf_dir: str) -> pd.DataFrame:
     supplier-count-sized revenue table, never on the driver. Ties break on
     the lowest supplier key. Columns: n_name, s_name, revenue_cents.
     """
+    # Shuffled rows are per-batch supplier PARTIALS (pre-aggregated),
+    # far smaller than lineitem itself.
+    mask = resolve_mask(n_buckets, paths=f"{sf_dir}/lineitem.parquet", expansion=0.25)
     supplier = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
     ).to_pandas()
@@ -697,7 +718,7 @@ def top_supplier_per_nation(sf_dir: str) -> pd.DataFrame:
             {"l_suppkey": df["l_suppkey"], "revenue_cents": base * (100 - disc)}
         )
         work = work.groupby("l_suppkey", as_index=False).sum()
-        work["bucket"] = work["l_suppkey"].to_numpy() & _COARSE_MASK
+        work["bucket"] = work["l_suppkey"].to_numpy() & mask
         return work
 
     # Coarse-bucketed reduce (vectorized per-bucket groupby) instead of the
@@ -744,24 +765,27 @@ def top_supplier_per_nation(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("n_name").reset_index(drop=True)
 
 
-def events_funnel(sf_dir: str, window_minutes: int = 60) -> pd.DataFrame:
+def events_funnel(
+    sf_dir: str, window_minutes: int = 60, n_buckets: int | None = None
+) -> pd.DataFrame:
     """Funnel conversion: per user, the first ``view`` event and whether a
     ``purchase`` follows within ``window_minutes`` — the sequential-pattern
     shape (first-touch attribution) the windowed relational family
     otherwise lacks.
 
     Scale shape: same coarse-bucket idiom as :func:`user_sessions` /
-    :func:`events_asof_orders` — shuffle once on ``user_id & _COARSE_MASK``
+    :func:`events_asof_orders` — shuffle once on ``user_id & mask``
     (~1k buckets), then one vectorized ``merge_asof(by=user_id,
     direction=forward, tolerance=window)`` per bucket pairs each user's
     first view with their earliest following purchase. Columns: user_id,
     view_ts, converted (0/1), secs_to_convert (-1 when unconverted).
     """
     tol = pd.Timedelta(minutes=window_minutes)
+    mask = resolve_mask(n_buckets, paths=f"{sf_dir}/events.parquet")
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         key = pc.cast(batch.column("user_id"), pa.int64())
-        return batch.append_column("bucket", pc.bit_wise_and(key, _COARSE_MASK))
+        return batch.append_column("bucket", pc.bit_wise_and(key, mask))
 
     def _funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
         views = (
@@ -824,22 +848,25 @@ def events_funnel(sf_dir: str, window_minutes: int = 60) -> pd.DataFrame:
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
-def events_retention(sf_dir: str, max_offset_days: int = 7) -> pd.DataFrame:
+def events_retention(
+    sf_dir: str, max_offset_days: int = 7, n_buckets: int | None = None
+) -> pd.DataFrame:
     """Cohort retention: users grouped by the day of their FIRST event
     (cohort_day), counted as retained on each later day they were active
     (day_offset 0..``max_offset_days``). The classic product-analytics
     matrix, integer-exact.
 
-    Scale shape: ONE shuffle on ``user_id & _COARSE_MASK`` — a user's
+    Scale shape: ONE shuffle on ``user_id & mask`` — a user's
     whole history lands in one bucket, so first-day and per-day activity
     resolve vectorized inside the bucket; buckets emit (cohort_day,
     day_offset, partial n_users) and a final dimension-sized groupby sums
     the matrix (days x offsets rows — never user-sized on the driver).
     """
+    mask = resolve_mask(n_buckets, paths=f"{sf_dir}/events.parquet")
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         key = pc.cast(batch.column("user_id"), pa.int64())
-        return batch.append_column("bucket", pc.bit_wise_and(key, _COARSE_MASK))
+        return batch.append_column("bucket", pc.bit_wise_and(key, mask))
 
     def _retention_bucket(g: pd.DataFrame) -> pd.DataFrame:
         days = g["ts"].dt.floor("D")
@@ -876,7 +903,9 @@ def events_retention(sf_dir: str, max_offset_days: int = 7) -> pd.DataFrame:
     return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
 
 
-def event_pagerank(sf_dir: str, iterations: int = 3) -> pd.DataFrame:
+def event_pagerank(
+    sf_dir: str, iterations: int = 3, n_buckets: int | None = None
+) -> pd.DataFrame:
     """PageRank over the event-type transition graph (damping 0.85,
     ``iterations`` fixed-point steps in INTEGER arithmetic so both engines
     produce bit-identical values — each edge contribution is
@@ -885,7 +914,7 @@ def event_pagerank(sf_dir: str, iterations: int = 3) -> pd.DataFrame:
 
     Scale shape: the heavy step is edge extraction — consecutive-event
     pairs per user over the whole events table — done with ONE coarse
-    user-bucket shuffle (``user_id & _COARSE_MASK``) and vectorized
+    user-bucket shuffle (``user_id & mask``) and vectorized
     shift-compare inside each bucket, pre-aggregated to (src, dst) partial
     counts per bucket. The aggregated edge table is
     |event_type|^2-sized (dimension-sized), so the power iteration runs
@@ -893,7 +922,7 @@ def event_pagerank(sf_dir: str, iterations: int = 3) -> pd.DataFrame:
 
     Columns: event_type, pr3 (int64, scaled by 1e9), out_w, in_w.
     """
-    mask = _COARSE_MASK
+    mask = resolve_mask(n_buckets, paths=f"{sf_dir}/events.parquet")
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_id", "event_type"],

@@ -15,6 +15,8 @@ import re
 import pandas as pd
 import ray.data
 
+from .buckets import resolve_mask
+
 # Marker stopwords per language for the n-gram/marker lang-id heuristic.
 # Deterministic and SQL-replicable via regexp_extract_all counts.
 LANG_MARKERS = {
@@ -344,7 +346,9 @@ def doc_length_percentiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def distinctive_terms(sf_dir: str, top_k: int = 5) -> pd.DataFrame:
+def distinctive_terms(
+    sf_dir: str, top_k: int = 5, n_buckets: int | None = None
+) -> pd.DataFrame:
     """Per-source most-distinctive terms: rank each source's vocabulary by
     how few OTHER sources use the term (document frequency ascending, then
     count descending, then term) and keep the top-k.
@@ -359,6 +363,9 @@ def distinctive_terms(sf_dir: str, top_k: int = 5) -> pd.DataFrame:
     DuckDB hashes identically. Columns: source, term, cnt, df, rank.
     """
     import ray.data
+
+    # Pre-aggregated (source, term) rows: ~vocab-sized per batch.
+    mask = resolve_mask(n_buckets, paths=f"{sf_dir}/documents.parquet")
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         work = pd.DataFrame(
@@ -377,7 +384,7 @@ def distinctive_terms(sf_dir: str, top_k: int = 5) -> pd.DataFrame:
             }
         )
         out["tbucket"] = (
-            pd.util.hash_array(out["term"].to_numpy(dtype=object)) & 1023
+            pd.util.hash_array(out["term"].to_numpy(dtype=object)) & mask
         ).astype("int64")
         return out
 
@@ -394,7 +401,7 @@ def distinctive_terms(sf_dir: str, top_k: int = 5) -> pd.DataFrame:
             }
         )
         out["sbucket"] = (
-            pd.util.hash_array(out["source"].to_numpy(dtype=object)) & 1023
+            pd.util.hash_array(out["source"].to_numpy(dtype=object)) & mask
         ).astype("int64")
         return out
 
@@ -437,7 +444,9 @@ def distinctive_terms(sf_dir: str, top_k: int = 5) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def bigram_coverage(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
+def bigram_coverage(
+    sf_dir: str, min_count: int = 5, n_buckets: int | None = None
+) -> ray.data.Dataset:
     """Per-document common-bigram coverage against a corpus bigram table —
     the integer-exact core of CCNet/KenLM-style perplexity filtering
     (documents whose word bigrams rarely occur in the corpus LM are noise).
@@ -461,7 +470,8 @@ def bigram_coverage(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
     import numpy as np
 
     path = f"{sf_dir}/documents.parquet"
-    mask = (1 << 10) - 1
+    # Bigram occurrence rows ~ one per token — expansion ~16 over file bytes.
+    mask = resolve_mask(n_buckets, paths=path, expansion=16.0)
 
     def _doc_bigrams(df: pd.DataFrame):
         """Vectorized (doc_index, bigram) explode: one concatenate + one
@@ -757,7 +767,7 @@ def source_length_percentiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["source", "pct"]).reset_index(drop=True)
 
 
-def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
+def tfidf_top_terms(sf_dir: str, n_buckets: int | None = None) -> ray.data.Dataset:
     """Per-document keyword extraction: the term maximizing tf/df (term
     frequency over corpus document frequency — tf-idf's ordering without
     the log, so both engines compare identical IEEE doubles; ties break by
@@ -780,7 +790,10 @@ def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
     import numpy as np
     import ray.data
 
-    mask = (1 << 10) - 1
+    # Per-(doc, term) tf rows ~ token-count-bounded — expansion ~8.
+    mask = resolve_mask(
+        n_buckets, paths=f"{sf_dir}/documents.parquet", expansion=8.0
+    )
 
     def _tag(df: pd.DataFrame) -> pd.DataFrame:
         work = pd.DataFrame(
