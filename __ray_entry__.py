@@ -1593,11 +1593,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, session_id
         """,
         "segment_dedup": """
-            WITH words AS (
+            WITH raw AS (
                 SELECT doc_id,
                        unnest(string_split(text, ' ')) AS word,
                        generate_subscripts(string_split(text, ' '), 1) AS i
                 FROM documents
+            ),
+            -- empty split tokens (leading/consecutive spaces) are not
+            -- words; re-number the survivors so segments stay dense
+            words AS (
+                SELECT doc_id, word,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+                FROM raw WHERE word <> ''
             ),
             segs AS (
                 SELECT doc_id, (i - 1) // 10 AS seg,

@@ -308,3 +308,34 @@ def test_resumable_warc_shards(ray_session, tmp_path):
     a = dict(zip(t.column("url").to_pylist(), t.column("extracted_text").to_pylist()))
     b = dict(zip(t2.column("url").to_pylist(), t2.column("extracted_text").to_pylist()))
     assert a == b
+
+
+def test_mixed_parquet_and_warc_directory(ray_session, tmp_path):
+    """A directory holding BOTH parquet and WARC inputs must route each
+    file to its reader inside a wave (ADVICE r4: mixed chunks fell back to
+    the parquet reader and failed on the .warc members)."""
+    from yomitoku_ray.sources.warc import write_warc_file
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    per = 20
+    pq.write_table(generate_pages_table(per, start=0), str(d / "part-00000.parquet"))
+    t = generate_pages_table(per, start=per)
+    rows = [
+        {
+            "url": r["url"],
+            "warc_ts": int(r["warc_ts"].timestamp() * 1_000_000),
+            "html": r["html"],
+            "lang": r["lang"],
+        }
+        for r in t.to_pylist()
+    ]
+    write_warc_file(rows, str(d / "shard-00000.warc.gz"))
+
+    out = str(tmp_path / "out")
+    # wave_files=2 forces ONE chunk holding both formats
+    s = run_resumable(str(d), out, _cfg(), wave_files=2)
+    assert s["complete"] and s["rows_written"] == 2 * per
+    tbl = pads.dataset(os.path.join(out, "data")).to_table(columns=["url"])
+    urls = tbl.column("url").to_pylist()
+    assert len(urls) == 2 * per and len(set(urls)) == 2 * per

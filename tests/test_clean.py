@@ -326,3 +326,51 @@ def test_events_spike_days_integer_sigma(ray_session, tmp_path):
     assert a["is_spike"].tolist() == [0] * 9 + [1]
     b = df[df["event_type"] == "b"]
     assert b["is_spike"].sum() == 0
+
+
+def test_segment_dedup_leading_space_not_empty(ray_session, tmp_path):
+    """A doc starting with a space (or containing runs of spaces) is not an
+    empty doc: its segments must participate in cross-doc dedup (ADVICE r4:
+    the old ws[0] != '' guard silently dropped all of them)."""
+    import sys
+
+    import duckdb
+
+    from yomitoku_ray.functions.clean import segment_dedup
+
+    shared = " ".join(f"s{k}" for k in range(10))
+    docs = [
+        {"doc_id": 0, "text": " " + shared + "  x0 x1"},  # leading + double space
+        {"doc_id": 1, "text": shared + " y0"},
+        {"doc_id": 2, "text": "   "},  # all spaces -> genuinely empty
+    ]
+    for r in docs:
+        r["lang"], r["source"], r["n_chars"] = "en", "a", len(r["text"])
+    pq.write_table(pa.Table.from_pylist(docs), str(tmp_path / "documents.parquet"))
+    df = (
+        segment_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df.loc[0, "clean_text"] == "x0 x1"  # shared segment dropped, tail kept
+    assert df.loc[0, "n_kept"] == 1 and df.loc[0, "n_dropped"] == 1
+    assert df.loc[1, "clean_text"] == "y0"
+    assert df.loc[2, "clean_text"] == "" and df.loc[2, "n_kept"] == 0
+    assert df.loc[2, "n_dropped"] == 0
+
+    # the DuckDB oracle agrees bit-for-bit on the same adversarial table
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sql = entry.oracle_sql()["segment_dedup"]
+    ora = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        df.astype({"n_kept": "int64", "n_dropped": "int64"}),
+        ora.astype({"n_kept": "int64", "n_dropped": "int64"}),
+        check_like=True,
+    )

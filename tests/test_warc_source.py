@@ -299,3 +299,28 @@ def test_read_warc_selective(ray_session, tmp_path):
     build_cdx_dataset(paths).write_parquet(cdx_pq)
     sel2 = read_warc_selective(cdx_pq, url_prefix=prefix).to_pandas()
     assert sorted(sel2["url"]) == sorted(want)
+
+
+def test_read_warc_selective_hostile_prefix(ray_session, tmp_path):
+    """Prefixes containing quotes or U+FFFF must filter correctly (ADVICE
+    r4: the old string-built expr broke on quotes and the sentinel-range
+    trick misordered on U+FFFF)."""
+    from yomitoku_ray.sources.warc import build_cdx_dataset, read_warc_selective
+
+    rows = _sample_rows(4)
+    hostile = [
+        "https://ex.com/a'quote/page",
+        "https://ex.com/a'quote/other",
+        "https://ex.com/￿-high/page",
+        "https://ex.com/plain/page",
+    ]
+    for r, u in zip(rows, hostile):
+        r["url"] = u
+    p = str(tmp_path / "h.warc.gz")
+    write_warc_file(rows, p)
+    cdx = build_cdx_dataset([p])
+
+    sel = read_warc_selective(cdx, url_prefix="https://ex.com/a'quote/").to_pandas()
+    assert sorted(sel["url"]) == sorted(hostile[:2])
+    sel2 = read_warc_selective(cdx, url_prefix="https://ex.com/￿").to_pandas()
+    assert sorted(sel2["url"]) == [hostile[2]]

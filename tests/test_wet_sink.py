@@ -146,3 +146,37 @@ def test_wet_text_roundtrip_fuzz(texts, ts):
     got = list(iter_wet_rows(io.BytesIO(recs)))
     assert [r["text"] for r in got] == texts
     assert [r["warc_ts"] for r in got] == [ts + i for i in range(len(texts))]
+
+
+def test_ts_us_integer_and_tz_independent():
+    """WET timestamps must not shift with the host zone nor truncate µs
+    (ADVICE r4: naive .timestamp()*1e6 did both)."""
+    import os
+    import time
+    from datetime import datetime, timezone
+
+    from yomitoku_ray.export.wet import _ts_us_of
+
+    dt = datetime(2021, 5, 4, 3, 2, 1, 244)  # 244 µs: the float-trap value
+    expected = (
+        int(
+            (
+                datetime(2021, 5, 4, 3, 2, 1, tzinfo=timezone.utc)
+                - datetime(1970, 1, 1, tzinfo=timezone.utc)
+            ).total_seconds()
+        )
+        * 1_000_000
+        + 244
+    )
+    old_tz = os.environ.get("TZ")
+    try:
+        for tz in ("UTC", "Asia/Tokyo", "America/New_York"):
+            os.environ["TZ"] = tz
+            time.tzset()
+            assert _ts_us_of(dt) == expected, tz
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()

@@ -58,9 +58,18 @@ def cmd_extract(args):
         ds = read_pages(args.input, cfg=cfg)
         if args.url_prefix:
             # page-selection analogue (cli/main.py:94-118): predicate on url,
-            # applied before the heavy stage.
+            # applied before the heavy stage. Programmatic (not a
+            # string-built expr): quotes/U+FFFF in the prefix must not
+            # break or misorder the predicate.
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
             prefix = args.url_prefix
-            ds = ds.filter(expr=f"url >= '{prefix}' and url < '{prefix}\uffff'")
+
+            def _prefix_filter(tbl: pa.Table) -> pa.Table:
+                return tbl.filter(pc.starts_with(tbl.column("url"), prefix))
+
+            ds = ds.map_batches(_prefix_filter, batch_format="pyarrow")
         build_extract_pipeline(ds, cfg).write_parquet(args.output)
         print(json.dumps({"output": args.output}))
 

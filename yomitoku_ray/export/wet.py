@@ -18,6 +18,7 @@ round trips in the same pattern as the repo's other codecs.
 from __future__ import annotations
 
 import gzip
+from datetime import datetime, timezone
 from typing import Iterator
 
 import pyarrow as pa
@@ -100,6 +101,21 @@ def read_wet(paths, *, batch_rows: int = 256):
     return ray.data.read_datasource(WetDatasource(paths))
 
 
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def _ts_us_of(dt: datetime) -> int:
+    """Arrow ``timestamp('us').to_pylist()`` yields tz-NAIVE datetimes that
+    are UTC by the column's convention; ``.timestamp()`` would reinterpret
+    them in the host zone (9 h off under TZ=Asia/Tokyo) and its float
+    multiply truncates microseconds — the exact trap ``_parse_warc_date``
+    documents. Integer timedelta math against the UTC epoch instead."""
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    delta = dt - _EPOCH
+    return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+
+
 def _wet_table(rows: list[dict], schema: pa.Schema) -> pa.Table:
     return pa.table(
         {
@@ -144,12 +160,12 @@ def write_wet(
             texts = tbl.column(text_col).to_pylist()
             if include_warcinfo:
                 first = tss[0] if tss else None
-                ts0 = int(first.timestamp() * 1_000_000) if first is not None else 0
+                ts0 = _ts_us_of(first) if first is not None else 0
                 file.write(gzip.compress(encode_warcinfo(ts0)))
             for url, ts, text in zip(urls, tss, texts):
                 if text is None:
                     continue
-                ts_us = int(ts.timestamp() * 1_000_000) if ts is not None else 0
+                ts_us = _ts_us_of(ts) if ts is not None else 0
                 file.write(gzip.compress(encode_wet_record(url, ts_us, text)))
 
     ds.write_datasink(WetDatasink())

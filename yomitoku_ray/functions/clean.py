@@ -712,13 +712,17 @@ def segment_dedup(
     )
 
     def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        # Drop empty split tokens (leading/trailing/consecutive spaces)
+        # rather than gating on ws[0]: a doc starting with a space is not
+        # an empty doc, and its segments must still participate.
         words = df["text"].fillna("").str.split(" ")
         seg_lists = words.apply(
-            lambda ws: [
-                " ".join(ws[k : k + seg_words]) for k in range(0, len(ws), seg_words)
-            ]
-            if ws and ws[0] != ""
-            else []
+            lambda raw: (
+                lambda ws: [
+                    " ".join(ws[k : k + seg_words])
+                    for k in range(0, len(ws), seg_words)
+                ]
+            )([w for w in raw if w])
         )
         n_total = seg_lists.str.len().astype("int64")
         segs = pd.DataFrame(

@@ -27,6 +27,7 @@ codecs: encoder-paired decoders, no fixtures from the network.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import io
 from datetime import datetime, timezone
 from typing import Iterator
@@ -502,7 +503,13 @@ def encode_warc_record(
             (b"Content-Language: %s\r\n" % lang.encode("ascii")) if lang else b"",
         )
     ) + body
-    rid = record_id or f"<urn:uuid:{abs(hash((url, ts_us))):032x}>"
+    # md5, not built-in hash(): string hashing is salted per process, which
+    # would make encoded bytes nondeterministic across runs (artifact-hash
+    # comparisons flake) against the encoder's determinism contract.
+    rid = (
+        record_id
+        or f"<urn:uuid:{hashlib.md5(f'{url}|{ts_us}'.encode('utf-8')).hexdigest()}>"
+    )
     head = (
         b"WARC/1.0\r\n"
         b"WARC-Type: response\r\n"
@@ -687,8 +694,14 @@ def read_warc_selective(cdx, *, url_prefix: str | None = None, batch_rows: int =
     if not isinstance(cdx, ray.data.Dataset):
         cdx = ray.data.from_pandas(pd.DataFrame(cdx))
     if url_prefix is not None:
-        hi = url_prefix + "￿"
-        cdx = cdx.filter(expr=f"url >= '{url_prefix}' and url < '{hi}'")
+        # Programmatic predicate, not a string-built expr: a prefix
+        # containing a quote must not break (or rewrite) the expression,
+        # and prefixes containing U+FFFF misorder under the sentinel
+        # range trick. starts_with is the exact intended semantics.
+        def _prefix_filter(tbl: pa.Table) -> pa.Table:
+            return tbl.filter(pa.compute.starts_with(tbl.column("url"), url_prefix))
+
+        cdx = cdx.map_batches(_prefix_filter, batch_format="pyarrow")
 
     def _fetch(df: pd.DataFrame) -> pd.DataFrame:
         out_rows: list[dict] = []

@@ -64,13 +64,25 @@ def _list_input_files(pages_path: str) -> list[str]:
 def _read_chunk(chunk: list[str]):
     """Pages Dataset for one wave's input files — parquet or WARC shards
     (the checkpoint unit is the input FILE either way, so a resumed crawl
-    skips whole committed WARC shards exactly like committed parquet)."""
-    if chunk and all(p.endswith((".warc", ".warc.gz")) for p in chunk):
+    skips whole committed WARC shards exactly like committed parquet).
+
+    A directory mixing both formats yields mixed chunks; each format goes
+    to ITS reader and the two sides union (an all-warc test would feed
+    .warc files to the parquet reader and fail the wave otherwise)."""
+    warc = [p for p in chunk if p.endswith((".warc", ".warc.gz"))]
+    other = [p for p in chunk if not p.endswith((".warc", ".warc.gz"))]
+    parts = []
+    if warc:
         from ..pipelines.extract import PAGES_COLUMNS
         from ..sources.warc import read_warc
 
-        return read_warc(chunk).select_columns(list(PAGES_COLUMNS))
-    return read_pages(chunk)
+        parts.append(read_warc(warc).select_columns(list(PAGES_COLUMNS)))
+    if other:
+        parts.append(read_pages(other))
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.union(extra)
+    return out
 
 
 def _manifest_dir(out_root: str) -> str:
