@@ -6,3 +6,7 @@ Ray Data pipeline over Common-Crawl-style Parquet web pages.
 """
 
 __version__ = "0.1.0"
+
+from .context import configure_data_context as _configure_data_context
+
+_configure_data_context()

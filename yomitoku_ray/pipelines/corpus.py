@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from ..functions.buckets import resolve_mask
 from .extract import ExtractConfig, extract_pages
 
 
@@ -43,10 +44,12 @@ class CorpusConfig:
     min_words: int = 5
     max_dup_word_frac_pct: int = 50  # drop if 100*(1 - unique/total) > this
     # the dedup exchange groups by digest & (digest_buckets-1); a whole
-    # bucket is held in one map_groups call, so size this at roughly
-    # corpus_bytes / 1 GiB (uniform digest keys -> uniform buckets).
-    # 4096 suits the test scales; a 100 TB run wants ~10^5.
-    digest_buckets: int = 4096
+    # bucket is held in one map_groups call, so the count must scale with
+    # the input. None (default) applies functions/buckets.py's sizing rule
+    # to the pages path (next_pow2(file_bytes / 64 MiB), floor 1024, cap
+    # 2^22 — uniform digest keys -> uniform buckets); set explicitly to
+    # override.
+    digest_buckets: int | None = None
     # streaming_dedup=True swaps the digest-bucket shuffle for the
     # sharded actor index (state/dedup_index.py): no all-to-all exchange
     # and the index persists across runs (incremental-crawl dedup), at
@@ -65,7 +68,16 @@ def _clean_batch(df: pd.DataFrame, *, min_words: int, max_dup_pct: int, mask: in
     texts = ok["extracted_text"].fillna("")
     words = texts.str.split()
     n_words = words.str.len().fillna(0).astype("int64")
-    n_unique = words.apply(lambda ws: len(set(ws)) if ws else 0).astype("int64")
+    # vectorized distinct-word count (the gopher_repetition shape):
+    # explode + per-doc nunique, no per-row Python set()
+    n_unique = (
+        words.explode()
+        .groupby(level=0)
+        .nunique()
+        .reindex(words.index)
+        .fillna(0)
+        .astype("int64")
+    )
     dup_pct = np.where(n_words > 0, 100 - (100 * n_unique) // np.maximum(n_words, 1), 0)
     keep = ((n_words >= min_words) & (dup_pct <= max_dup_pct)).to_numpy()
     kept = ok[keep]
@@ -101,7 +113,7 @@ def build_corpus(pages_path: str, cfg: CorpusConfig | None = None) -> ray.data.D
     """pages parquet -> deduplicated, quality-filtered corpus Dataset
     (columns: digest, url, warc_ts, lang, text, n_words, n_copies)."""
     cfg = cfg or CorpusConfig()
-    mask = cfg.digest_buckets - 1
+    mask = resolve_mask(cfg.digest_buckets, paths=pages_path)
     if cfg.langs is not None:
         import pyarrow.compute as pc
         import pyarrow.dataset  # noqa: F401  (registers expression filtering)
@@ -142,23 +154,48 @@ def build_corpus(pages_path: str, cfg: CorpusConfig | None = None) -> ray.data.D
 
 def corpus_build_summary(pages_path: str, cfg: CorpusConfig | None = None) -> pd.DataFrame:
     """One-row rollup of a full corpus build (the driver-query view):
-    documents surviving each gate plus corpus-level token mass."""
-    corpus = build_corpus(pages_path, cfg).materialize()
-    n_docs = corpus.count()
-    has_copies = n_docs and "n_copies" in corpus.schema().names
-    if n_docs:
-        cols = ["n_words"] + (["n_copies"] if has_copies else [])
-        agg = corpus.sum(cols)
-        if not has_copies:  # streaming mode: copies were dropped in-flight
-            agg["sum(n_copies)"] = n_docs
-    else:
-        agg = {"sum(n_words)": 0, "sum(n_copies)": 0}
-    langs = corpus.unique("lang") if n_docs else []
+    documents surviving each gate plus corpus-level token mass.
+
+    Single streaming pass (VERDICT r4 #4): a per-batch per-lang combiner
+    plus one lang-keyed reduce replaces the old ``materialize()`` +
+    count/sum/unique triple pass — nothing corpus-sized is ever pinned for
+    this 4-number summary."""
+    from ray.data.aggregate import Sum
+
+    corpus = build_corpus(pages_path, cfg)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_words", "size"), n_words=("n_words", "sum")
+        )
+        if "n_copies" in df.columns:
+            out["n_copies"] = (
+                df.groupby("lang")["n_copies"]
+                .sum()
+                .reindex(out["lang"])
+                .to_numpy("int64")
+            )
+        else:  # streaming mode: copies were dropped in-flight
+            out["n_copies"] = out["n_docs"]
+        for c in ("n_docs", "n_words", "n_copies"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    per_lang = (
+        corpus.map_batches(_partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_copies", alias_name="n_copies"),
+        )
+        .to_pandas()  # lang-count-sized (dimension), the only collect
+    )
     return pd.DataFrame(
         {
-            "n_docs": pd.Series([n_docs], dtype="int64"),
-            "n_words_total": pd.Series([int(agg["sum(n_words)"])], dtype="int64"),
-            "n_source_docs": pd.Series([int(agg["sum(n_copies)"])], dtype="int64"),
-            "n_langs": pd.Series([len(langs)], dtype="int64"),
+            "n_docs": pd.Series([int(per_lang["n_docs"].sum())], dtype="int64"),
+            "n_words_total": pd.Series([int(per_lang["n_words"].sum())], dtype="int64"),
+            "n_source_docs": pd.Series([int(per_lang["n_copies"].sum())], dtype="int64"),
+            "n_langs": pd.Series([len(per_lang)], dtype="int64"),
         }
     )
