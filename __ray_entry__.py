@@ -294,7 +294,34 @@ def _paged_extract(sf_dir: str) -> pd.DataFrame:
     pages = explode_paged_docs(docs).select_columns(["url", "warc_ts", "html", "lang"])
     result = build_extract_pipeline(pages, ExtractConfig())
     merged = merge_exploded_pages(result)
-    return merged.to_pandas().sort_values("doc_url").reset_index(drop=True)
+    out = merged.to_pandas().sort_values("doc_url").reset_index(drop=True)
+
+    # Self-checking gate (VERDICT r4 #5, the warc_roundtrip pattern): the
+    # generator is a pure function of the doc index embedded in doc_url, so
+    # the expected page count — and whether the container was deliberately
+    # malformed — re-derives analytically in-query. ok_shape==1 everywhere.
+    import random as _random
+
+    from yomitoku_ray.synth.pages import SEED
+
+    def _expected_shape(doc_url: str) -> tuple[int, bool]:
+        i = int(doc_url.rsplit("/", 1)[1])
+        r = _random.Random((SEED << 21) ^ (i * 2654435761))
+        n_pages = r.randint(1, 5)
+        malformed = r.random() < 0.02
+        return n_pages, malformed
+
+    oks = []
+    for doc_url, n_pages, n_ok in zip(
+        out["doc_url"], out["n_pages"], out["n_ok_pages"]
+    ):
+        want_pages, malformed = _expected_shape(doc_url)
+        if malformed:  # one isolated error row, nothing extracted
+            oks.append(int(n_pages == 1 and n_ok == 0))
+        else:
+            oks.append(int(n_pages == want_pages))
+    out["ok_shape"] = pd.Series(oks, dtype="int64")
+    return out
 
 
 def _image_features_summary(sf_dir: str) -> pd.DataFrame:
@@ -336,9 +363,34 @@ def _image_features_summary(sf_dir: str) -> pd.DataFrame:
             ],
         }
     )
-    return out.sort_values("img_id").reset_index(drop=True).astype(
+    out = out.sort_values("img_id").reset_index(drop=True).astype(
         {"img_id": "int64", "width": "int64", "height": "int64", "mean_luma_milli": "int64"}
     )
+
+    # Self-checking gate (VERDICT r4 #5): the generator draws dimensions
+    # from RandomState(0xC0FFEE ^ i) and the container format from i, so
+    # expected dims and sniffed format re-derive analytically in-query.
+    import numpy as _np
+
+    _fmt_of_kind = {
+        "png": "png", "gif": "gif", "jpeg": "jpeg", "jpeg420": "jpeg",
+        "jpegprog": "jpeg", "jpegprogsa": "jpeg", "bmp": "bmp",
+        "tiff": "tiff", "webp": "webp", "junk": "unknown",
+    }
+    ok_dims, ok_format = [], []
+    for i, kind, fmt, w, h in zip(
+        out["img_id"], out["kind"], out["format"], out["width"], out["height"]
+    ):
+        ok_format.append(int(fmt == _fmt_of_kind[kind]))
+        if kind == "junk":
+            ok_dims.append(int(w == -1 and h == -1))
+        else:
+            rng = _np.random.RandomState(0xC0FFEE ^ int(i))
+            eh, ew = int(rng.randint(4, 24)), int(rng.randint(4, 24))
+            ok_dims.append(int(w == ew and h == eh))
+    out["ok_dims"] = pd.Series(ok_dims, dtype="int64")
+    out["ok_format"] = pd.Series(ok_format, dtype="int64")
+    return out
 
 
 def _warc_roundtrip(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
@@ -406,8 +458,42 @@ def _video_frames_summary(sf_dir: str) -> pd.DataFrame:
         concurrency=2,
         num_cpus=0.5,
     )
-    out = ds.to_pandas()
-    return out.sort_values(["vid_id", "frame_idx"]).reset_index(drop=True)
+    out = ds.to_pandas().sort_values(["vid_id", "frame_idx"]).reset_index(drop=True)
+
+    # Self-checking gate (VERDICT r4 #5): clips are pure functions of
+    # vid_id — flat frames decode EXACTLY, so per-frame luma, frame count
+    # and fps all re-derive analytically in-query. ok==1 everywhere.
+    import numpy as _np
+
+    from yomitoku_ray.kernels.png import to_gray
+    from yomitoku_ray.synth.videos import expected_frame_gray
+
+    oks = []
+    for vid, fi, nf, fps, luma, err in zip(
+        out["vid_id"], out["frame_idx"], out["n_frames"], out["fps"],
+        out["mean_luma_milli"], out["error"],
+    ):
+        i = int(vid)
+        has_err = not pd.isna(err)
+        if i % 25 == 24:  # junk container -> one isolated error row
+            oks.append(int(has_err and int(fi) == -1))
+            continue
+        rng = _np.random.RandomState(0x51DE0 ^ i)
+        h, w = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+        want_frames = int(rng.randint(2, 9))
+        if int(nf) != want_frames or int(fps) != 5 + (i % 3) or has_err:
+            oks.append(0)
+            continue
+        if i % 2 == 0:
+            # luma is Rec.601 in [0,1]; a flat gray frame decodes exactly
+            want = int(round(1000 * expected_frame_gray(i, int(fi)) / 255.0))
+        else:
+            color = rng.randint(0, 256, 3, dtype=_np.uint8)
+            px = _np.full((1, 1, 3), color[None, None, :], dtype=_np.uint8)
+            want = int(round(1000 * float(to_gray(px).mean())))
+        oks.append(int(int(luma) == want))
+    out["ok"] = pd.Series(oks, dtype="int64")
+    return out
 
 
 def _audio_features_summary(sf_dir: str) -> pd.DataFrame:
@@ -433,11 +519,39 @@ def _audio_features_summary(sf_dir: str) -> pd.DataFrame:
             "duration_ms": [r["audio_features"]["duration_ms"] for r in rows],
             "dominant_hz": [r["audio_features"]["dominant_hz"] for r in rows],
             "rms_milli": [r["audio_features"]["rms_milli"] for r in rows],
+            "true_hz": [r["true_hz"] for r in rows],
         }
     )
-    return out.sort_values("clip_id").reset_index(drop=True).astype(
-        {c: "int64" for c in ("clip_id", "ok", "duration_ms", "dominant_hz", "rms_milli")}
+    out = out.sort_values("clip_id").reset_index(drop=True).astype(
+        {
+            c: "int64"
+            for c in ("clip_id", "ok", "duration_ms", "dominant_hz", "rms_milli", "true_hz")
+        }
     )
+
+    # Self-checking gate (VERDICT r4 #5): the generator writes each tone on
+    # an exact FFT bin and records it in true_hz, and rate/length are pure
+    # functions of clip_id — so dominant frequency and duration re-derive
+    # analytically in-query. ok_gate==1 everywhere.
+    _rates = (8000, 16000, 22050)
+    oks = []
+    for cid, kind, ok, dur, dom, true in zip(
+        out["clip_id"], out["kind"], out["ok"], out["duration_ms"],
+        out["dominant_hz"], out["true_hz"],
+    ):
+        i = int(cid)
+        if kind == "junk":
+            oks.append(int(ok == 0))
+            continue
+        rate = _rates[i % 3]
+        seconds = 0.25 + 0.25 * (i % 3)
+        want_ms = int(round(1000 * int(rate * seconds) / rate))
+        good = ok == 1 and int(dur) == want_ms
+        if kind in ("sine", "twotone"):
+            good = good and int(dom) == int(true)
+        oks.append(int(good))
+    out["ok_gate"] = pd.Series(oks, dtype="int64")
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
