@@ -109,3 +109,51 @@ def test_cli_visualize(ray_session, tmp_path):
     assert len(files) >= 5
     px = decode_png(open(files[0], "rb").read())
     assert px.size > 0
+
+
+def test_extraction_visualizer_exact_pixels():
+    from yomitoku_ray.extractor.rule_pipeline import ResolvedElement, ResolvedField
+    from yomitoku_ray.visualize import _EXTRACT_COLOR, extraction_visualizer
+
+    fields = [
+        ResolvedField(
+            name="TOTAL",
+            value="12",
+            raw_text="12",
+            elements=[ResolvedElement(id="c1", box=[20, 30, 60, 50], contents="12")],
+            confidence="high",
+        )
+    ]
+    canvas = extraction_visualizer(fields)
+    # translucent fill inside the box: 15% red over white, integer blend
+    want_fill = tuple(((15 * c + 85 * 255) // 100) for c in _EXTRACT_COLOR)
+    assert tuple(canvas[40, 40]) == want_fill
+    # 2px stroke on the box edge is pure red
+    assert tuple(canvas[30, 40]) == _EXTRACT_COLOR
+    # label chip above the box is filled red with white glyph pixels inside
+    assert tuple(canvas[25, 21]) == _EXTRACT_COLOR
+    chip = canvas[19:30, 20:58]
+    assert (chip == 255).all(axis=2).any()  # some white text pixels
+    # outside everything stays white
+    assert tuple(canvas[5, 5]) == (255, 255, 255)
+    # determinism: same input -> byte-identical canvas
+    assert np.array_equal(canvas, extraction_visualizer(fields))
+
+
+def test_extraction_visualizer_dict_fields_and_alpha():
+    from yomitoku_ray.visualize import _EXTRACT_COLOR, extraction_visualizer
+
+    def fill_at(conf):
+        fields = [
+            {
+                "name": "F",
+                "confidence": conf,
+                "elements": [{"label": "", "box": [10, 20, 40, 40]}],
+            }
+        ]
+        canvas = extraction_visualizer(fields)
+        return tuple(canvas[30, 25])
+
+    for conf, pct in (("high", 15), ("medium", 25), ("low", 40), ("???", 20)):
+        want = tuple(((pct * c + (100 - pct) * 255) // 100) for c in _EXTRACT_COLOR)
+        assert fill_at(conf) == want, conf

@@ -227,6 +227,88 @@ def table_visualizer(doc: dict, canvas: np.ndarray | None = None) -> np.ndarray:
     return canvas
 
 
+# extraction overlay: integer alpha percents by confidence (reference
+# extractor/visualizer.py:11-15 _CONFIDENCE_ALPHA x100; integer blend
+# keeps the canvas byte-deterministic)
+_CONFIDENCE_ALPHA_PCT = {"high": 15, "medium": 25, "low": 40}
+_EXTRACT_COLOR = (255, 0, 0)  # the reference's bright red, RGB here
+_LABEL_TEXT_COLOR = (255, 255, 255)
+
+
+def _blend_rect(canvas, box, color, alpha_pct: int):
+    """Translucent fill: round-down integer blend, deterministic."""
+    h, w = canvas.shape[:2]
+    x1, y1, x2, y2 = (int(v) for v in box)
+    x1, x2 = max(0, min(x1, x2)), min(w, max(x1, x2))
+    y1, y2 = max(0, min(y1, y2)), min(h, max(y1, y2))
+    if x2 <= x1 or y2 <= y1:
+        return
+    region = canvas[y1:y2, x1:x2].astype(np.int64)
+    col = np.asarray(color, dtype=np.int64)[None, None, :]
+    canvas[y1:y2, x1:x2] = (
+        (alpha_pct * col + (100 - alpha_pct) * region) // 100
+    ).astype(np.uint8)
+
+
+def extraction_visualizer(
+    fields, canvas: np.ndarray | None = None, doc: dict | None = None
+) -> np.ndarray:
+    """Resolved-field provenance overlay (reference
+    ``extractor/visualizer.py:25`` ``extraction_visualizer``): for every
+    element of every extracted field, a confidence-alpha translucent fill,
+    a stroked box, and a label chip above the box (element label if set,
+    else the field name) — the same information drawn with this module's
+    numpy primitives instead of cv2/PIL.
+
+    ``fields`` accepts :class:`~yomitoku_ray.extractor.rule_pipeline.ResolvedField`
+    objects or their dict form (``{"name", "confidence", "elements":
+    [{"label", "box"}, ...]}``). Canvas sizing falls back to ``doc`` dims,
+    then to the field boxes themselves.
+    """
+
+    def _view(f):
+        if isinstance(f, dict):
+            name = f.get("name", "")
+            conf = f.get("confidence", "")
+            els = [
+                ((e.get("label") or name), list(e["box"]))
+                for e in f.get("elements", ())
+            ]
+        else:
+            name, conf = f.name, f.confidence
+            els = [
+                ((getattr(e, "label", "") or name), list(e.box))
+                for e in f.elements
+            ]
+        return conf, els
+
+    views = [_view(f) for f in fields]
+    if canvas is None:
+        if doc is not None:
+            w, h = _page_dims(doc)
+        else:
+            w = h = 64
+            for _, els in views:
+                for _, box in els:
+                    w = max(w, int(box[2]) + 8)
+                    h = max(h, int(box[3]) + 8)
+        canvas = blank_canvas(w, h)
+    for conf, els in views:
+        alpha = _CONFIDENCE_ALPHA_PCT.get(conf, 20)
+        for label, box in els:
+            _blend_rect(canvas, box, _EXTRACT_COLOR, alpha)
+            draw_rect(canvas, box, _EXTRACT_COLOR, 2)
+            x1, y1 = int(box[0]), int(box[1])
+            chip_h = 11
+            chip_y = max(y1 - chip_h, 0)
+            chip_w = 6 * len(str(label)) + 4
+            draw_rect(
+                canvas, (x1, chip_y, x1 + chip_w, chip_y + chip_h), _EXTRACT_COLOR, 1, fill=True
+            )
+            draw_text(canvas, str(label), (x1 + 2, chip_y + 2), _LABEL_TEXT_COLOR)
+    return canvas
+
+
 def visualize_document(doc: dict) -> np.ndarray:
     """All overlays on one canvas (layout + words + reading order)."""
     canvas = layout_visualizer(doc)
