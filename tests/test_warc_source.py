@@ -324,3 +324,42 @@ def test_read_warc_selective_hostile_prefix(ray_session, tmp_path):
     assert sorted(sel["url"]) == sorted(hostile[:2])
     sel2 = read_warc_selective(cdx, url_prefix="https://ex.com/￿").to_pandas()
     assert sorted(sel2["url"]) == [hostile[2]]
+
+
+def test_read_warc_split_byte_parity(ray_session, tmp_path):
+    """Intra-file split read (VERDICT r4 #8): ranges aligned to gzip member
+    boundaries via the CDX index must reproduce the unsplit read exactly,
+    including files below the split threshold on the streaming path."""
+    import os
+
+    from yomitoku_ray.sources.warc import read_warc, read_warc_split
+
+    rows = _sample_rows(40)
+    big = str(tmp_path / "big.warc.gz")
+    small = str(tmp_path / "small.warc.gz")
+    write_warc_file(rows[:30], big)
+    write_warc_file(rows[30:], small)
+    # force the big shard into multiple ranges: threshold between sizes
+    thr = (os.path.getsize(big) + os.path.getsize(small)) // 4
+    assert os.path.getsize(big) > thr >= os.path.getsize(small)
+
+    def _frame(ds):
+        df = ds.to_pandas().sort_values("url").reset_index(drop=True)
+        df["html"] = df["html"].map(bytes)
+        return df
+
+    base = _frame(read_warc([big, small]))
+    split = _frame(read_warc_split([big, small], split_bytes=thr))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, split)
+    assert len(split) == 40
+
+    # the planned range count actually exceeds 1 for the big shard
+    from yomitoku_ray.sources.warc import build_cdx_dataset
+
+    entries = build_cdx_dataset([big]).to_pandas()
+    assert len(entries) == 30
+    # cdx passed explicitly takes the same path
+    split2 = _frame(read_warc_split([big, small], cdx=build_cdx_dataset([big]), split_bytes=thr))
+    pd.testing.assert_frame_equal(base, split2)

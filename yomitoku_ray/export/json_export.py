@@ -194,3 +194,121 @@ def fast_document_json(document) -> str:
         f'{p}"words": {_list_json(document.words, 1, _word_json)}\n'
         f"}}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic fast canonical serializer.
+#
+# The semantic stage serializes three differently-shaped payloads
+# (doc.dump(), views, extraction results); profiling put the generic
+# json.dumps(indent=4) pure-Python encoder at ~43% of the stage's CPU.
+# This recursive emitter produces byte-identical output for plain JSON
+# trees (str keys, str/int/float/bool/None leaves, list/tuple/dict
+# containers) using the C encoder for leaf strings; anything outside that
+# shape falls back to dumps_canonical_json for the whole call, so byte
+# identity is unconditional (asserted by tests/test_fast_json.py).
+# ---------------------------------------------------------------------------
+
+class _Unsupported(Exception):
+    pass
+
+
+# C-accelerated string escaper — the exact function the stdlib encoder
+# uses for ensure_ascii=False (json.dumps per leaf would rebuild a whole
+# JSONEncoder per call, which profiling showed dominates).
+_esc = json.encoder.encode_basestring
+_INF = float("inf")
+
+
+# per-level "\n<indent>" strings, grown on demand
+_NLP = ["\n" + " " * (4 * i) for i in range(10)]
+
+
+def _nlp(lvl: int) -> str:
+    while len(_NLP) <= lvl:
+        _NLP.append("\n" + " " * (4 * len(_NLP)))
+    return _NLP[lvl]
+
+
+def _enc_any(o, lvl: int, out: list) -> None:
+    t = type(o)
+    if t is str:
+        out.append(_esc(o))
+    elif t is int:
+        out.append(repr(o))
+    elif o is None:
+        out.append("null")
+    elif o is True:
+        out.append("true")
+    elif o is False:
+        out.append("false")
+    elif t is float:
+        if o != o:
+            out.append("NaN")
+        elif o == _INF:
+            out.append("Infinity")
+        elif o == -_INF:
+            out.append("-Infinity")
+        else:
+            out.append(repr(o))
+    elif t is list or t is tuple:
+        if not o:
+            out.append("[]")
+            return
+        p = _nlp(lvl + 1)
+        for v in o:
+            # boxes/points dominate these payloads: emit int-only lists
+            # without one recursive call per element
+            if type(v) is not int:
+                break
+        else:
+            out.append("[" + p + ("," + p).join([repr(v) for v in o]))
+            out.append(_nlp(lvl) + "]")
+            return
+        sep = "," + p
+        out.append("[")
+        out.append(p)
+        first = True
+        for v in o:
+            if not first:
+                out.append(sep)
+            first = False
+            _enc_any(v, lvl + 1, out)
+        out.append(_nlp(lvl) + "]")
+    elif t is dict:
+        if not o:
+            out.append("{}")
+            return
+        p = _nlp(lvl + 1)
+        sep = "," + p
+        out.append("{")
+        out.append(p)
+        try:
+            keys = sorted(o)
+        except TypeError as exc:  # mixed-type keys: json would raise too
+            raise _Unsupported from exc
+        first = True
+        for k in keys:
+            if type(k) is not str:
+                raise _Unsupported  # json would coerce; rare — fall back
+            if not first:
+                out.append(sep)
+            first = False
+            out.append(_esc(k))
+            out.append(": ")
+            _enc_any(o[k], lvl + 1, out)
+        out.append(_nlp(lvl) + "}")
+    else:
+        raise _Unsupported  # unknown type: let the stdlib raise its error
+
+
+def fast_canonical_json(data) -> str:
+    """Byte-identical to :func:`dumps_canonical_json` on plain JSON trees
+    (str keys; str/int/float/bool/None leaves; list/tuple/dict containers),
+    several times faster; falls back to the stdlib for anything exotic."""
+    out: list = []
+    try:
+        _enc_any(data, 0, out)
+    except _Unsupported:
+        return dumps_canonical_json(data)
+    return "".join(out)

@@ -724,3 +724,110 @@ def read_warc_selective(cdx, *, url_prefix: str | None = None, batch_rows: int =
         return t
 
     return cdx.map_batches(_fetch, batch_format="pandas", batch_size=batch_rows)
+
+
+def read_warc_split(
+    paths,
+    *,
+    cdx=None,
+    split_bytes: int = 128 << 20,
+    batch_rows: int = 256,
+    **read_kwargs,
+):
+    """Skew-tolerant WARC read: split oversized shards into offset-range
+    tasks (VERDICT r4 #8).
+
+    ``read_warc`` parallelizes one task per file — the right unit for
+    Common Crawl's uniform ~1 GiB shards, but a skewed input (a few huge
+    shards among small ones) leaves most of the pool idle while one task
+    streams a giant file. Here any file larger than ``split_bytes`` is
+    split into ~``split_bytes`` compressed-byte ranges ALIGNED TO GZIP
+    MEMBER BOUNDARIES via its CDX member index, and each range becomes an
+    independent read task (seek + bounded read + member-wise decode);
+    files at or under the threshold keep the streaming one-task path, and
+    the two sides union. Rows are byte-identical to the unsplit read
+    (pinned in tests).
+
+    ``cdx``: a CDX Dataset / parquet path / list of entry dicts covering
+    the oversized files (columns path, url, offset, length). When omitted
+    it is built on the spot with :func:`build_cdx_dataset` — one
+    distributed pass per big file; a 100 TB run should pass the sidecar
+    written once by the ``cdx`` CLI instead of paying that pass per read.
+
+    Non-response members (warcinfo, requests) living between indexed
+    records are swept into the enclosing range and skipped by the parser,
+    exactly as in the streaming read.
+    """
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    if isinstance(paths, str):
+        paths = [paths]
+    big = [p for p in paths if os.path.getsize(p) > split_bytes]
+    small = [p for p in paths if p not in big]
+
+    parts = []
+    if small:
+        parts.append(read_warc(small, batch_rows=batch_rows, **read_kwargs))
+    if big:
+        if cdx is None:
+            cdx = build_cdx_dataset(big)
+        if isinstance(cdx, str):
+            cdx = ray.data.read_parquet(cdx)
+        if isinstance(cdx, ray.data.Dataset):
+            entries = cdx.select_columns(["path", "offset", "length"]).to_pandas()
+        else:
+            entries = pd.DataFrame(list(cdx))[["path", "offset", "length"]]
+        # Plan ranges driver-side: the entries table is metadata-sized
+        # (one row per record), the planned range list smaller still.
+        ranges: list[dict] = []
+        for path in big:
+            sub = entries[entries["path"] == path].sort_values("offset")
+            if len(sub) == 0:
+                raise WarcFormatError(f"{path}: no CDX entries cover this file")
+            start = prev_end = None
+            for off, ln in zip(sub["offset"].astype(int), sub["length"].astype(int)):
+                if start is None:
+                    # sweep any leading non-response members into range 0
+                    start, prev_end = 0, off + ln
+                    continue
+                if off + ln - start > split_bytes:
+                    ranges.append({"path": path, "start": start, "end": off})
+                    start = off
+                prev_end = off + ln
+            ranges.append({"path": path, "start": start, "end": os.path.getsize(path)})
+
+        def _fetch_range(df: pd.DataFrame) -> pd.DataFrame:
+            out_rows: list[dict] = []
+            for path, start, end in zip(df["path"], df["start"], df["end"]):
+                with open(path, "rb") as f:
+                    f.seek(int(start))
+                    span = f.read(int(end) - int(start))
+                buf = io.BytesIO()
+                pos = 0
+                while pos < len(span):
+                    import zlib
+
+                    d = zlib.decompressobj(31)
+                    buf.write(d.decompress(span[pos:]))
+                    buf.write(d.flush())
+                    if not d.eof:
+                        raise WarcFormatError(
+                            f"{path}@{start}: torn gzip member inside range"
+                        )
+                    pos = len(span) - len(d.unused_data)
+                buf.seek(0)
+                out_rows.extend(warc_records_to_rows(iter_warc_records(buf, path=path)))
+            return _rows_to_table(out_rows).to_pandas()
+
+        parts.append(
+            ray.data.from_items(ranges).map_batches(
+                _fetch_range, batch_format="pandas", batch_size=1
+            )
+        )
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.union(extra)
+    return out
