@@ -129,7 +129,7 @@ def test_sniff_dims_wide():
 def test_error_paths():
     with pytest.raises(WebpError):
         decode_webp(b"nope")
-    with pytest.raises(WebpError, match="lossy"):
+    with pytest.raises(WebpError):  # lossy arm: garbage VP8 chunk
         decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
     blob = encode_webp_lossless(RNG.randint(0, 256, (8, 8, 3), dtype=np.uint8))
     with pytest.raises(WebpError):
@@ -169,8 +169,8 @@ def test_synth_webp_rows_decode_exactly():
 
 
 def test_sniff_lossy_and_extended_headers():
-    """Hand-built VP8 (lossy) and VP8X chunks: dims sniffed, decode
-    refuses lossy honestly."""
+    """Hand-built VP8 (lossy) and VP8X chunks: dims sniffed; a truncated
+    lossy chunk raises (real decode lives in kernels/vp8.py now)."""
     import struct
 
     def riff(tag, body):
@@ -181,7 +181,7 @@ def test_sniff_lossy_and_extended_headers():
 
     vp8 = riff(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", 320, 240))
     assert sniff_webp_dims(vp8) == (320, 240)
-    with pytest.raises(WebpError, match="lossy"):
+    with pytest.raises(WebpError):  # header-only chunk: no coefficient data
         decode_webp(vp8)
 
     vp8x = riff(

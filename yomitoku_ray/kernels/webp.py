@@ -17,8 +17,9 @@ Decoder scope — the full still-image VP8L feature set:
 
 One honest restriction: color-indexing combined with the predictor or
 cross-color transform is rejected (the width-rebinding rules interact;
-real encoders never emit the combo). Lossy VP8 chunks raise
-:class:`WebpError` — this is the *lossless* arm only.
+real encoders never emit the combo). Lossy VP8 chunks dispatch to the
+intra-frame decoder in ``kernels/vp8.py`` (see its table-provenance
+caveat).
 
 Bit conventions per the spec: value fields are LSB-first; canonical
 prefix codes are read one bit at a time MSB-first (the DEFLATE
@@ -553,7 +554,8 @@ def _inv_palette(pix: list[int], packed_w: int, h: int, xbits: int, pal: np.ndar
 # --------------------------------------------------------------- decode
 
 
-def _vp8l_payload(blob: bytes) -> bytes:
+def _webp_payload(blob: bytes) -> tuple[str, bytes]:
+    """First VP8L (lossless) or VP8 (lossy) chunk: (kind, body)."""
     if len(blob) < 20 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
         raise WebpError("not a WebP file")
     pos = 12
@@ -562,11 +564,18 @@ def _vp8l_payload(blob: bytes) -> bytes:
         (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
         body = blob[pos + 8 : pos + 8 + size]
         if tag == b"VP8L":
-            return body
+            return "lossless", body
         if tag == b"VP8 ":
-            raise WebpError("lossy VP8 webp is out of scope (VP8L only)")
+            return "lossy", body
         pos += 8 + size + (size & 1)
-    raise WebpError("no VP8L chunk found")
+    raise WebpError("no VP8L/VP8 chunk found")
+
+
+def _vp8l_payload(blob: bytes) -> bytes:
+    kind, body = _webp_payload(blob)
+    if kind != "lossless":
+        raise WebpError("not a lossless (VP8L) webp")
+    return body
 
 
 def decode_webp(blob: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
@@ -578,7 +587,15 @@ def decode_webp(blob: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
     pipeline actor for minutes in the per-pixel entropy loop — the same
     decompression-bomb class as the r3 JPEG accumulator finding. Over
     the cap raises :class:`WebpError` (the per-row error policy)."""
-    data = _vp8l_payload(blob)
+    kind, data = _webp_payload(blob)
+    if kind == "lossy":
+        # lossy VP8 arm (kernels/vp8.py): same bomb cap, RGB out
+        from .vp8 import Vp8Error, decode_vp8
+
+        try:
+            return decode_vp8(data, max_pixels=max_pixels)
+        except Vp8Error as exc:
+            raise WebpError(f"vp8: {exc}") from exc
     if not data or data[0] != 0x2F:
         raise WebpError("bad VP8L signature")
     br = _BitReader(data[1:])

@@ -799,28 +799,34 @@ def read_warc_split(
                 prev_end = off + ln
             ranges.append({"path": path, "start": start, "end": os.path.getsize(path)})
 
-        def _fetch_range(df: pd.DataFrame) -> pd.DataFrame:
-            out_rows: list[dict] = []
+        def _fetch_range(df: pd.DataFrame):
             for path, start, end in zip(df["path"], df["start"], df["end"]):
                 with open(path, "rb") as f:
                     f.seek(int(start))
                     span = f.read(int(end) - int(start))
-                buf = io.BytesIO()
-                pos = 0
-                while pos < len(span):
-                    import zlib
-
-                    d = zlib.decompressobj(31)
-                    buf.write(d.decompress(span[pos:]))
-                    buf.write(d.flush())
-                    if not d.eof:
-                        raise WarcFormatError(
-                            f"{path}@{start}: torn gzip member inside range"
-                        )
-                    pos = len(span) - len(d.unused_data)
-                buf.seek(0)
-                out_rows.extend(warc_records_to_rows(iter_warc_records(buf, path=path)))
-            return _rows_to_table(out_rows).to_pandas()
+                # GzipFile streams concatenated members in O(span) — a
+                # per-member decompressobj loop over `span[pos:]` slices
+                # would be O(members x span) memcpy (measured 10x slower
+                # than the unsplit read on a 30k-member range).
+                gz = gzip.GzipFile(fileobj=io.BytesIO(span))
+                out_rows: list[dict] = []
+                try:
+                    for row in warc_records_to_rows(
+                        iter_warc_records(gz, path=path)
+                    ):
+                        out_rows.append(row)
+                        # batch_rows-sized Arrow blocks: one giant block
+                        # per range would serialize the downstream actor
+                        # pool (one task per block), defeating the split
+                        if len(out_rows) >= batch_rows:
+                            yield _rows_to_table(out_rows)
+                            out_rows = []
+                except (EOFError, OSError) as exc:
+                    raise WarcFormatError(
+                        f"{path}@{start}: torn gzip member inside range: {exc}"
+                    ) from exc
+                if out_rows:
+                    yield _rows_to_table(out_rows)
 
         parts.append(
             ray.data.from_items(ranges).map_batches(

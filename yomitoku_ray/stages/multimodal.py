@@ -118,12 +118,13 @@ def sniff_image_meta(blob: bytes) -> dict:
 
 
 class DecoderBackend:
-    """Pixel-decode: REAL for PNG/GIF/JPEG/BMP/TIFF/WebP-lossless —
+    """Pixel-decode: REAL for PNG/GIF/JPEG/BMP/TIFF/WebP —
     baseline AND progressive SOF2 JPEG incl. successive approximation,
-    full VP8L (pure zlib+numpy codecs in kernels/); a seam only for
-    formats beyond them (lossy VP8 webp, arithmetic jpeg, ...) —
-    NotImplementedError in strict mode, deterministic fake pixels in
-    fake mode."""
+    full VP8L plus intra-frame lossy VP8 (pure zlib+numpy codecs in
+    kernels/; see kernels/vp8_tables.py for the foreign-bitstream
+    table caveat); a seam only for formats beyond them (arithmetic
+    jpeg, ...) — NotImplementedError in strict mode, deterministic
+    fake pixels in fake mode."""
 
     def __init__(self, mode: str = "strict"):
         if mode not in ("strict", "fake"):
@@ -178,7 +179,7 @@ class DecoderBackend:
             pass
         if self.mode == "strict":
             raise NotImplementedError(
-                "image decode beyond PNG/GIF/JPEG/BMP/TIFF/WebP-lossless "
+                "image decode beyond PNG/GIF/JPEG/BMP/TIFF/WebP "
                 "requires a codec library not present in this container; "
                 "run with DecoderBackend(mode='fake') for the "
                 "deterministic stand-in"

@@ -1,4 +1,4 @@
-"""Deterministic synthetic images table (PNG/GIF/JPEG/BMP/TIFF/WebP/junk).
+"""Deterministic synthetic images table (PNG/GIF/JPEG/BMP/TIFF/WebP incl. lossy VP8/junk).
 
 Every row is a pure function of its index: solid fills, horizontal
 gradients and 2x2 checkerboards encoded with the repo's own PNG/GIF
@@ -47,10 +47,21 @@ def gen_image(i: int) -> dict:
         mask = ((np.arange(h)[:, None] // 2 + np.arange(w)[None, :] // 2) % 2).astype(bool)
         px = np.where(mask[:, :, None], a[None, None, :], b[None, None, :]).astype(np.uint8)
     enc = i % 9
-    if enc == 8:  # webp lossless, rotating through decoder-path variants
+    if enc == 8:  # webp, rotating through lossless decoder paths + lossy VP8
+        variant = (i // 9) % 6
+        if variant >= 4:  # lossy VP8 arm (16x16 DC or all-B_DC 4x4)
+            from ..kernels.vp8 import encode_webp_lossy
+            from ..kernels.vp8_tables import B_PRED, DC_PRED
+
+            blob = encode_webp_lossy(
+                px,
+                qindex=8,
+                filter_level=16,
+                ymode=DC_PRED if variant == 4 else B_PRED,
+            )
+            return {"img_id": i, "image": blob, "kind": "webp"}
         from ..kernels.webp import encode_webp_lossless
 
-        variant = (i // 9) % 4
         kw = (
             {},
             {"cache_bits": 6},
@@ -99,7 +110,7 @@ def gen_image(i: int) -> dict:
     }
 
 
-def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v6") -> str:
+def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v7") -> str:
     import pyarrow.parquet as pq
 
     from .pages import rows_for_sf_dir
