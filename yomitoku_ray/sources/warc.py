@@ -731,6 +731,7 @@ def read_warc_split(
     *,
     cdx=None,
     split_bytes: int = 128 << 20,
+    range_bytes: int | None = None,
     batch_rows: int = 256,
     **read_kwargs,
 ):
@@ -753,6 +754,14 @@ def read_warc_split(
     it is built on the spot with :func:`build_cdx_dataset` — one
     distributed pass per big file; a 100 TB run should pass the sidecar
     written once by the ``cdx`` CLI instead of paying that pass per read.
+
+    ``range_bytes`` (default ``split_bytes // 16``, floor 1 MiB) sizes the
+    planned ranges — smaller than the split threshold on purpose: a Ray
+    block is the minimum unit of downstream parallelism (an input block is
+    never split across tasks), so one huge range would hand a whole
+    shard's pages to a single downstream task and reintroduce the very
+    starvation this reader removes (measured 6x on a 90/10-skewed
+    2-shard input before ranges were decoupled from the threshold).
 
     Non-response members (warcinfo, requests) living between indexed
     records are swept into the enclosing range and skipped by the parser,
@@ -782,6 +791,8 @@ def read_warc_split(
             entries = pd.DataFrame(list(cdx))[["path", "offset", "length"]]
         # Plan ranges driver-side: the entries table is metadata-sized
         # (one row per record), the planned range list smaller still.
+        if range_bytes is None:
+            range_bytes = max(1 << 20, split_bytes >> 4)
         ranges: list[dict] = []
         for path in big:
             sub = entries[entries["path"] == path].sort_values("offset")
@@ -793,7 +804,7 @@ def read_warc_split(
                     # sweep any leading non-response members into range 0
                     start, prev_end = 0, off + ln
                     continue
-                if off + ln - start > split_bytes:
+                if off + ln - start > range_bytes:
                     ranges.append({"path": path, "start": start, "end": off})
                     start = off
                 prev_end = off + ln
