@@ -198,3 +198,41 @@ def test_sniff_dims_lossy():
 
     img = np.zeros((33, 47, 3), np.uint8)
     assert sniff_webp_dims(encode_webp_lossy(img)) == (47, 33)
+
+
+def test_vp8_options_property_fuzz():
+    """Randomized sizes x modes x quantizers x filter settings: every
+    combination must round-trip with bounded error and no exception
+    (the webp-options fuzz pattern)."""
+    rng = np.random.RandomState(41)
+    modes = (T.DC_PRED, T.V_PRED, T.H_PRED, T.TM_PRED, T.B_PRED)
+    for trial in range(40):
+        h = int(rng.randint(4, 40))
+        w = int(rng.randint(4, 40))
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        # low-pass half the trials: smooth content exercises the filter mask
+        if trial % 2:
+            img = (img.astype(np.int32) // 4 + 96).astype(np.uint8)
+        kw = dict(
+            qindex=int(rng.randint(0, 128)),
+            filter_level=int(rng.randint(0, 64)),
+            sharpness=int(rng.randint(0, 8)),
+            filter_type=int(rng.randint(0, 2)),
+            ymode=modes[int(rng.randint(0, len(modes)))],
+            uvmode=modes[int(rng.randint(0, 4))],
+        )
+        blob = encode_webp_lossy(img, **kw)
+        out = decode_webp(blob)
+        assert out.shape == (h, w, 3), (trial, kw)
+        err = float(np.abs(out.astype(int) - img.astype(int)).mean())
+        # worst case: max quantizer + chroma subsampling on noise
+        assert err < 90.0, (trial, kw, err)
+
+
+def test_vp8_large_dims_and_odd_sizes():
+    # 1-px edges, prime dims, exactly-16 multiples
+    for h, w in ((1, 1), (1, 37), (37, 1), (16, 16), (48, 32), (17, 31)):
+        img = np.full((h, w, 3), (200, 30, 90), np.uint8)
+        out = decode_webp(encode_webp_lossy(img, qindex=4, filter_level=10))
+        assert out.shape == (h, w, 3)
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
