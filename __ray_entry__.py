@@ -393,6 +393,83 @@ def _image_features_summary(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _warc_split_parity(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
+    """WARC intra-file split gate (rows-only, self-checking like
+    warc_roundtrip): encode the first ``n_pages`` synthetic pages as a
+    deliberately SKEWED two-shard layout (90/10), read them back through
+    both the streaming one-task-per-file reader and the CDX-range split
+    reader, and report per-url byte identity between the two paths plus
+    against the source table. Every row should read ok_split=1, ok_src=1;
+    the planned range count is attached so the gate proves the big shard
+    actually split (n_ranges > 2)."""
+    import os
+
+    from yomitoku_ray.sources.warc import (
+        build_cdx_dataset,
+        read_warc,
+        read_warc_split,
+        write_warc_file,
+    )
+    from yomitoku_ray.synth.pages import generate_pages_table
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = f"/tmp/yomitoku_ray_warcsplit_{label}"
+    paths = [base + "_big.warc.gz", base + "_small.warc.gz"]
+    table = generate_pages_table(n_pages)
+    rows = [
+        {
+            "url": r["url"],
+            "warc_ts": int(
+                (r["warc_ts"] - __import__("datetime").datetime(1970, 1, 1)).total_seconds()
+            )
+            * 1_000_000
+            + r["warc_ts"].microsecond,
+            "html": r["html"],
+            "lang": r["lang"],
+        }
+        for r in table.to_pylist()
+    ]
+    cut = (9 * n_pages) // 10
+    if not (os.path.exists(paths[0]) and os.path.exists(paths[1])):
+        write_warc_file(rows[:cut], paths[0])
+        write_warc_file(rows[cut:], paths[1])
+    cdx = build_cdx_dataset(paths)
+    split_bytes = max(1 << 18, os.path.getsize(paths[0]) // 4)
+    range_bytes = 1 << 18
+    stream = read_warc(paths).to_pandas().set_index("url").sort_index()
+    split = (
+        read_warc_split(
+            paths, cdx=cdx, split_bytes=split_bytes, range_bytes=range_bytes
+        )
+        .to_pandas()
+        .set_index("url")
+        .sort_index()
+    )
+    n_ranges = -(-os.path.getsize(paths[0]) // range_bytes)
+    want = {r["url"]: r for r in rows}
+    out = pd.DataFrame(
+        {
+            "url": stream.index,
+            "ok_split": [
+                int(
+                    u in split.index
+                    and bytes(stream.loc[u, "html"]) == bytes(split.loc[u, "html"])
+                    and stream.loc[u, "warc_ts"] == split.loc[u, "warc_ts"]
+                )
+                for u in stream.index
+            ],
+            "ok_src": [
+                int(bytes(stream.loc[u, "html"]) == bytes(want[u]["html"]))
+                for u in stream.index
+            ],
+            "n_ranges": pd.Series([int(n_ranges)] * len(stream), dtype="int64"),
+        }
+    )
+    out["ok_split"] = out["ok_split"].astype("int64")
+    out["ok_src"] = out["ok_src"].astype("int64")
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _warc_roundtrip(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
     """WARC source gate (rows-only; self-checking like extract_match_rate):
     encode the first ``n_pages`` synthetic pages as a Common-Crawl-layout
@@ -645,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames_summary": _video_frames_summary,
         # WARC source gate: CC-layout .warc.gz round trip, byte identity
         "warc_roundtrip": _warc_roundtrip,
+        "warc_split_parity": _warc_split_parity,
         # text analysis (documents)
         "doc_stats": doc_stats,
         "quality_score": quality_score,

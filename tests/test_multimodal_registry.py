@@ -109,6 +109,7 @@ def test_rows_only_queries_self_check(ray_session):
         "image_features_summary": ["ok_dims", "ok_format"],
         "audio_features_summary": ["ok_gate"],
         "video_frames_summary": ["ok"],
+        "warc_split_parity": ["ok_split", "ok_src"],
     }
     for name, cols in expect.items():
         df = q[name](sf)
