@@ -631,6 +631,56 @@ def _audio_features_summary(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _ann_with_self_check(fn, sf_dir: str) -> pd.DataFrame:
+    """Wrap an approximate-ANN query with exact-int self-checks (the
+    rows-only gate pattern): for every returned (query, neighbor) pair,
+    recompute the exact cosine on the raw embeddings and assert (ok_rank)
+    that within each query the ranks are ordered by non-increasing score
+    with the documented (score desc, neighbor_id asc) tie-break, and
+    (ok_self) that no self-match leaked. Approximation affects WHICH
+    neighbors appear — never the internal ordering — so every row must
+    read ok_rank=1, ok_self=1."""
+    import numpy as np
+    import ray.data
+
+    out = fn(sf_dir).copy()
+    ids = np.array(sorted(set(out["query_id"]) | set(out["neighbor_id"])), dtype="int64")
+
+    def _pick(df):
+        return df[df["vec_id"].isin(ids)]
+
+    emb = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(_pick, batch_format="pandas")
+        .to_pandas()  # result-set-sized (<= k x queries rows)
+    )
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    row_of = {int(v): i for i, v in enumerate(emb["vec_id"])}
+    score = [
+        float(mat[row_of[int(q)]] @ mat[row_of[int(n)]])
+        for q, n in zip(out["query_id"], out["neighbor_id"])
+    ]
+    out["_s"] = score
+    ok_rank = []
+    for _, g in out.groupby("query_id", sort=False):
+        g = g.sort_values("rank")
+        good = True
+        prev = None
+        for s_, n_ in zip(g["_s"], g["neighbor_id"]):
+            if prev is not None:
+                if s_ > prev[0] + 1e-12 or (abs(s_ - prev[0]) <= 1e-12 and n_ < prev[1]):
+                    good = False
+            prev = (s_, n_)
+        ok_rank.extend([int(good)] * len(g))
+    out = out.drop(columns=["_s"])
+    out["ok_rank"] = pd.Series(ok_rank, dtype="int64")
+    out["ok_self"] = (out["query_id"] != out["neighbor_id"]).astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.dedup import (
         exact_dedup,
@@ -797,8 +847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": knn_brute_force,
         # distributed Lloyd k-means: broadcast centroids, combiner update
         "kmeans_assign": kmeans_assign,
-        "ann_lsh": ann_lsh,
-        "ann_ivf": ann_ivf,
+        "ann_lsh": lambda sf_dir: _ann_with_self_check(ann_lsh, sf_dir),
+        "ann_ivf": lambda sf_dir: _ann_with_self_check(ann_ivf, sf_dir),
         # IVF invariant: probing every partition must reproduce brute force
         # exactly (partition+route plumbing changes nothing but scan scope);
         # hash-checked against the same SQL oracle as knn_brute_force.

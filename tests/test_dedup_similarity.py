@@ -454,3 +454,20 @@ def test_ann_kmeans_recall_and_exhaustive(ray_session):
     e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
     a = set(map(tuple, approx[["query_id", "neighbor_id"]].to_numpy()))
     assert len(a & e) / len(e) >= 0.3  # weakly-clustered synth floor
+
+
+def test_ann_queries_self_check(ray_session):
+    """The approximate-ANN driver rows carry exact-int self-checks
+    (ok_rank: within-query rank order matches exact cosine with the
+    documented tie-break; ok_self: no self-match)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+    for name in ("ann_lsh", "ann_ivf"):
+        df = q[name]("/root/testdata/sf0.001")
+        assert len(df) > 0
+        assert int(df["ok_rank"].sum()) == len(df), name
+        assert int(df["ok_self"].sum()) == len(df), name
