@@ -287,7 +287,7 @@ def aggregate_cells(words, cells, overlap_th=0.2, word_boxes=None):
 
     from ..kernels.geometry_vec import overlap_ratio_matrix
 
-    cell_words = defaultdict(list)
+    cell_word_idxs = defaultdict(list)
 
     value_cells = [c for c in cells if c.role != "group"]
     if word_boxes is None:
@@ -300,25 +300,32 @@ def aggregate_cells(words, cells, overlap_th=0.2, word_boxes=None):
         )
         best_idx = np.argmax(ratios, axis=0)  # first max == first strict-> winner
         best_ratio = ratios[best_idx, np.arange(len(word_boxes))]
-        for w_i, word in enumerate(words):
+        for w_i in range(len(words)):
             if best_ratio[w_i] < overlap_th or best_ratio[w_i] <= 0:
                 continue
-            best_cell = value_cells[best_idx[w_i]]
-            cell_words[id(best_cell)].append(
-                Paragraph(
-                    box=list(word_boxes[w_i]),
-                    contents=word.content,
-                    direction=word.direction,
-                    order=0,
-                    role=None,
-                )
-            )
+            cell_word_idxs[id(value_cells[best_idx[w_i]])].append(w_i)
 
     for cell in cells:
-        contained = cell_words.get(id(cell), [])
-        if not contained:
+        idxs = cell_word_idxs.get(id(cell), [])
+        if not idxs:
             cell.contents = ""
             continue
+        if len(idxs) == 1:
+            # single-word cell (the common case): reading order is the
+            # identity and the join is the word itself — skip the
+            # Paragraph/order/sort machinery (same bytes, ~noop cost)
+            cell.contents = words[idxs[0]].content.replace("\n", "").strip()
+            continue
+        contained = [
+            Paragraph(
+                box=list(word_boxes[i]),
+                contents=words[i].content,
+                direction=words[i].direction,
+                order=0,
+                role=None,
+            )
+            for i in idxs
+        ]
         dirs = [w.direction for w in contained]
         direction = (
             "horizontal"
