@@ -404,6 +404,7 @@ def _warc_split_parity(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
     actually split (n_ranges > 2)."""
     import os
 
+    from yomitoku_ray.export.wet import _ts_us_of
     from yomitoku_ray.sources.warc import (
         build_cdx_dataset,
         read_warc,
@@ -419,11 +420,7 @@ def _warc_split_parity(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
     rows = [
         {
             "url": r["url"],
-            "warc_ts": int(
-                (r["warc_ts"] - __import__("datetime").datetime(1970, 1, 1)).total_seconds()
-            )
-            * 1_000_000
-            + r["warc_ts"].microsecond,
+            "warc_ts": _ts_us_of(r["warc_ts"]),
             "html": r["html"],
             "lang": r["lang"],
         }
@@ -480,6 +477,7 @@ def _warc_roundtrip(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
     downstream extract byte-identity (tests/test_warc_source.py)."""
     import os
 
+    from yomitoku_ray.export.wet import _ts_us_of
     from yomitoku_ray.sources.warc import read_warc, write_warc_file
     from yomitoku_ray.synth.pages import generate_pages_table
 
@@ -489,7 +487,7 @@ def _warc_roundtrip(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
     rows = [
         {
             "url": r["url"],
-            "warc_ts": int(r["warc_ts"].timestamp() * 1_000_000),
+            "warc_ts": _ts_us_of(r["warc_ts"]),
             "html": r["html"],
             "lang": r["lang"],
         }

@@ -9,6 +9,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from yomitoku_ray.pipelines.extract import ExtractConfig
+from yomitoku_ray.export.wet import _ts_us_of
 from yomitoku_ray.state.checkpoint import completed_input_files, run_resumable
 from yomitoku_ray.synth.pages import generate_pages_table
 
@@ -276,7 +277,7 @@ def test_resumable_warc_shards(ray_session, tmp_path):
         rows = [
             {
                 "url": r["url"],
-                "warc_ts": int(r["warc_ts"].timestamp() * 1_000_000),
+                "warc_ts": _ts_us_of(r["warc_ts"]),
                 "html": r["html"],
                 "lang": r["lang"],
             }
@@ -324,7 +325,7 @@ def test_mixed_parquet_and_warc_directory(ray_session, tmp_path):
     rows = [
         {
             "url": r["url"],
-            "warc_ts": int(r["warc_ts"].timestamp() * 1_000_000),
+            "warc_ts": _ts_us_of(r["warc_ts"]),
             "html": r["html"],
             "lang": r["lang"],
         }

@@ -6,6 +6,7 @@ import gzip
 import pyarrow as pa
 import pytest
 
+from yomitoku_ray.export.wet import _ts_us_of
 from yomitoku_ray.sources.warc import (
     WarcFormatError,
     encode_warc_record,
@@ -22,7 +23,7 @@ def _sample_rows(n=40):
     return [
         {
             "url": r["url"],
-            "warc_ts": r["warc_ts"].timestamp() * 1_000_000,
+            "warc_ts": _ts_us_of(r["warc_ts"]),
             "html": r["html"],
             "lang": r["lang"],
         }
@@ -45,7 +46,7 @@ def test_roundtrip_layouts(ray_session, tmp_path, suffix, per_record):
         assert got.loc[i, "url"] == w["url"]
         assert bytes(got.loc[i, "html"]) == bytes(w["html"])
         assert got.loc[i, "lang"] == w["lang"]
-        assert int(got.loc[i, "warc_ts"].timestamp() * 1_000_000) == int(w["warc_ts"])
+        assert _ts_us_of(got.loc[i, "warc_ts"]) == int(w["warc_ts"])
         assert got.loc[i, "http_status"] == 200
         assert got.loc[i, "content_type"] == "text/html"
 

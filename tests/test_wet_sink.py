@@ -7,7 +7,13 @@ import io
 
 import pytest
 
-from yomitoku_ray.export.wet import encode_wet_record, iter_wet_rows, read_wet, write_wet
+from yomitoku_ray.export.wet import (
+    _ts_us_of,
+    encode_wet_record,
+    iter_wet_rows,
+    read_wet,
+    write_wet,
+)
 from yomitoku_ray.sources.warc import read_warc, write_warc_file
 from yomitoku_ray.synth.pages import generate_pages_table
 
@@ -28,7 +34,7 @@ def test_warc_extract_wet_chain(ray_session, tmp_path):
     rows = [
         {
             "url": r["url"],
-            "warc_ts": int(r["warc_ts"].timestamp() * 1_000_000),
+            "warc_ts": _ts_us_of(r["warc_ts"]),
             "html": r["html"],
             "lang": r["lang"],
         }
@@ -104,7 +110,7 @@ def test_crawl_cli(ray_session, tmp_path, capsys):
     rows = [
         {
             "url": r["url"],
-            "warc_ts": int(r["warc_ts"].timestamp() * 1_000_000),
+            "warc_ts": _ts_us_of(r["warc_ts"]),
             "html": r["html"],
             "lang": r["lang"],
         }
