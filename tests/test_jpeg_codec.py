@@ -76,8 +76,9 @@ def test_errors_are_jpeg_error():
     blob[i + 1] = 0xC2
     with pytest.raises(JpegError):
         decode_jpeg(bytes(blob))
-    # arithmetic-coded SOF9 stays an explicit unsupported error
-    blob[i + 1] = 0xC9
+    # progressive-arithmetic SOF10 stays an explicit unsupported error
+    # (sequential SOF9 is supported — see test_jpeg_arith.py)
+    blob[i + 1] = 0xCA
     with pytest.raises(JpegError):
         decode_jpeg(bytes(blob))
 

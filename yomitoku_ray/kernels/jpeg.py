@@ -3,10 +3,13 @@
 Closes the multimodal codec family's JPEG seam (the reference loads .jpg
 pages via ``data/functions.py:33-78``; this container ships no libjpeg/PIL).
 Supported: baseline + extended-sequential Huffman JFIF (SOF0/SOF1),
+progressive (SOF2, spectral selection + successive approximation),
+arithmetic-coded sequential (SOF9, entropy layer in ``jpeg_arith.py``),
 grayscale and YCbCr with arbitrary 1-2x sampling factors (4:4:4, 4:2:2,
-4:2:0), restart markers, multi-table DQT/DHT segments. Progressive (SOF2)
-and arithmetic coding raise ``JpegError`` — the per-row error policy turns
-that into an error row, never a failed block.
+4:2:0), restart markers, multi-table DQT/DHT/DAC segments. The remaining
+SOF variants (lossless, hierarchical, progressive-arithmetic) raise
+``JpegError`` — the per-row error policy turns that into an error row,
+never a failed block.
 
 The encoder (4:4:4 / grayscale, libjpeg-style quality scaling of the Annex
 K tables, standard Annex K Huffman tables) exists to synthesize
@@ -241,6 +244,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     huff_dc, huff_ac = {}, {}
     frame = None
     restart_interval = 0
+    dc_cond, ac_cond = {}, {}  # DAC conditioning: table -> (L, U) / Kx
     n = len(blob)
 
     while pos + 4 <= n:
@@ -277,16 +281,37 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 values = list(seg[i + 17 : i + 17 + cnt])
                 (huff_ac if cls else huff_dc)[tid] = _HuffTree(bits, values)
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2(progressive)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2(prog)/9(arith)
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {
+                "w": w,
+                "h": h,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+                "arith": marker == 0xC9,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0xFF{marker:02X}")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0xF
+                val = seg[i + 1]
+                i += 2
+                if tc == 0:
+                    low, up = val & 0xF, val >> 4
+                    if low > up or up > 15:
+                        raise JpegError("bad DC conditioning bounds")
+                    dc_cond[tb] = (low, up)
+                else:
+                    if not 1 <= val <= 63:
+                        raise JpegError("bad AC conditioning Kx")
+                    ac_cond[tb] = val
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -299,6 +324,14 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
                 sel[cid] = (tabs >> 4, tabs & 0xF)
                 scomps.append(cid)
+            if frame.get("arith"):
+                from .jpeg_arith import decode_arith_scan
+
+                _alloc_coefs(frame, qt)
+                decode_arith_scan(
+                    blob, nxt, frame, sel, dc_cond, ac_cond, restart_interval
+                )
+                return _reconstruct(frame, qt)
             if not frame["progressive"]:
                 return _decode_scan(
                     blob, nxt, frame, sel, qt, huff_dc, huff_ac, restart_interval
@@ -661,10 +694,17 @@ def _size_of(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
 
 
-def _prepare_encode(px: np.ndarray, quality: int, subsample: bool, sof_marker: int):
+def _prepare_encode(
+    px: np.ndarray,
+    quality: int,
+    subsample: bool,
+    sof_marker: int,
+    emit_dht: bool = True,
+):
     """Shared encoder front half: color transform, quantized coefficients,
     and all headers through DHT (SOF marker selectable: 0xC0 baseline /
-    0xC2 progressive)."""
+    0xC2 progressive / 0xC9 arithmetic — the latter passes
+    ``emit_dht=False`` since no Huffman tables apply)."""
     px = np.asarray(px)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -711,16 +751,17 @@ def _prepare_encode(px: np.ndarray, quality: int, subsample: bool, sof_marker: i
         ">HBHHB", 8 + 3 * ch, 8, h, w, ch
     ) + comps_hdr
     # DHT
-    for cls, tables in ((0, [_DC_LUMA, _DC_CHROMA]), (1, [_AC_LUMA, _AC_CHROMA])):
-        for tid in range(2 if ch == 3 else 1):
-            bits, values = tables[tid]
-            out += (
-                b"\xff\xc4"
-                + struct.pack(">H", 19 + len(values))
-                + bytes([(cls << 4) | tid])
-                + bytes(bits)
-                + bytes(values)
-            )
+    if emit_dht:
+        for cls, tables in ((0, [_DC_LUMA, _DC_CHROMA]), (1, [_AC_LUMA, _AC_CHROMA])):
+            for tid in range(2 if ch == 3 else 1):
+                bits, values = tables[tid]
+                out += (
+                    b"\xff\xc4"
+                    + struct.pack(">H", 19 + len(values))
+                    + bytes([(cls << 4) | tid])
+                    + bytes(bits)
+                    + bytes(values)
+                )
 
     # MCU geometry: block-grid width/height per component
     if sub:

@@ -70,7 +70,7 @@ def sniff_image_meta(blob: bytes) -> dict:
                 break
             marker = blob[i + 1]
             seg_len = struct.unpack(">H", blob[i + 2 : i + 4])[0]
-            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
                 h, w = struct.unpack(">HH", blob[i + 5 : i + 9])
                 break
             i += 2 + seg_len
@@ -119,12 +119,12 @@ def sniff_image_meta(blob: bytes) -> dict:
 
 class DecoderBackend:
     """Pixel-decode: REAL for PNG/GIF/JPEG/BMP/TIFF/WebP —
-    baseline AND progressive SOF2 JPEG incl. successive approximation,
-    full VP8L plus intra-frame lossy VP8 (pure zlib+numpy codecs in
-    kernels/; see kernels/vp8_tables.py for the foreign-bitstream
-    table caveat); a seam only for formats beyond them (arithmetic
-    jpeg, ...) — NotImplementedError in strict mode, deterministic
-    fake pixels in fake mode."""
+    baseline, progressive SOF2 (incl. successive approximation) AND
+    arithmetic-coded SOF9 JPEG, full VP8L plus intra-frame lossy VP8
+    (pure zlib+numpy codecs in kernels/; see kernels/vp8_tables.py and
+    kernels/jpeg_arith.py for the foreign-bitstream table caveats); a
+    seam only for formats beyond them — NotImplementedError in strict
+    mode, deterministic fake pixels in fake mode."""
 
     def __init__(self, mode: str = "strict"):
         if mode not in ("strict", "fake"):

@@ -1,4 +1,5 @@
-"""Deterministic synthetic images table (PNG/GIF/JPEG/BMP/TIFF/WebP incl. lossy VP8/junk).
+"""Deterministic synthetic images table (PNG/GIF/JPEG incl. progressive +
+arithmetic-coded/BMP/TIFF/WebP incl. lossy VP8/junk).
 
 Every row is a pure function of its index: solid fills, horizontal
 gradients and 2x2 checkerboards encoded with the repo's own PNG/GIF
@@ -16,6 +17,7 @@ import pyarrow as pa
 from ..kernels.bmp import encode_bmp
 from ..kernels.gif import encode_gif
 from ..kernels.jpeg import encode_jpeg, encode_jpeg_progressive
+from ..kernels.jpeg_arith import encode_jpeg_arith
 from ..kernels.png import encode_png
 from ..kernels.tiff import encode_tiff
 
@@ -74,6 +76,12 @@ def gen_image(i: int) -> dict:
     if enc == 1:
         return {"img_id": i, "image": encode_gif(px), "kind": "gif"}
     if enc == 2:
+        if (i // 9) % 2:  # arithmetic-coded SOF9 arm (T.81 Annex D/F)
+            return {
+                "img_id": i,
+                "image": encode_jpeg_arith(px, quality=95),
+                "kind": "jpegarith",
+            }
         return {"img_id": i, "image": encode_jpeg(px, quality=95), "kind": "jpeg"}
     if enc == 3:
         return {
@@ -110,7 +118,7 @@ def gen_image(i: int) -> dict:
     }
 
 
-def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v7") -> str:
+def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v8") -> str:
     import pyarrow.parquet as pq
 
     from .pages import rows_for_sf_dir
