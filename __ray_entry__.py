@@ -375,7 +375,8 @@ def _image_features_summary(sf_dir: str) -> pd.DataFrame:
     _fmt_of_kind = {
         "png": "png", "gif": "gif", "jpeg": "jpeg", "jpeg420": "jpeg",
         "jpegprog": "jpeg", "jpegprogsa": "jpeg", "jpegarith": "jpeg",
-        "bmp": "bmp", "tiff": "tiff", "webp": "webp", "junk": "unknown",
+        "jpegprogarith": "jpeg", "bmp": "bmp", "tiff": "tiff",
+        "webp": "webp", "junk": "unknown",
     }
     ok_dims, ok_format = [], []
     for i, kind, fmt, w, h in zip(

@@ -19,6 +19,7 @@ from yomitoku_ray.kernels.jpeg_arith import (
     ArithDecoder,
     ArithEncoder,
     encode_jpeg_arith,
+    encode_jpeg_arith_progressive,
 )
 
 
@@ -65,6 +66,58 @@ def test_smooth_image_eob_heavy():
     grad = ((x + y) % 256).astype(np.uint8)
     px = np.stack([grad, grad[::-1], (x % 256).astype(np.uint8)], axis=-1)
     _assert_matches_huffman(px, 80)
+
+
+def test_progressive_spectral_matches_huffman():
+    """SOF10 spectral-selection-only script (DC scan + per-component AC
+    scan): decoded pixels identical to the baseline Huffman encoding."""
+    rng = np.random.RandomState(21)
+    for shape, sub in [((16, 16), False), ((24, 17, 3), False), ((64, 64, 3), True)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        dh = decode_jpeg(encode_jpeg(px, 75, subsample=sub))
+        da = decode_jpeg(encode_jpeg_arith_progressive(px, 75, subsample=sub))
+        assert np.array_equal(dh, da), (shape, sub)
+
+
+def test_progressive_successive_matches_huffman():
+    """SOF10 with successive approximation (all four Annex G.2 scan
+    kinds: DC first/refine, AC first/refine)."""
+    rng = np.random.RandomState(22)
+    for shape, sub in [((33, 41), False), ((48, 48, 3), False), ((80, 56, 3), True)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        dh = decode_jpeg(encode_jpeg(px, 85, subsample=sub))
+        da = decode_jpeg(
+            encode_jpeg_arith_progressive(px, 85, subsample=sub, successive=True)
+        )
+        assert np.array_equal(dh, da), (shape, sub)
+
+
+def test_progressive_restart_intervals_match_huffman():
+    rng = np.random.RandomState(23)
+    px = rng.randint(0, 256, (48, 48, 3)).astype(np.uint8)
+    for rst, succ in [(2, False), (3, True)]:
+        dh = decode_jpeg(encode_jpeg(px, 85))
+        da = decode_jpeg(
+            encode_jpeg_arith_progressive(
+                px, 85, successive=succ, restart_interval=rst
+            )
+        )
+        assert np.array_equal(dh, da), (rst, succ)
+
+
+def test_progressive_truncation_keeps_decoded_scans():
+    """Cutting after the first scans must still reconstruct (the Huffman
+    progressive policy): a prefix decodes, never a crash."""
+    rng = np.random.RandomState(24)
+    px = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    blob = encode_jpeg_arith_progressive(px, 85, successive=True)
+    full = decode_jpeg(blob)
+    for cut in (len(blob) * 3 // 4, len(blob) // 2):
+        try:
+            out = decode_jpeg(blob[:cut] + b"\xff\xd9")
+        except JpegError:
+            continue  # cut inside the very first scan's headers
+        assert out.shape == full.shape
 
 
 def test_flat_field_exact():
@@ -168,18 +221,18 @@ def test_synth_arith_rows_decode_in_strict_mode():
     from yomitoku_ray.synth.images import gen_image
 
     be = DecoderBackend(mode="strict")
-    seen = 0
+    seen = {"jpegarith": 0, "jpegprogarith": 0}
     for i in range(200):
         row = gen_image(i)
-        if row["kind"] != "jpegarith":
+        if row["kind"] not in seen:
             continue
-        seen += 1
+        seen[row["kind"]] += 1
         px = be.decode_image(row["image"])
         rng = np.random.RandomState(0xC0FFEE ^ i)
         eh, ew = int(rng.randint(4, 24)), int(rng.randint(4, 24))
         assert px.shape[:2] == (eh, ew)
         assert px.dtype == np.uint8
-    assert seen >= 5
+    assert seen["jpegarith"] >= 5 and seen["jpegprogarith"] >= 3
 
 
 def test_qe_table_structural_invariants():

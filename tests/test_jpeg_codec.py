@@ -76,9 +76,9 @@ def test_errors_are_jpeg_error():
     blob[i + 1] = 0xC2
     with pytest.raises(JpegError):
         decode_jpeg(bytes(blob))
-    # progressive-arithmetic SOF10 stays an explicit unsupported error
-    # (sequential SOF9 is supported — see test_jpeg_arith.py)
-    blob[i + 1] = 0xCA
+    # lossless SOF3 stays an explicit unsupported error (sequential SOF9
+    # and progressive SOF10 arithmetic are supported — test_jpeg_arith.py)
+    blob[i + 1] = 0xC3
     with pytest.raises(JpegError):
         decode_jpeg(bytes(blob))
 

@@ -4,10 +4,10 @@ Closes the multimodal codec family's JPEG seam (the reference loads .jpg
 pages via ``data/functions.py:33-78``; this container ships no libjpeg/PIL).
 Supported: baseline + extended-sequential Huffman JFIF (SOF0/SOF1),
 progressive (SOF2, spectral selection + successive approximation),
-arithmetic-coded sequential (SOF9, entropy layer in ``jpeg_arith.py``),
-grayscale and YCbCr with arbitrary 1-2x sampling factors (4:4:4, 4:2:2,
-4:2:0), restart markers, multi-table DQT/DHT/DAC segments. The remaining
-SOF variants (lossless, hierarchical, progressive-arithmetic) raise
+arithmetic-coded sequential + progressive (SOF9/SOF10, entropy layer in
+``jpeg_arith.py``), grayscale and YCbCr with arbitrary 1-2x sampling
+factors (4:4:4, 4:2:2, 4:2:0), restart markers, multi-table DQT/DHT/DAC
+segments. The remaining SOF variants (lossless, hierarchical) raise
 ``JpegError`` — the per-row error policy turns that into an error row,
 never a failed block.
 
@@ -281,7 +281,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 values = list(seg[i + 17 : i + 17 + cnt])
                 (huff_ac if cls else huff_dc)[tid] = _HuffTree(bits, values)
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2(prog)/9(arith)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1/2/9/10
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -292,10 +292,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 "w": w,
                 "h": h,
                 "comps": comps,
-                "progressive": marker == 0xC2,
-                "arith": marker == 0xC9,
+                "progressive": marker in (0xC2, 0xCA),
+                "arith": marker in (0xC9, 0xCA),
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -325,13 +325,30 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 sel[cid] = (tabs >> 4, tabs & 0xF)
                 scomps.append(cid)
             if frame.get("arith"):
-                from .jpeg_arith import decode_arith_scan
+                from .jpeg_arith import (
+                    decode_arith_progressive_scan,
+                    decode_arith_scan,
+                )
 
                 _alloc_coefs(frame, qt)
-                decode_arith_scan(
-                    blob, nxt, frame, sel, dc_cond, ac_cond, restart_interval
-                )
-                return _reconstruct(frame, qt)
+                if not frame["progressive"]:
+                    decode_arith_scan(
+                        blob, nxt, frame, sel, dc_cond, ac_cond, restart_interval
+                    )
+                    return _reconstruct(frame, qt)
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                try:
+                    pos = decode_arith_progressive_scan(
+                        blob, nxt, frame, scomps, sel, dc_cond, ac_cond,
+                        ss, se, ahal >> 4, ahal & 0xF, restart_interval,
+                    )
+                except JpegError:
+                    if not frame.get("any_scan"):
+                        raise
+                    break  # truncated later scan: reconstruct what we have
+                frame["any_scan"] = True
+                continue
             if not frame["progressive"]:
                 return _decode_scan(
                     blob, nxt, frame, sel, qt, huff_dc, huff_ac, restart_interval

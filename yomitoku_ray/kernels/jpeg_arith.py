@@ -1,5 +1,5 @@
 """Arithmetic-coded JPEG entropy layer (ITU-T T.81 Annex D QM-coder +
-Annex F sequential-DCT statistical models, SOF9).
+Annex F sequential / Annex G.2 progressive statistical models, SOF9/SOF10).
 
 Closes the last multimodal decode gap the round-4 verdict listed: the
 reference loads any PIL-supported image (its ``data/functions.py:33-78``),
@@ -411,17 +411,21 @@ def _decode_dc(dec, stats, cond, comp):
     comp["pred"] += -v if sign else v
 
 
-def _decode_ac(dec, stats, kx, out):
-    """Decode AC coefficients 1..63 into out (zigzag int64[64])."""
+def _decode_ac(dec, stats, kx, out, ss=1, se=63, al=0):
+    """Decode AC coefficients ss..se into out (zigzag int64[64]).
+
+    ``ss=1, se=63, al=0`` is the sequential scan; other values are the
+    progressive AC-first scan (Annex G.2: same model over the band, values
+    shifted left by the point transform)."""
     st = stats.ac
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):
             return  # EOB
         while dec.decode(st, base + 1) == 0:
             k += 1
-            if k > 63:
+            if k > se:
                 raise JpegError("arith AC index overflow")
             base = 3 * (k - 1)
         sign = dec.decode(stats.fixed, 0)
@@ -443,8 +447,60 @@ def _decode_ac(dec, stats, kx, out):
             if dec.decode(st, pos):
                 v |= m
         v += 1
-        out[k] = -v if sign else v
+        out[k] = (-v if sign else v) << al
         k += 1
+
+
+def _decode_ac_refine(dec, stats, out, ss, se, al):
+    """Progressive AC refinement scan for one block (Annex G.2): previously
+    nonzero coefficients get one adaptive correction bit (bin base+2),
+    newly nonzero ones a base+1 decision plus a fixed-bin sign; the EOB
+    decision appears only past the previous stage's end-of-block index."""
+    st = stats.ac
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex >= ss and out[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st, base):
+            return  # EOB
+        while True:
+            if out[k] != 0:
+                if dec.decode(st, base + 2):
+                    out[k] += m1 if out[k] < 0 else p1
+                break
+            if dec.decode(st, base + 1):
+                out[k] = m1 if dec.decode(stats.fixed, 0) else p1
+                break
+            k += 1
+            if k > se:
+                raise JpegError("arith AC refine index overflow")
+            base = 3 * (k - 1)
+        k += 1
+
+
+def _restart_decoder(blob, dec, stats, scan_comps):
+    """Shared RSTn handling: the current segment ends at the next marker
+    (the decoder may not have consumed every byte up to it — the flush
+    trims redundant tails — so scan forward from wherever its reads
+    stopped), then reset statistics/predictors and restart after it."""
+    mpos = dec.end_pos
+    if mpos < 0:
+        p = dec.pos
+        while p + 1 < len(blob) and not (blob[p] == 0xFF and blob[p + 1] != 0x00):
+            p += 1
+        mpos = p
+    if mpos + 1 >= len(blob) or not (0xD0 <= blob[mpos + 1] <= 0xD7):
+        raise JpegError("missing restart marker")
+    for st in stats.values():
+        st.reset()
+    for c in scan_comps:
+        c["pred"] = 0
+        c["dc_ctx"] = 0
+    return ArithDecoder(blob, mpos + 2)
 
 
 def decode_arith_scan(blob, pos, frame, sel, dc_cond, ac_cond, restart_interval):
@@ -473,26 +529,7 @@ def decode_arith_scan(blob, pos, frame, sel, dc_cond, ac_cond, restart_interval)
         for my in range(mcuy):
             for mx in range(mcux):
                 if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                    # the current segment ends at the next RSTn; the decoder
-                    # may not have consumed every byte up to it (the flush
-                    # trims redundant tails), so scan forward from wherever
-                    # its reads stopped
-                    mpos = dec.end_pos
-                    if mpos < 0:
-                        p = dec.pos
-                        while p + 1 < len(blob) and not (
-                            blob[p] == 0xFF and blob[p + 1] != 0x00
-                        ):
-                            p += 1
-                        mpos = p
-                    if mpos + 1 >= len(blob) or not (0xD0 <= blob[mpos + 1] <= 0xD7):
-                        raise JpegError("missing restart marker")
-                    for st in stats.values():
-                        st.reset()
-                    for c in comps:
-                        c["pred"] = 0
-                        c["dc_ctx"] = 0
-                    dec = ArithDecoder(blob, mpos + 2)
+                    dec = _restart_decoder(blob, dec, stats, comps)
                 for c in comps:
                     td, ta = sel[c["id"]]
                     for by in range(c["v"]):
@@ -510,6 +547,91 @@ def decode_arith_scan(blob, pos, frame, sel, dc_cond, ac_cond, restart_interval)
             raise
         # truncated stream: decoded prefix stands (matches the Huffman path)
     return dec.end_pos if dec.end_pos >= 0 else len(blob)
+
+
+def decode_arith_progressive_scan(
+    blob, pos, frame, scomps, sel, dc_cond, ac_cond, ss, se, ah, al, restart_interval
+):
+    """One SOF10 scan (Annex G.2) into the persistent coefficient arrays.
+
+    Scan kinds mirror the Huffman progressive path (``jpeg.py``
+    ``_decode_progressive_scan``): DC first = sequential DC model with the
+    point transform, DC refine = one fixed-bin bit per block, AC first =
+    the sequential AC model over the band, AC refine =
+    :func:`_decode_ac_refine`. Statistics reset per scan and per restart.
+    Returns the stream position after the scan's entropy data."""
+    if (ss == 0) != (se == 0) or se > 63 or ss > 63 or ah > 13 or al > 13:
+        raise JpegError("invalid progressive scan parameters")
+    comps = {c["id"]: c for c in frame["comps"]}
+    scan = [comps[cid] for cid in scomps if cid in comps]
+    if len(scan) != len(scomps):
+        raise JpegError("scan references unknown component")
+    for c in scan:
+        c["pred"] = 0
+        c["dc_ctx"] = 0
+    stats = {}
+    for c in scan:
+        for t in sel[c["id"]]:
+            stats.setdefault(t, _ScanStats())
+
+    state = {"dec": ArithDecoder(blob, pos)}
+
+    def _restart_check(units):
+        if restart_interval and units and units % restart_interval == 0:
+            state["dec"] = _restart_decoder(blob, state["dec"], stats, scan)
+
+    if ss == 0:
+
+        def dc_block(c, idx):
+            block = c["coef"][idx]
+            td = sel[c["id"]][0]
+            if ah == 0:
+                _decode_dc(state["dec"], stats[td], dc_cond.get(td, (0, 1)), c)
+                block[0] = c["pred"] << al
+            elif state["dec"].decode(stats[td].fixed, 0):
+                block[0] |= 1 << al
+
+        if len(scan) > 1:  # interleaved MCU walk
+            units = 0
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    _restart_check(units)
+                    for c in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                idx = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                                dc_block(c, idx)
+                    units += 1
+        else:
+            c = scan[0]
+            units = 0
+            for row in range(c["nbh"]):
+                for col in range(c["nbw"]):
+                    _restart_check(units)
+                    dc_block(c, row * c["bw"] + col)
+                    units += 1
+    else:
+        if len(scan) != 1:
+            raise JpegError("progressive AC scan must be single-component")
+        c = scan[0]
+        ta = sel[c["id"]][1]
+        units = 0
+        for row in range(c["nbh"]):
+            for col in range(c["nbw"]):
+                _restart_check(units)
+                block = c["coef"][row * c["bw"] + col]
+                if ah == 0:
+                    _decode_ac(
+                        state["dec"], stats[ta], ac_cond.get(ta, 5), block, ss, se, al
+                    )
+                else:
+                    _decode_ac_refine(state["dec"], stats[ta], block, ss, se, al)
+                units += 1
+
+    from .jpeg import _find_next_marker
+
+    d = state["dec"]
+    return _find_next_marker(blob, d.end_pos if d.end_pos >= 0 else d.pos)
 
 
 # ---------------------------------------------------------------------------
@@ -557,22 +679,28 @@ def _encode_dc(enc, stats, cond, diff, ctx):
     return nctx
 
 
-def _encode_ac(enc, stats, kx, zz):
-    """Encode AC coefficients of one block (zz: zigzag int64[64])."""
+def _pt(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): signed magnitude shift."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _encode_ac(enc, stats, kx, zz, ss=1, se=63, al=0):
+    """Encode AC coefficients of one block (zz: zigzag int64[64]); the
+    ``ss/se/al`` generalization is the progressive AC-first scan."""
     st = stats.ac
-    ke = 63
-    while ke > 0 and zz[ke] == 0:
+    ke = se
+    while ke >= ss and _pt(int(zz[ke]), al) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         base = 3 * (k - 1)
         enc.code(0, st, base)  # not EOB
-        while zz[k] == 0:
+        while _pt(int(zz[k]), al) == 0:
             enc.code(0, st, base + 1)
             k += 1
             base = 3 * (k - 1)
         enc.code(1, st, base + 1)
-        val = int(zz[k])
+        val = _pt(int(zz[k]), al)
         sign = 1 if val < 0 else 0
         enc.code(sign, stats.fixed, 0)
         v = -val if sign else val
@@ -599,7 +727,40 @@ def _encode_ac(enc, stats, kx, zz):
             m >>= 1
             enc.code(1 if (v & m) else 0, st, pos)
         k += 1
-    if k <= 63:
+    if k <= se:
+        enc.code(1, st, 3 * (k - 1))  # EOB
+
+
+def _encode_ac_refine(enc, stats, zz, ss, se, al):
+    """Progressive AC refinement scan for one block (mirror of
+    :func:`_decode_ac_refine`)."""
+    st = stats.ac
+    ke = se
+    while ke >= ss and _pt(int(zz[ke]), al) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and _pt(int(zz[kex]), al + 1) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.code(0, st, base)  # not EOB
+        while True:
+            v = int(zz[k])
+            a = (-v if v < 0 else v) >> al
+            if a > 1:  # previously nonzero: emit the correction bit
+                enc.code(a & 1, st, base + 2)
+                break
+            if a == 1:  # newly nonzero
+                enc.code(1, st, base + 1)
+                enc.code(1 if v < 0 else 0, stats.fixed, 0)
+                break
+            enc.code(0, st, base + 1)
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+    if k <= se:
         enc.code(1, st, 3 * (k - 1))  # EOB
 
 
@@ -669,5 +830,128 @@ def encode_jpeg_arith(
                     _encode_ac(enc, stats[t], kx, zz)
             mcu_count += 1
     out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith_progressive(
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    successive: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W[, 3]) uint8 -> progressive-arithmetic (SOF10) JFIF bytes.
+
+    Scan script mirrors ``encode_jpeg_progressive``: interleaved DC scan +
+    one AC scan per component (``successive=False``), or Al=1 first scans
+    plus DC/AC refinement scans (``successive=True``) — exercising all
+    four Annex G.2 scan kinds of the decoder. Pixels decode identically to
+    the baseline/sequential encodings at the same settings."""
+    from .jpeg import _prepare_encode
+
+    st_ = _prepare_encode(px, quality, subsample, 0xCA, emit_dht=False)
+    ch, sub = st_["ch"], st_["sub"]
+    out = st_["out"]
+    dac = b""
+    for tid in range(2 if ch == 3 else 1):
+        dac += bytes([tid, (1 << 4) | 0])  # DC: U=1, L=0
+        dac += bytes([(1 << 4) | tid, 5])  # AC: Kx=5
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    w, h = st_["w"], st_["h"]
+    hmax = 2 if sub else 1
+    nb = []  # non-interleaved block geometry per component
+    for ci in range(ch):
+        hi = 2 if (sub and ci == 0) else 1
+        nb.append(
+            (-(-(-(-(h * hi) // hmax)) // 8), -(-(-(-(w * hi) // hmax)) // 8))
+        )
+    cond = (0, 1)
+    kx = 5
+
+    def sos(comp_ids, ss, se, ah, al):
+        seg = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            t = 0 if cid == 0 else 1
+            seg += bytes([cid + 1, (t << 4) | t])
+        return (
+            b"\xff\xda"
+            + struct.pack(">H", 6 + 2 * len(comp_ids))
+            + seg
+            + bytes([ss, se, (ah << 4) | al])
+        )
+
+    def dc_scan(al, refine):
+        nonlocal out
+        out += sos(list(range(ch)), 0, 0, 1 if refine else 0, al)
+        enc = ArithEncoder()
+        stats = {t: _ScanStats() for t in range(2 if ch == 3 else 1)}
+        pred = [0] * ch
+        dcctx = [0] * ch
+        units = 0
+        rst = 0
+        for my in range(st_["mcuy"]):
+            for mx in range(st_["mcux"]):
+                if restart_interval and units and units % restart_interval == 0:
+                    out += enc.flush() + bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) & 7
+                    enc = ArithEncoder()
+                    for s in stats.values():
+                        s.reset()
+                    pred = [0] * ch
+                    dcctx = [0] * ch
+                for ci in range(ch):
+                    _gh, gw = st_["grids"][ci]
+                    fy = 2 if (sub and ci == 0) else 1
+                    t = 0 if ci == 0 else 1
+                    for by, bx in st_["per_mcu"][ci]:
+                        v0 = int(
+                            st_["comp_coef"][ci][(my * fy + by) * gw + (mx * fy + bx)][0]
+                        )
+                        if refine:
+                            enc.code((v0 >> al) & 1, stats[t].fixed, 0)
+                        else:
+                            v = v0 >> al
+                            dcctx[ci] = _encode_dc(
+                                enc, stats[t], cond, v - pred[ci], dcctx[ci]
+                            )
+                            pred[ci] = v
+                units += 1
+        out += enc.flush()
+
+    def ac_scans(al, refine):
+        nonlocal out
+        for ci in range(ch):
+            out += sos([ci], 1, 63, 1 if refine else 0, al)
+            enc = ArithEncoder()
+            t = 0 if ci == 0 else 1
+            stats = {t: _ScanStats()}
+            _gh, gw = st_["grids"][ci]
+            nbh, nbw = nb[ci]
+            units = 0
+            rst = 0
+            for row in range(nbh):
+                for col in range(nbw):
+                    if restart_interval and units and units % restart_interval == 0:
+                        out += enc.flush() + bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) & 7
+                        enc = ArithEncoder()
+                        stats[t].reset()
+                    zz = st_["comp_coef"][ci][row * gw + col]
+                    if refine:
+                        _encode_ac_refine(enc, stats[t], zz, 1, 63, al)
+                    else:
+                        _encode_ac(enc, stats[t], kx, zz, 1, 63, al)
+                    units += 1
+            out += enc.flush()
+
+    al_first = 1 if successive else 0
+    dc_scan(al_first, refine=False)
+    ac_scans(al_first, refine=False)
+    if successive:
+        dc_scan(0, refine=True)
+        ac_scans(0, refine=True)
     out += b"\xff\xd9"
     return bytes(out)

@@ -120,7 +120,7 @@ def sniff_image_meta(blob: bytes) -> dict:
 class DecoderBackend:
     """Pixel-decode: REAL for PNG/GIF/JPEG/BMP/TIFF/WebP —
     baseline, progressive SOF2 (incl. successive approximation) AND
-    arithmetic-coded SOF9 JPEG, full VP8L plus intra-frame lossy VP8
+    arithmetic-coded SOF9/SOF10 JPEG, full VP8L plus intra-frame lossy VP8
     (pure zlib+numpy codecs in kernels/; see kernels/vp8_tables.py and
     kernels/jpeg_arith.py for the foreign-bitstream table caveats); a
     seam only for formats beyond them — NotImplementedError in strict

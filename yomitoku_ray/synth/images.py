@@ -96,6 +96,16 @@ def gen_image(i: int) -> dict:
             "kind": "jpegprog",
         }
     if enc == 5:  # progressive: successive approximation + 4:2:0 (all scans)
+        if (i // 9) % 2:  # progressive-arithmetic SOF10 arm (T.81 Annex G.2)
+            from ..kernels.jpeg_arith import encode_jpeg_arith_progressive
+
+            return {
+                "img_id": i,
+                "image": encode_jpeg_arith_progressive(
+                    px, quality=95, subsample=True, successive=True
+                ),
+                "kind": "jpegprogarith",
+            }
         return {
             "img_id": i,
             "image": encode_jpeg_progressive(
@@ -118,7 +128,7 @@ def gen_image(i: int) -> dict:
     }
 
 
-def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v8") -> str:
+def ensure_images_parquet(sf_dir: str, cache_root: str = "/tmp/yomitoku_ray_images_v9") -> str:
     import pyarrow.parquet as pq
 
     from .pages import rows_for_sf_dir
