@@ -167,3 +167,82 @@ def test_overlap_ratio_matrix_matches_scalar():
         for j in range(len(B)):
             want, _ = calc_overlap_ratio(list(A[i]), list(B[j]))
             assert M[i, j] == want, (i, j, M[i, j], want)
+
+
+def test_containment_filters_match_scalar_reference():
+    """filter_contained_rectangles_{within,across}: the vectorized forms
+    must keep exactly what the reference's scalar loops keep
+    (layout_parser.py:28-74), incl. the mutual-containment area tie-break."""
+    import numpy as _np
+
+    from yomitoku_ray.analyze import (
+        filter_contained_rectangles_across_categories,
+        filter_contained_rectangles_within_category,
+    )
+    from yomitoku_ray.kernels.geometry import is_contained
+    from yomitoku_ray.models import Element
+
+    def scalar_within(elements):
+        group_box = [e.box for e in elements]
+        check = [True] * len(group_box)
+        for i, bi in enumerate(group_box):
+            for j, bj in enumerate(group_box):
+                if i >= j:
+                    continue
+                ij = is_contained(bi, bj)
+                ji = is_contained(bj, bi)
+                ai = (bi[2] - bi[0]) * (bi[3] - bi[1])
+                aj = (bj[2] - bj[0]) * (bj[3] - bj[1])
+                if ij and ji:
+                    check[j if ai > aj else i] = False
+                elif ij:
+                    check[j] = False
+                elif ji:
+                    check[i] = False
+        return [e for e, f in zip(elements, check) if f]
+
+    def scalar_across(src, tgt):
+        check = [True] * len(tgt)
+        for s in src:
+            for j, t in enumerate(tgt):
+                if is_contained(s.box, t.box):
+                    check[j] = False
+        return [t for t, f in zip(tgt, check) if f]
+
+    rng = _np.random.RandomState(7)
+
+    def rand_elems(n):
+        out = []
+        for _ in range(n):
+            x1 = float(rng.randint(0, 60))
+            y1 = float(rng.randint(0, 60))
+            out.append(
+                Element(
+                    id=None,
+                    box=[x1, y1, x1 + rng.randint(1, 50) + rng.rand(),
+                         y1 + rng.randint(1, 50) + rng.rand()],
+                    score=1.0,
+                    role=None,
+                )
+            )
+        return out
+
+    for trial in range(40):
+        elems = rand_elems(rng.randint(2, 18))
+        # inject exact duplicates + nested boxes to force mutual containment
+        if len(elems) >= 4 and trial % 2:
+            elems[1].box = list(elems[0].box)
+            b = elems[2].box
+            elems[3].box = [b[0] + 1, b[1] + 1, b[2] - 0.5, b[3] - 0.5]
+        want = [id(e) for e in scalar_within(list(elems))]
+        got_map = filter_contained_rectangles_within_category(
+            {"cat": list(elems)}
+        )
+        assert [id(e) for e in got_map["cat"]] == want
+
+        src, tgt = rand_elems(rng.randint(0, 6)), rand_elems(rng.randint(0, 8))
+        want2 = [id(e) for e in scalar_across(src, tgt)]
+        got2 = filter_contained_rectangles_across_categories(
+            {"s": list(src), "t": list(tgt)}, "s", "t"
+        )
+        assert [id(e) for e in got2["t"]] == want2

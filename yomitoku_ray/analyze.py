@@ -190,12 +190,23 @@ def filter_ruby(contained_words, element_direction, ruby_threshold):
 
 
 def word_boxes_array(pred_words):
-    """Precompute word AABBs once per document (numpy int64 Nx4)."""
+    """Precompute word AABBs once per document (numpy int64 Nx4).
+
+    Vectorized quad_to_xyxy: int64 cast (C trunc) commutes with min/max
+    (trunc is monotonic), so each row equals
+    ``int64(quad_to_xyxy(w.points))`` exactly; non-quad point lists fall
+    back to the scalar path.
+    """
     if not pred_words:
         return np.zeros((0, 4), dtype=np.int64)
-    return np.asarray(
-        [quad_to_xyxy(w.points) for w in pred_words], dtype=np.int64
-    )
+    try:
+        q = np.asarray([w.points for w in pred_words], dtype=np.int64)
+    except (ValueError, TypeError):
+        return np.asarray(
+            [quad_to_xyxy(w.points) for w in pred_words], dtype=np.int64
+        )
+    x, y = q[..., 0], q[..., 1]
+    return np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
 
 
 def _contained_mask(element_box, boxes, threshold):
@@ -211,26 +222,51 @@ def _contained_mask(element_box, boxes, threshold):
     return inter > threshold * b_area
 
 
+def _contained_mask_matrix(element_boxes, word_boxes, threshold):
+    """(E, N) batched form of :func:`_contained_mask` — one broadcasted
+    evaluation of the same integer arithmetic for every (element, word)
+    pair (row e is elementwise identical to
+    ``_contained_mask(element_boxes[e], word_boxes, threshold)``)."""
+    e = np.asarray(
+        [[int(v) for v in b] for b in element_boxes], dtype=np.int64
+    ).reshape(-1, 4)
+    iw = np.minimum(word_boxes[None, :, 2], e[:, None, 2]) - np.maximum(
+        word_boxes[None, :, 0], e[:, None, 0]
+    )
+    ih = np.minimum(word_boxes[None, :, 3], e[:, None, 3]) - np.maximum(
+        word_boxes[None, :, 1], e[:, None, 1]
+    )
+    inter = np.where((iw > 0) & (ih > 0), iw * ih, 0)
+    b_area = (word_boxes[:, 2] - word_boxes[:, 0]) * (
+        word_boxes[:, 3] - word_boxes[:, 1]
+    )
+    return inter > threshold * b_area[None, :]
+
+
 def extract_words_within_element(
-    pred_words, element, ignore_ruby=False, ruby_threshold=2.0, word_boxes=None
+    pred_words, element, ignore_ruby=False, ruby_threshold=2.0, word_boxes=None,
+    mask=None,
 ):
     """Containment-join words into an element; order + join with newline.
 
     Parity: document_analyzer.py:191-237. Returns (joined_contents | None,
     direction | None, consumed-flags). ``word_boxes`` (numpy Nx4) lets the
-    caller amortize the quad->AABB conversion across elements.
+    caller amortize the quad->AABB conversion across elements; ``mask``
+    (numpy (N,) bool) additionally amortizes the containment test itself —
+    a row of :func:`_contained_mask_matrix` over the same word_boxes.
     """
     if word_boxes is None:
         word_boxes = word_boxes_array(pred_words)
 
-    mask = _contained_mask(element.box, word_boxes, 0.5)
+    if mask is None:
+        mask = _contained_mask(element.box, word_boxes, 0.5)
     check_list = mask.tolist()
     contained_words = []
     for i in mask.nonzero()[0]:
         word = pred_words[i]
         contained_words.append(
             Paragraph(
-                box=[int(v) for v in word_boxes[i]],
+                box=word_boxes[i].tolist(),
                 contents=word.content,
                 direction=word.direction,
                 order=0,
@@ -367,25 +403,34 @@ def filter_contained_rectangles_within_category(category_elements):
     """Within a category, drop boxes contained in another; mutual containment
     keeps the larger. Parity: layout_parser.py:28-58 (elements are objects
     with a ``box`` attribute here, dicts in the reference)."""
+    from .kernels.geometry_vec import overlap_ratio_matrix
+
     for category, elements in category_elements.items():
         group_box = [element.box for element in elements]
         check_list = [True] * len(group_box)
-        for i, box_i in enumerate(group_box):
-            for j, box_j in enumerate(group_box):
-                if i >= j:
-                    continue
-                ij = is_contained(box_i, box_j)
-                ji = is_contained(box_j, box_i)
-                box_i_area = (box_i[2] - box_i[0]) * (box_i[3] - box_i[1])
-                box_j_area = (box_j[2] - box_j[0]) * (box_j[3] - box_j[1])
+        if len(group_box) >= 2:
+            # One broadcasted ratio matrix replaces the O(n^2) scalar
+            # is_contained loop; only the (sparse) containing pairs are
+            # then resolved in Python. contained[i, j] == is_contained(
+            # box_i, box_j) exactly (overlap_ratio_matrix is the pinned
+            # bit-identical batch form); pair effects are flag clears,
+            # so applying them in any order matches the scalar loop.
+            contained = overlap_ratio_matrix(group_box, group_box) > 0.8
+            pairs = np.argwhere(np.triu(contained | contained.T, k=1))
+            for i, j in pairs:
+                box_i, box_j = group_box[i], group_box[j]
+                ij = contained[i, j]
+                ji = contained[j, i]
                 if ij and ji:
+                    box_i_area = (box_i[2] - box_i[0]) * (box_i[3] - box_i[1])
+                    box_j_area = (box_j[2] - box_j[0]) * (box_j[3] - box_j[1])
                     if box_i_area > box_j_area:
                         check_list[j] = False
                     else:
                         check_list[i] = False
                 elif ij:
                     check_list[j] = False
-                elif ji:
+                else:
                     check_list[i] = False
         category_elements[category] = filter_by_flag(elements, check_list)
     return category_elements
@@ -396,14 +441,18 @@ def filter_contained_rectangles_across_categories(category_elements, source, tar
 
     Parity: layout_parser.py:61-74.
     """
+    from .kernels.geometry_vec import overlap_ratio_matrix
+
     src_boxes = [element.box for element in category_elements[source]]
     tgt_boxes = [element.box for element in category_elements[target]]
 
-    check_list = [True] * len(tgt_boxes)
-    for src_box in src_boxes:
-        for j, tgt_box in enumerate(tgt_boxes):
-            if is_contained(src_box, tgt_box):
-                check_list[j] = False
+    if src_boxes and tgt_boxes:
+        # check_list[j] = not any(is_contained(src, tgt_j)) — same batch
+        # form as the within-category filter.
+        contained = overlap_ratio_matrix(src_boxes, tgt_boxes) > 0.8
+        check_list = (~contained.any(axis=0)).tolist()
+    else:
+        check_list = [True] * len(tgt_boxes)
 
     category_elements[target] = filter_by_flag(category_elements[target], check_list)
     return category_elements
@@ -568,21 +617,28 @@ def aggregate_document(
     out_paragraphs = []
     wboxes = word_boxes_array(words)
     check_list = [False] * len(words)
-    for table in tables:
-        for cell in table.cells:
-            contents, direction, flags = extract_words_within_element(
-                words, cell, ignore_ruby=ignore_ruby, ruby_threshold=ruby_threshold,
-                word_boxes=wboxes,
-            )
-            if contents is None:
-                contents = ""
-            cell.contents = contents
-            check_list = combine_flags(check_list, flags)
+    all_cells = [cell for table in tables for cell in table.cells]
+    elem_masks = (
+        _contained_mask_matrix(
+            [e.box for e in all_cells] + [p.box for p in paragraphs], wboxes, 0.5
+        )
+        if (all_cells or paragraphs)
+        else None
+    )
+    for k, cell in enumerate(all_cells):
+        contents, direction, flags = extract_words_within_element(
+            words, cell, ignore_ruby=ignore_ruby, ruby_threshold=ruby_threshold,
+            word_boxes=wboxes, mask=elem_masks[k],
+        )
+        if contents is None:
+            contents = ""
+        cell.contents = contents
+        check_list = combine_flags(check_list, flags)
 
-    for paragraph in paragraphs:
+    for k, paragraph in enumerate(paragraphs):
         contents, direction, flags = extract_words_within_element(
             words, paragraph, ignore_ruby=ignore_ruby, ruby_threshold=ruby_threshold,
-            word_boxes=wboxes,
+            word_boxes=wboxes, mask=elem_masks[len(all_cells) + k],
         )
         if contents is None:
             continue

@@ -56,7 +56,10 @@ _P2, _P3, _P4, _P5 = _P[2], _P[3], _P[4], _P[5]
 def _js(s):
     if s is None:
         return "null"
-    return json.dumps(s, ensure_ascii=False)  # C fast path (no indent)
+    # encode_basestring is exactly what json.dumps(s, ensure_ascii=False)
+    # applies to a leaf string, minus the per-call JSONEncoder construction
+    # (dumps only caches the ensure_ascii=True encoder).
+    return json.encoder.encode_basestring(s)
 
 
 def _box_json(box, lvl):

@@ -267,7 +267,7 @@ def _assign_ids(table_information, cell_offset=0):
     return cell_offset + len(cells)
 
 
-def aggregate_cells(words, cells, overlap_th=0.2, word_boxes=None):
+def aggregate_cells(words, cells, overlap_th=0.2, word_boxes=None, word_boxes_np=None):
     """Best-overlap word->cell assignment + per-cell ordered join.
 
     Parity: table_semantic_parser.py:471-517 (note: cell text strips
@@ -292,11 +292,13 @@ def aggregate_cells(words, cells, overlap_th=0.2, word_boxes=None):
     value_cells = [c for c in cells if c.role != "group"]
     if word_boxes is None:
         word_boxes = [quad_to_xyxy(w.points) for w in words]
-    if value_cells and word_boxes:
+    if value_cells and len(word_boxes):
         # (cells, words) ratio matrix; scalar loop order = cells inner.
+        if word_boxes_np is None:
+            word_boxes_np = np.asarray(word_boxes, dtype=np.float64)
         ratios = overlap_ratio_matrix(
             np.asarray([c.box for c in value_cells], dtype=np.float64),
-            np.asarray(word_boxes, dtype=np.float64),
+            word_boxes_np,
         )
         best_idx = np.argmax(ratios, axis=0)  # first max == first strict-> winner
         best_ratio = ratios[best_idx, np.arange(len(word_boxes))]
@@ -373,11 +375,16 @@ def parse_semantic_tables(
     """
     # Word boxes are table-independent: compute once per page, not once per
     # aggregate_cells call (the quad_to_xyxy-per-table repeat was a top
-    # profile entry at 100k-page scale).
-    word_boxes = [quad_to_xyxy(w.points) for w in words]
+    # profile entry at 100k-page scale). The vectorized batch form plus a
+    # single float64 view also hoists the per-table np.asarray conversion.
+    from ..analyze import word_boxes_array
+
+    wb_np = word_boxes_array(words)
+    word_boxes = wb_np.tolist()
+    wb_f = wb_np.astype(np.float64)
     for table in semantic_tables:
-        aggregate_cells(words, table["cells"], word_boxes=word_boxes)
-    aggregate_cells(words, paragraphs, word_boxes=word_boxes)
+        aggregate_cells(words, table["cells"], word_boxes=word_boxes, word_boxes_np=wb_f)
+    aggregate_cells(words, paragraphs, word_boxes=word_boxes, word_boxes_np=wb_f)
 
     semantic_tables = replace_table_to_paragraphs(semantic_tables, paragraphs)
 
