@@ -20,7 +20,6 @@ import numpy as np
 from .kernels.geometry import (
     calc_intersection,
     calc_overlap_ratio,
-    combine_flags,
     filter_by_flag,
     is_contained,
     quad_to_xyxy,
@@ -616,7 +615,11 @@ def aggregate_document(
 
     out_paragraphs = []
     wboxes = word_boxes_array(words)
-    check_list = [False] * len(words)
+    # consumed-word flags: the scalar loop's combine_flags(check_list,
+    # flags) ORs in exactly the element's containment mask row (the
+    # returned flags are the pre-ruby-filter mask), so the accumulator can
+    # OR the precomputed rows directly.
+    check_list = np.zeros(len(words), dtype=bool)
     all_cells = [cell for table in tables for cell in table.cells]
     elem_masks = (
         _contained_mask_matrix(
@@ -633,7 +636,7 @@ def aggregate_document(
         if contents is None:
             contents = ""
         cell.contents = contents
-        check_list = combine_flags(check_list, flags)
+        check_list |= elem_masks[k]
 
     for k, paragraph in enumerate(paragraphs):
         contents, direction, flags = extract_words_within_element(
@@ -642,7 +645,7 @@ def aggregate_document(
         )
         if contents is None:
             continue
-        check_list = combine_flags(check_list, flags)
+        check_list |= elem_masks[len(all_cells) + k]
         out_paragraphs.append(
             Paragraph(
                 contents=contents,
