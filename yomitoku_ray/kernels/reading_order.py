@@ -34,13 +34,15 @@ def _priority_dfs(nodes, direction):
 
     pending_nodes = sorted(nodes, key=lambda x: x.prop["distance"])
     visited = [False] * len(nodes)
+    n_visited = 0  # == sum(visited): entries only flip False -> True
     start = pending_nodes.pop(0)
     stack = [start]
 
     order = []
     open_list = []
+    open_set = set()  # ids in open_list (nodes are identity-compared)
 
-    while not all(visited):
+    while n_visited < len(nodes):
         while stack:
             is_updated = False
             current = stack.pop()
@@ -48,16 +50,21 @@ def _priority_dfs(nodes, direction):
                 parents = current.parents
                 if all(visited[parent.id] for parent in parents) or len(parents) == 0:
                     visited[current.id] = True
+                    n_visited += 1
                     order.append(current.id)
                     is_updated = True
                 else:
-                    if current not in open_list:
+                    if id(current) not in open_set:
                         open_list.append(current)
+                        open_set.add(id(current))
 
             if is_updated:
-                for open_node in reversed(open_list):
-                    stack.append(open_node)
-                    open_list.remove(open_node)
+                # same traversal as the reference's reversed()-with-remove
+                # loop: open_list has no duplicates, so it empties fully in
+                # reverse order onto the stack.
+                stack.extend(reversed(open_list))
+                open_list.clear()
+                open_set.clear()
 
             if len(current.children) > 0:
                 stack.append(current)
@@ -85,15 +92,17 @@ def _priority_dfs(nodes, direction):
             stack.append(child)
 
         for node in pending_nodes:
-            if node in open_list:
+            if id(node) in open_set:
                 continue
             stack.append(node)
             pending_nodes.remove(node)
             break
         else:
-            if not all(visited) and len(open_list) != 0:
+            if n_visited < len(nodes) and len(open_list) != 0:
                 node = open_list.pop(0)
+                open_set.discard(id(node))
                 visited[node.id] = True
+                n_visited += 1
                 order.append(node.id)
 
     return order
