@@ -82,10 +82,90 @@ def test_semantic_stage_uses_fast_serializer_byte_identically(ray_session):
     t = generate_pages_table(150)
     stage = ss.SemanticExtractStage()
     fast = stage(t)
-    orig = ss.fast_canonical_json
+    orig = (ss.fast_canonical_json, ss.fast_semantic_dump_json, ss.fast_views_json)
     try:
         ss.fast_canonical_json = dumps_canonical_json
+        ss.fast_semantic_dump_json = lambda doc: dumps_canonical_json(doc.dump())
+        ss.fast_views_json = dumps_canonical_json
         slow = stage(t)
     finally:
-        ss.fast_canonical_json = orig
+        ss.fast_canonical_json, ss.fast_semantic_dump_json, ss.fast_views_json = orig
     assert fast.equals(slow)
+
+
+def test_semantic_specialized_serializers_edge_fixtures():
+    """fast_semantic_dump_json / fast_views_json vs the generic path on
+    hand-built edge shapes: empty doc, None-heavy fields, non-empty meta,
+    lexicographic cell-id sorting (c10 < c2), empty grids/kv, and the
+    fallback for out-of-schema shapes."""
+    from yomitoku_ray.export.json_export import (
+        dumps_canonical_json,
+        fast_semantic_dump_json,
+        fast_views_json,
+    )
+    from yomitoku_ray.semantic.schemas import (
+        KvItem,
+        SemanticCell,
+        SemanticDocument,
+        SemanticParagraph,
+        TableGrid,
+        TableSemanticContents,
+    )
+    from yomitoku_ray.models import Word
+
+    def mk_cell(cid, **kw):
+        base = dict(contents=None, role=None, id=cid, box=[0, 0, 1, 1])
+        base.update(kw)
+        return SemanticCell(**base)
+
+    docs = [
+        SemanticDocument(tables=[], paragraphs=[], words=[]),
+        SemanticDocument(
+            tables=[
+                TableSemanticContents(
+                    id="t0",
+                    style="border",
+                    box=[1, 2, 3, 4],
+                    cells={
+                        "c2": mk_cell("c2", contents="a\n\"b\"", role="header",
+                                      row=0, col=1, row_span=2, col_span=1),
+                        "c10": mk_cell("c10", meta={"k": [1, 2.5, None, "€"]}),
+                    },
+                    kv_items=[
+                        KvItem(id="kv0", key=["k1", "k2"], value="c2", box=None),
+                        KvItem(id=None, key=[], value="c10", box=[5, 6, 7, 8]),
+                    ],
+                    grids=[
+                        TableGrid(id="g0", box=[0, 0, 9, 9], n_row=2, n_col=1,
+                                  col_headers=[["h", None]], data=[[None], ["x"]]),
+                        TableGrid(id=None, box=[], n_row=0, n_col=0,
+                                  col_headers=[], data=[]),
+                    ],
+                )
+            ],
+            paragraphs=[
+                SemanticParagraph(id="p0", box=[1, 1, 2, 2], score=0.875,
+                                  role="section_headings", contents="日本語"),
+                SemanticParagraph(id=None, box=[0, 0, 0, 0], score=1.0, role=None),
+            ],
+            words=[
+                Word(points=[[0, 0], [1, 0], [1, 1], [0, 1]], content="w",
+                     direction="horizontal", rec_score=0.9, det_score=0.81),
+                Word(points=[[0, 0], [1, 1]], content="odd-quad",
+                     direction="vertical", rec_score=0.5, det_score=0.5),
+            ],
+        ),
+    ]
+    for doc in docs:
+        assert fast_semantic_dump_json(doc) == dumps_canonical_json(doc.dump())
+        views = doc.to_dict()
+        assert fast_views_json(views) == dumps_canonical_json(views)
+
+    # out-of-schema views shapes take the fallback and still match
+    for weird in (
+        {"t0": {"grids": [], "kv_items": {}, "extra": 1}},
+        {"t0": {"grids": [{"id": "g", "rows": [], "extra": 2}], "kv_items": {}}},
+        {"t0": {"grids": [{"id": "g", "rows": [{"k": 3}]}], "kv_items": {}}},
+        {1: {"grids": [], "kv_items": {}}},
+    ):
+        assert fast_views_json(weird) == dumps_canonical_json(weird)

@@ -305,6 +305,255 @@ def _enc_any(o, lvl: int, out: list) -> None:
         raise _Unsupported  # unknown type: let the stdlib raise its error
 
 
+# ---------------------------------------------------------------------------
+# Schema-specialized canonical serializers for the semantic stage.
+#
+# SemanticExtractStage serializes doc.dump() and doc.to_dict() per page;
+# profiling put the generic _enc_any walk at ~28% of the stage's CPU. The
+# semantic schemas are fixed (semantic/schemas.py), so both payloads get
+# the same direct-emit treatment as fast_document_json. Byte identity with
+# fast_canonical_json over the synthetic corpus plus hand-built edge
+# fixtures is asserted by tests/test_fast_json.py; anything outside the
+# expected shape falls back to the generic (itself fallback-guarded) path.
+# ---------------------------------------------------------------------------
+
+
+def _null_int(v):
+    return "null" if v is None else repr(v)
+
+
+def _float_json(v):
+    if v != v:
+        return "NaN"
+    if v == _INF:
+        return "Infinity"
+    if v == -_INF:
+        return "-Infinity"
+    return repr(v)
+
+
+def _js_strict(s):
+    if s is None:
+        return "null"
+    if type(s) is not str:
+        raise _Unsupported
+    return _esc(s)
+
+
+def _int_list_json(box, lvl):
+    """list[int] (boxes, spans) — generic int emit, no truncation."""
+    if not box:
+        return "[]"
+    p = _P[lvl + 1]
+    for v in box:
+        if type(v) is not int:
+            raise _Unsupported
+    return f"[\n{p}" + f",\n{p}".join(map(repr, box)) + f"\n{_P[lvl]}]"
+
+
+def _str_list_json(xs, lvl):
+    if not xs:
+        return "[]"
+    p = _P[lvl + 1]
+    return f"[\n{p}" + f",\n{p}".join(_js_strict(x) for x in xs) + f"\n{_P[lvl]}]"
+
+
+def _nested_str_list_json(rows, lvl):
+    if not rows:
+        return "[]"
+    p = _P[lvl + 1]
+    return (
+        f"[\n{p}"
+        + f",\n{p}".join(_str_list_json(r, lvl + 1) for r in rows)
+        + f"\n{_P[lvl]}]"
+    )
+
+
+def _sem_cell_json(c, lvl):
+    p = _P[lvl + 1]
+    if c.meta:
+        parts: list = []
+        _enc_any(c.meta, lvl + 1, parts)
+        meta = "".join(parts)
+    else:
+        meta = "{}"
+    return (
+        f"{{\n"
+        f'{p}"box": {_int_list_json(c.box, lvl + 1)},\n'
+        f'{p}"col": {_null_int(c.col)},\n'
+        f'{p}"col_span": {_null_int(c.col_span)},\n'
+        f'{p}"contents": {_js_strict(c.contents)},\n'
+        f'{p}"id": {_js_strict(c.id)},\n'
+        f'{p}"meta": {meta},\n'
+        f'{p}"role": {_js_strict(c.role)},\n'
+        f'{p}"row": {_null_int(c.row)},\n'
+        f'{p}"row_span": {_null_int(c.row_span)}\n'
+        f"{_P[lvl]}}}"
+    )
+
+
+def _sem_kv_json(kv, lvl):
+    p = _P[lvl + 1]
+    box = "null" if kv.box is None else _int_list_json(kv.box, lvl + 1)
+    return (
+        f"{{\n"
+        f'{p}"box": {box},\n'
+        f'{p}"id": {_js_strict(kv.id)},\n'
+        f'{p}"key": {_str_list_json(kv.key, lvl + 1)},\n'
+        f'{p}"value": {_js_strict(kv.value)}\n'
+        f"{_P[lvl]}}}"
+    )
+
+
+def _sem_grid_json(g, lvl):
+    p = _P[lvl + 1]
+    return (
+        f"{{\n"
+        f'{p}"box": {_int_list_json(g.box, lvl + 1)},\n'
+        f'{p}"col_headers": {_nested_str_list_json(g.col_headers, lvl + 1)},\n'
+        f'{p}"data": {_nested_str_list_json(g.data, lvl + 1)},\n'
+        f'{p}"id": {_js_strict(g.id)},\n'
+        f'{p}"n_col": {repr(g.n_col)},\n'
+        f'{p}"n_row": {repr(g.n_row)}\n'
+        f"{_P[lvl]}}}"
+    )
+
+
+def _sorted_str_keys(d):
+    try:
+        keys = sorted(d)
+    except TypeError as exc:
+        raise _Unsupported from exc
+    for k in keys:
+        if type(k) is not str:
+            raise _Unsupported
+    return keys
+
+
+def _sem_cells_json(cells, lvl):
+    if not cells:
+        return "{}"
+    p = _P[lvl + 1]
+    body = f",\n{p}".join(
+        f"{_esc(k)}: {_sem_cell_json(cells[k], lvl + 1)}"
+        for k in _sorted_str_keys(cells)
+    )
+    return f"{{\n{p}{body}\n{_P[lvl]}}}"
+
+
+def _sem_table_json(t, lvl):
+    p = _P[lvl + 1]
+    return (
+        f"{{\n"
+        f'{p}"box": {_int_list_json(t.box, lvl + 1)},\n'
+        f'{p}"cells": {_sem_cells_json(t.cells, lvl + 1)},\n'
+        f'{p}"grids": {_list_json(t.grids, lvl + 1, _sem_grid_json)},\n'
+        f'{p}"id": {_js_strict(t.id)},\n'
+        f'{p}"kv_items": {_list_json(t.kv_items, lvl + 1, _sem_kv_json)},\n'
+        f'{p}"style": {_js_strict(t.style)}\n'
+        f"{_P[lvl]}}}"
+    )
+
+
+def _sem_par_json(par, lvl):
+    p = _P[lvl + 1]
+    return (
+        f"{{\n"
+        f'{p}"box": {_int_list_json(par.box, lvl + 1)},\n'
+        f'{p}"contents": {_js_strict(par.contents)},\n'
+        f'{p}"id": {_js_strict(par.id)},\n'
+        f'{p}"role": {_js_strict(par.role)},\n'
+        f'{p}"score": {_float_json(par.score)}\n'
+        f"{_P[lvl]}}}"
+    )
+
+
+def _sem_word_json(w, lvl):
+    # Word boxes in the semantic path may be plain int quads of any shape;
+    # delegate to the document-schema word emitter (same key set).
+    return _word_json(w, lvl)
+
+
+def fast_semantic_dump_json(doc) -> str:
+    """Byte-identical to ``fast_canonical_json(doc.dump())`` for
+    SemanticDocument, without building the intermediate dict tree."""
+    p = _P[1]
+    try:
+        return (
+            f"{{\n"
+            f'{p}"paragraphs": {_list_json(doc.paragraphs, 1, _sem_par_json)},\n'
+            f'{p}"tables": {_list_json(doc.tables, 1, _sem_table_json)},\n'
+            f'{p}"words": {_list_json(doc.words, 1, _sem_word_json)}\n'
+            f"}}"
+        )
+    except (_Unsupported, TypeError, AttributeError):
+        return fast_canonical_json(doc.dump())
+
+
+def _views_rows_json(rows, lvl):
+    """list[dict[str, str]] — a grid's parsed row records."""
+    if not rows:
+        return "[]"
+    p = _P[lvl + 1]
+    return (
+        f"[\n{p}"
+        + f",\n{p}".join(_flat_str_dict_json(r, lvl + 1) for r in rows)
+        + f"\n{_P[lvl]}]"
+    )
+
+
+def _flat_str_dict_json(d, lvl):
+    if not d:
+        return "{}"
+    p = _P[lvl + 1]
+    body = f",\n{p}".join(
+        f"{_esc(k)}: {_js_strict(d[k])}" for k in _sorted_str_keys(d)
+    )
+    return f"{{\n{p}{body}\n{_P[lvl]}}}"
+
+
+def _views_grid_json(g, lvl):
+    if len(g) != 2:  # exactly {"id", "rows"} — anything else diverges
+        raise _Unsupported
+    p = _P[lvl + 1]
+    return (
+        f"{{\n"
+        f'{p}"id": {_js_strict(g["id"])},\n'
+        f'{p}"rows": {_views_rows_json(g["rows"], lvl + 1)}\n'
+        f"{_P[lvl]}}}"
+    )
+
+
+def fast_views_json(views) -> str:
+    """Byte-identical to ``fast_canonical_json(doc.to_dict())`` for the
+    fixed views shape {table_id: {"grids": [...], "kv_items": {str: str}}}."""
+    try:
+        if not views:
+            return "{}"
+        p, q = _P[1], _P[2]
+        parts = []
+        for tid in _sorted_str_keys(views):
+            v = views[tid]
+            if len(v) != 2:  # exactly {"grids", "kv_items"}
+                raise _Unsupported
+            grids = v["grids"]
+            if grids:
+                r = _P[3]
+                gbody = f",\n{r}".join(_views_grid_json(g, 3) for g in grids)
+                gs = f"[\n{r}{gbody}\n{q}]"
+            else:
+                gs = "[]"
+            parts.append(
+                f"{_esc(tid)}: {{\n"
+                f'{q}"grids": {gs},\n'
+                f'{q}"kv_items": {_flat_str_dict_json(v["kv_items"], 2)}\n'
+                f"{p}}}"
+            )
+        return f"{{\n{p}" + f",\n{p}".join(parts) + "\n}"
+    except (_Unsupported, TypeError, AttributeError, KeyError):
+        return fast_canonical_json(views)
+
+
 def fast_canonical_json(data) -> str:
     """Byte-identical to :func:`dumps_canonical_json` on plain JSON trees
     (str keys; str/int/float/bool/None leaves; list/tuple/dict containers),

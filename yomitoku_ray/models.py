@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 
-@dataclass
+@dataclass(slots=True)
 class Word:
     """WordPrediction parity (schemas/document_analyzer.py:137-157)."""
 
@@ -37,7 +37,7 @@ class Word:
         }
 
 
-@dataclass
+@dataclass(slots=True)
 class Paragraph:
     """ParagraphSchema parity (schemas/document_analyzer.py:32-52)."""
 
@@ -57,7 +57,7 @@ class Paragraph:
         }
 
 
-@dataclass
+@dataclass(slots=True)
 class Element:
     """Layout element pre-aggregation (schemas/document_analyzer.py:9-29)."""
 
@@ -69,7 +69,7 @@ class Element:
     order: int = 0
 
 
-@dataclass
+@dataclass(slots=True)
 class TableCell:
     """TableCellSchema parity (schemas/document_analyzer.py:55-79)."""
 
@@ -91,7 +91,7 @@ class TableCell:
         }
 
 
-@dataclass
+@dataclass(slots=True)
 class TableLine:
     """TableLineSchema parity (schemas/document_analyzer.py:82-91)."""
 
@@ -102,7 +102,7 @@ class TableLine:
         return {"box": list(self.box), "score": self.score}
 
 
-@dataclass
+@dataclass(slots=True)
 class Table:
     """TableStructureRecognizerSchema parity (schemas/document_analyzer.py:93-119)."""
 
@@ -128,7 +128,7 @@ class Table:
         }
 
 
-@dataclass
+@dataclass(slots=True)
 class Figure:
     """FigureSchema parity (schemas/document_analyzer.py:189-204)."""
 
@@ -146,7 +146,7 @@ class Figure:
         }
 
 
-@dataclass
+@dataclass(slots=True)
 class Document:
     """DocumentAnalyzerSchema parity (schemas/document_analyzer.py:207-227)."""
 

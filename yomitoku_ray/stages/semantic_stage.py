@@ -12,7 +12,11 @@ import pyarrow as pa
 
 from ..detect import BoilerplateClassifier, PageLayoutEngine
 from ..dom import DecodeError, decode_html
-from ..export.json_export import fast_canonical_json
+from ..export.json_export import (
+    fast_canonical_json,
+    fast_semantic_dump_json,
+    fast_views_json,
+)
 from ..extractor.rule_pipeline import run_rule_extraction
 from ..extractor.schema import ExtractionSchema
 from ..semantic import semantic_from_detections
@@ -69,8 +73,8 @@ class SemanticExtractStage:
                 det = self.engine.detect(text)
                 doc = semantic_from_detections(det, self.merge_same_column_values)
                 out["error"].append(None)
-                out["semantic_json"].append(fast_canonical_json(doc.dump()))
-                out["views_json"].append(fast_canonical_json(doc.to_dict()))
+                out["semantic_json"].append(fast_semantic_dump_json(doc))
+                out["views_json"].append(fast_views_json(doc.to_dict()))
                 if self.schema is not None:
                     result = run_rule_extraction(
                         doc, self.schema, simple=self.simple_output
