@@ -23,16 +23,21 @@ def _pt_seg_v(px, py, x, y1, y2):
 
     Same op order as geometry.point_to_segment_distance with abx == 0 (the
     x-difference contributes exactly 0 to dot/denominator, cx == x exactly).
+    Degenerate (zero-length) segments divide by a dummy 1 instead of 0 —
+    the np.errstate context manager this replaces cost more than the whole
+    kernel on the small matrices the parsers feed — and are overwritten
+    with the exact point distance below, so results are unchanged.
     """
     aby = y2 - y1
     denom = aby * aby
+    degen = denom == 0
+    any_degen = bool(np.any(degen))
     apy = py - y1
-    with np.errstate(invalid="ignore", divide="ignore"):
-        t = np.clip((apy * aby) / denom, 0.0, 1.0)
+    safe = np.where(degen, 1.0, denom) if any_degen else denom
+    t = np.clip((apy * aby) / safe, 0.0, 1.0)
     cy = y1 + t * aby
     d = np.hypot(px - x, py - cy)
-    degen = denom == 0
-    if np.any(degen):
+    if any_degen:
         d = np.where(degen, np.hypot(px - x, py - y1), d)
     return d
 
@@ -41,13 +46,14 @@ def _pt_seg_h(px, py, x1, x2, y):
     """Distance from points (px, py) to horizontal segments (x1, y)-(x2, y)."""
     abx = x2 - x1
     denom = abx * abx
+    degen = denom == 0
+    any_degen = bool(np.any(degen))
     apx = px - x1
-    with np.errstate(invalid="ignore", divide="ignore"):
-        t = np.clip((apx * abx) / denom, 0.0, 1.0)
+    safe = np.where(degen, 1.0, denom) if any_degen else denom
+    t = np.clip((apx * abx) / safe, 0.0, 1.0)
     cx = x1 + t * abx
     d = np.hypot(px - cx, py - y)
-    degen = denom == 0
-    if np.any(degen):
+    if any_degen:
         d = np.where(degen, np.hypot(px - x1, py - y), d)
     return d
 
