@@ -13,12 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..kernels.geometry import (
-    calc_overlap_ratio,
-    is_bottom_adjacent,
-    is_right_adjacent,
-    quad_to_xyxy,
-)
+from ..kernels.geometry import quad_to_xyxy
 from ..kernels.geometry_vec import (
     bottom_adjacency_matrix,
     right_adjacency_matrix,
