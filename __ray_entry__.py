@@ -169,6 +169,84 @@ def _semantic_summary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _semantic_match_rate(sf_dir: str, n_sample: int = 200) -> pd.DataFrame:
+    """Byte-identity gate for the semantic pipeline (the extract_match_rate
+    pattern): the distributed SemanticExtractStage's three payload columns
+    (semantic_json / views_json / extraction_json) and table counts are
+    recomputed per row single-process in the driver and compared
+    byte-for-byte, proving the Ray plumbing (actor split, batch
+    boundaries, Arrow serialization) is semantically invisible."""
+    import ray.data
+
+    from yomitoku_ray.detect import BoilerplateClassifier, PageLayoutEngine
+    from yomitoku_ray.dom import DecodeError, decode_html
+    from yomitoku_ray.export.json_export import (
+        fast_canonical_json,
+        fast_semantic_dump_json,
+        fast_views_json,
+    )
+    from yomitoku_ray.extractor.rule_pipeline import run_rule_extraction
+    from yomitoku_ray.extractor.schema import ExtractionSchema
+    from yomitoku_ray.pipelines.extract import PAGES_COLUMNS
+    from yomitoku_ray.semantic import semantic_from_detections
+    from yomitoku_ray.stages.semantic_stage import SemanticExtractStage
+
+    schema_dict = {
+        "fields": [
+            {"name": "first_number", "regex": r"\d+", "normalize": "numeric"},
+            {"name": "heading", "description": "の"},
+        ]
+    }
+    path = _pages_path(sf_dir)
+    src = ray.data.read_parquet(path, columns=PAGES_COLUMNS).limit(n_sample)
+    result = src.map_batches(
+        SemanticExtractStage,
+        fn_constructor_kwargs={"extraction_schema": schema_dict},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(2, 8),
+    ).to_pandas()
+
+    need = set(result["url"])
+    sample = (
+        ray.data.read_parquet(path, columns=["url", "html"])
+        .filter(lambda row: row["url"] in need)
+        .to_pandas()
+    )
+    html_by_url = dict(zip(sample["url"], sample["html"]))
+
+    engine = PageLayoutEngine(BoilerplateClassifier(), collect_semantic=True)
+    schema = ExtractionSchema.from_dict(schema_dict)
+    n_match = 0
+    n_checked = 0
+    for row in result.itertuples():
+        n_checked += 1
+        try:
+            det = engine.detect(decode_html(html_by_url[row.url] or b""))
+            doc = semantic_from_detections(det, False)
+        except DecodeError:
+            n_match += int(row.error is not None)
+            continue
+        ok = (
+            row.error is None
+            and row.semantic_json == fast_semantic_dump_json(doc)
+            and row.views_json == fast_views_json(doc.to_dict())
+            and row.extraction_json
+            == fast_canonical_json(run_rule_extraction(doc, schema, simple=True))
+            and row.n_tables == len(doc.tables)
+            and row.n_kv_items == sum(len(t.kv_items) for t in doc.tables)
+            and row.n_grids == sum(len(t.grids) for t in doc.tables)
+        )
+        n_match += int(ok)
+    return pd.DataFrame(
+        {
+            "n_checked": [n_checked],
+            "n_match": [n_match],
+            "match_rate_pct": [100 * n_match // max(1, n_checked)],
+        }
+    ).astype("int64")
+
+
 def _page_merge_by_domain(sf_dir: str) -> pd.DataFrame:
     """Multi-page merge keyed by domain (the G4 shuffle analogue).
 
@@ -761,6 +839,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_build": _corpus_build,
         "extract_match_rate": _extract_match_rate,
         "semantic_summary": _semantic_summary,
+        # semantic byte-identity gate (distributed stage vs single-process
+        # recompute); hash-green via the pinned 100%-match oracle row
+        "semantic_match_rate": _semantic_match_rate,
         "page_merge_by_domain": _page_merge_by_domain,
         "domain_skew": _domain_skew,
         "page_text_merge": _page_text_merge,
@@ -1527,6 +1608,15 @@ def oracle_sql() -> dict[str, str]:
         # a 100% byte-identity match, pinned here so any divergence
         # hash-mismatches the north-star metric.
         "extract_match_rate": """
+            SELECT CAST(200 AS BIGINT) AS n_checked,
+                   CAST(200 AS BIGINT) AS n_match,
+                   CAST(100 AS BIGINT) AS match_rate_pct
+        """,
+        # semantic_match_rate: same posture for the semantic pipeline — the
+        # Ray side live-compares the distributed SemanticExtractStage's
+        # payloads against a single-process per-row recompute; the pinned
+        # row means any divergence hash-mismatches.
+        "semantic_match_rate": """
             SELECT CAST(200 AS BIGINT) AS n_checked,
                    CAST(200 AS BIGINT) AS n_match,
                    CAST(100 AS BIGINT) AS match_rate_pct

@@ -34,6 +34,15 @@ def test_match_rate_query_is_100(ray_session):
     assert df.iloc[0]["n_checked"] == 200
 
 
+def test_semantic_match_rate_query_is_100(ray_session):
+    import __ray_entry__ as m
+
+    df = m.queries()["semantic_match_rate"](SF)
+    assert df.iloc[0]["match_rate_pct"] == 100
+    assert df.iloc[0]["n_checked"] == 200
+    assert df.iloc[0]["n_match"] == 200
+
+
 def test_domain_skew_query(ray_session):
     import __ray_entry__ as m
 
