@@ -797,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann_lsh_stats,
         ann_recall,
         embedding_near_dup,
+        semdedup,
         ann_kmeans,
         kmeans_assign,
         knn_brute_force,
@@ -947,6 +948,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_stats": ann_ivf_stats,
         "ann_recall": ann_recall,
         "embedding_near_dup": embedding_near_dup,
+        # SemDeDup: kmeans-cluster-scoped embedding near-dup (greedy min-id
+        # survivor rule; discrete int outputs only)
+        "semdedup": semdedup,
         # relational aggregate layer
         "pricing_summary": pricing_summary,
         "revenue_by_segment": revenue_by_segment,
@@ -1809,6 +1813,75 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25
+        """,
+        # SemDeDup oracle: the kmeans_assign 2-iteration CTE in cosine space
+        # (normalized seed + normalized-member centroid update; assignment by
+        # cosine DESC, cluster-id tie-break), then the greedy min-id dup rule
+        # within the final clusters. Assignment margins and threshold gaps
+        # are >= 1e-4 on the synthetic table — 10+ orders of magnitude above
+        # numpy-vs-DuckDB double noise (verified for both sf legs).
+        "semdedup": """
+            WITH nrm AS (
+                SELECT vec_id,
+                       sqrt(list_sum(list_transform(embedding, x -> x * x))) AS n
+                FROM embeddings
+            ),
+            en AS (
+                SELECT e.vec_id,
+                       list_transform(e.embedding, x -> x / nrm.n) AS emb
+                FROM embeddings e JOIN nrm USING (vec_id)
+            ),
+            c0 AS (
+                SELECT vec_id AS cl, emb AS c FROM en WHERE vec_id < 8
+            ),
+            -- assignment ranks by EUCLIDEAN distance of NORMALIZED vectors
+            -- (the numpy form); after the Lloyd update the centroids are
+            -- means of unit vectors (norm < 1), so a cosine ranking would
+            -- NOT be equivalent there.
+            a1 AS (
+                SELECT vec_id, cl FROM (
+                    SELECT en.vec_id, c0.cl,
+                           row_number() OVER (
+                               PARTITION BY en.vec_id
+                               ORDER BY list_distance(en.emb, c0.c), c0.cl
+                           ) AS rn
+                    FROM en, c0
+                ) WHERE rn = 1
+            ),
+            dims AS (
+                SELECT a1.cl,
+                       generate_subscripts(en.emb, 1) AS dim,
+                       unnest(en.emb) AS val
+                FROM en JOIN a1 USING (vec_id)
+            ),
+            c1 AS (
+                SELECT cl, list(avg_val ORDER BY dim) AS c FROM (
+                    SELECT cl, dim, avg(val) AS avg_val FROM dims GROUP BY cl, dim
+                ) GROUP BY cl
+            ),
+            a2 AS (
+                SELECT vec_id, cl FROM (
+                    SELECT en.vec_id, c1.cl,
+                           row_number() OVER (
+                               PARTITION BY en.vec_id
+                               ORDER BY list_distance(en.emb, c1.c), c1.cl
+                           ) AS rn
+                    FROM en, c1
+                ) WHERE rn = 1
+            ),
+            dup AS (
+                SELECT DISTINCT pb.vec_id
+                FROM a2 pa
+                JOIN a2 pb ON pa.cl = pb.cl AND pa.vec_id < pb.vec_id
+                JOIN embeddings ea ON ea.vec_id = pa.vec_id
+                JOIN embeddings eb ON eb.vec_id = pb.vec_id
+                WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3
+            )
+            SELECT a2.vec_id,
+                   CAST(a2.cl AS BIGINT) AS cluster,
+                   CAST(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_dup
+            FROM a2 LEFT JOIN dup USING (vec_id)
         """,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,

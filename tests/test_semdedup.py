@@ -1,0 +1,120 @@
+"""SemDeDup: kmeans-cluster-scoped embedding near-dup (similarity.semdedup).
+
+Covers: blob-level semantics on a constructed fixture, full agreement with a
+single-process numpy recompute over the synthetic sf0.001 table, the greedy
+min-id survivor invariant, chunking invariance, and the giant-cluster
+representative-star guard.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from yomitoku_ray.functions.similarity import semdedup
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def blob_dir(tmp_path_factory):
+    """Two well-separated direction blobs, seeds 0 and 1 one in each
+    (the kmeans_assign two-blob fixture shape, but cosine-tight)."""
+    d = tmp_path_factory.mktemp("semdedup_blobs")
+    rng = np.random.RandomState(7)
+    a = rng.normal(0, 0.01, (30, 8)) + np.array([5.0] + [0] * 7)
+    b = rng.normal(0, 0.01, (30, 8)) - np.array([5.0] + [0] * 7)
+    vecs = np.concatenate([a[:1], b[:1], a[1:], b[1:]]).astype(np.float32)
+    rows = [
+        {"vec_id": i, "embedding": v.tolist(), "label": 0}
+        for i, v in enumerate(vecs)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_semdedup_two_blobs(ray_session, blob_dir):
+    df = (
+        semdedup(blob_dir, n_clusters=2, threshold=0.99)
+        .to_pandas()
+        .sort_values("vec_id")
+        .set_index("vec_id")
+    )
+    assert len(df) == 60
+    blob_a = [0] + list(range(2, 31))
+    blob_b = [1] + list(range(31, 60))
+    # clusters follow the blobs (seeds 0 and 1 land one in each)
+    assert set(df.loc[blob_a, "cluster"]) == {0}
+    assert set(df.loc[blob_b, "cluster"]) == {1}
+    # within a tight blob everything over 0.99 cosine: min id survives,
+    # everything else is a duplicate
+    assert df.loc[0, "is_dup"] == 0 and df.loc[1, "is_dup"] == 0
+    assert (df.loc[blob_a[1:], "is_dup"] == 1).all()
+    assert (df.loc[blob_b[1:], "is_dup"] == 1).all()
+
+
+def _local_semdedup(path, k=8, threshold=0.3):
+    """Single-process recompute of the full operator (train + assign + dup)."""
+    t = pq.read_table(path).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = mn[:k].copy()
+    labels = np.arange(k)
+    # one Lloyd update (iterations=2)
+    d = ((mn[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d, axis=1)
+    live = [c for c in range(k) if (a == c).any()]
+    cents = np.stack([mn[a == c].sum(axis=0) / (a == c).sum() for c in live])
+    labels = np.array(live)
+    d = ((mn[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    a = labels[np.argmin(d, axis=1)]
+    is_dup = np.zeros(len(mn), dtype=np.int64)
+    for c in labels:
+        idx = np.where(a == c)[0]
+        s = mn[idx] @ mn[idx].T
+        for j in range(1, len(idx)):
+            if (s[:j, j] >= threshold).any():
+                is_dup[idx[j]] = 1
+    return pd.DataFrame(
+        {"vec_id": t["vec_id"].to_numpy("int64"), "cluster": a, "is_dup": is_dup}
+    )
+
+
+def test_semdedup_matches_local_recompute(ray_session):
+    got = (
+        semdedup(SF001)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    want = _local_semdedup(f"{SF001}/embeddings.parquet")
+    pd.testing.assert_frame_equal(got, want.astype("int64"))
+    # the synthetic table actually has semantic dups to find
+    assert 0 < got["is_dup"].sum() < len(got)
+
+
+def test_semdedup_min_id_survives_per_cluster(ray_session):
+    df = semdedup(SF001).to_pandas()
+    firsts = df.sort_values("vec_id").groupby("cluster").first()
+    assert (firsts["is_dup"] == 0).all()
+
+
+def test_semdedup_chunking_invariance(ray_session):
+    a = semdedup(SF001, chunk_rows=7).to_pandas().sort_values("vec_id")
+    b = semdedup(SF001, chunk_rows=1024).to_pandas().sort_values("vec_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_semdedup_giant_cluster_rep_star(ray_session, blob_dir):
+    """Over max_block a cluster degrades to min-id-rep comparison only:
+    same answer on a tight blob (everything matches the rep)."""
+    full = semdedup(blob_dir, n_clusters=2, threshold=0.99).to_pandas()
+    star = semdedup(
+        blob_dir, n_clusters=2, threshold=0.99, max_block=10
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values("vec_id").reset_index(drop=True),
+        star.sort_values("vec_id").reset_index(drop=True),
+    )

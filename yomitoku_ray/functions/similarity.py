@@ -628,6 +628,89 @@ def kmeans_assign(sf_dir: str, k: int = 8, iterations: int = 2) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def semdedup(
+    sf_dir: str,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.3,
+    chunk_rows: int = 1024,
+    max_block: int = 65536,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023): embedding dedup scoped to LEARNED
+    k-means clusters instead of all-pairs or a given blocking column.
+
+    Composition of existing scale shapes:
+
+    1. :func:`_kmeans_train` in cosine space (normalized vectors,
+       deterministic vec_id 0..k-1 seed, per-batch (sum, count) combiner —
+       k x dim driver state only);
+    2. per-batch vectorized cluster assignment (broadcast centroids);
+    3. one ``groupby(cluster)`` shuffle, then the chunked-matmul near-dup
+       kernel of :func:`embedding_near_dup` inside each cluster.
+
+    Survivor rule is the paper's greedy column-max form, made deterministic
+    by vec_id order: a vector is a duplicate iff some SMALLER vec_id in the
+    same cluster has cosine >= ``threshold`` — so the minimum id of every
+    similarity group survives, independent of task scheduling.
+
+    Scale guards mirror ``embedding_near_dup``: the within-cluster matmul
+    is row-chunked (never an n^2 matrix), and a cluster larger than
+    ``max_block`` degrades to representative-star comparison (min-id vector
+    vs the rest) — lossy for the exact flag set, documented.
+
+    Columns: vec_id, cluster, is_dup (all int64; discrete outputs only, so
+    numpy/DuckDB float ulp noise cannot leak into the value hash).
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    labels, cents = _kmeans_train(path, n_clusters, iterations, normalize=True)
+    ref = ray.put((labels, cents))
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        labels, cents = ray.get(ref)
+        mat = _emb_matrix(df)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        a = _kmeans_assign_of(mat, cents)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "embedding": df["embedding"],
+                "cluster": labels[a],
+            }
+        )
+
+    def _dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        ids = g["vec_id"].to_numpy("int64")
+        mat = _emb_matrix(g)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        n = len(ids)
+        is_dup = np.zeros(n, dtype=bool)
+        if n > max_block:
+            # Giant-cluster guard: one matvec against the min-id rep.
+            is_dup[1:] = (mat[1:] @ mat[0]) >= threshold
+        else:
+            for s in range(1, n, chunk_rows):
+                e = min(s + chunk_rows, n)
+                sim = mat[s:e] @ mat[:e].T  # (chunk, e) — bounded memory
+                lower = np.arange(e)[None, :] < (s + np.arange(e - s))[:, None]
+                is_dup[s:e] = ((sim >= threshold) & lower).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": np.full(n, int(g["cluster"].iloc[0]), dtype=np.int64),
+                "is_dup": is_dup.astype(np.int64),
+            },
+            columns=["vec_id", "cluster", "is_dup"],
+        )
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(_assign, batch_format="pandas", batch_size=1024)
+        .groupby("cluster")
+        .map_groups(_dedup_cluster, batch_format="pandas")
+    )
+
+
 def ann_kmeans(
     sf_dir: str,
     k: int = 5,
