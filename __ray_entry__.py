@@ -828,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         token_count_bpe,
         top_terms,
         winnow_fingerprints,
+        dsir_weights,
     )
 
     return {
@@ -861,6 +862,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": corpus_prep,
         "token_count_bpe": token_count_bpe,
         "winnow_fingerprints": winnow_fingerprints,
+        # DSIR (Xie et al. 2023): hashed-unigram importance weights vs the
+        # target_lang slice; per-bucket log-ratios frozen to integer
+        # fixed-point (pagerank posture), doc sums pure int
+        "dsir_weights": dsir_weights,
         # CCNet-style LM coverage: corpus bigram table shuffle-joined to
         # each doc's bigrams (never broadcast; table is corpus-sized)
         "bigram_coverage": bigram_coverage,
@@ -1605,6 +1610,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(fps) AS BIGINT) AS n_fp,
                    CAST(list_sum(fps) % 2305843009213693951 AS BIGINT) AS fp_checksum
             FROM fp
+        """,
+        # DSIR: hashed-unigram two-model importance weights. The oracle
+        # independently rebuilds both smoothed bucket models and the
+        # integer fixed-point bucket scores; document weights are then
+        # exact integer sums (order-independent on both engines). The only
+        # float seam is ln() per bucket; verified >= 0.005 fractional
+        # distance from every floor boundary at both sf legs.
+        "dsir_weights": r"""
+            WITH tb AS (
+                SELECT doc_id, lang,
+                       md5_number_upper(t) % 1024 AS b
+                FROM (
+                    SELECT doc_id, lang,
+                           unnest(string_split_regex(trim(text), '\s+')) AS t
+                    FROM documents WHERE length(trim(text)) > 0
+                )
+            ),
+            cnt AS (
+                SELECT b,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
+                       count(*) AS r_cnt
+                FROM tb GROUP BY b
+            ),
+            tot AS (SELECT sum(t_cnt) AS tt, sum(r_cnt) AS rr FROM cnt),
+            sc AS (
+                SELECT b,
+                       CAST(floor(1000000.0 * (
+                            ln((t_cnt + 1.0) / (tt + 1024.0))
+                          - ln((r_cnt + 1.0) / (rr + 1024.0)))) AS BIGINT) AS s
+                FROM cnt, tot
+            )
+            SELECT tb.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(sc.s) AS BIGINT) AS weight_scaled
+            FROM tb JOIN sc USING (b)
+            GROUP BY tb.doc_id
         """,
         # extract_match_rate: the Ray side live-compares the distributed
         # pipeline's full output (text/markdown/doc_json) against the

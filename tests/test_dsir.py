@@ -1,0 +1,87 @@
+"""DSIR importance weights (text_stats.dsir_weights)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from yomitoku_ray.functions.text_stats import dsir_weights
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _local_dsir(path, B=1024, target_lang="en", scale=1_000_000):
+    """Single-process recompute of the full operator."""
+    from yomitoku_ray.functions.dedup import _batch_token_codes
+
+    df = pq.read_table(path).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    uh, codes, counts = _batch_token_codes(df["text"].fillna("").tolist())
+    occ = (uh % np.uint64(B)).astype(np.int64)[codes]
+    di = np.repeat(np.arange(len(df)), counts)
+    tmask = (df["lang"].fillna("") == target_lang).to_numpy()[di]
+    r = np.bincount(occ, minlength=B)
+    t = np.bincount(occ[tmask], minlength=B)
+    T, R = t.sum(), r.sum()
+    s = np.floor(
+        scale * (np.log((t + 1.0) / (T + B)) - np.log((r + 1.0) / (R + B)))
+    ).astype(np.int64)
+    w = np.zeros(len(df), dtype=np.int64)
+    np.add.at(w, di, s[occ])
+    keep = counts > 0
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy("int64")[keep],
+            "n_tokens": counts[keep].astype("int64"),
+            "weight_scaled": w[keep],
+        }
+    )
+
+
+def test_dsir_matches_local_recompute(ray_session):
+    got = (
+        dsir_weights(SF001)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    want = _local_dsir(f"{SF001}/documents.parquet").astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_dsir_targets_rank_higher(ray_session):
+    """Target-language documents must have higher mean importance weight —
+    the operator's whole point is up-weighting target-like raw text."""
+    got = dsir_weights(SF001).to_pandas()
+    docs = pq.read_table(
+        f"{SF001}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    m = got.merge(docs, on="doc_id")
+    # normalize by length: per-token mean log-ratio
+    m["per_tok"] = m["weight_scaled"] / m["n_tokens"]
+    en = m[m.lang == "en"]["per_tok"].mean()
+    rest = m[m.lang != "en"]["per_tok"].mean()
+    assert en > rest
+
+
+def test_dsir_empty_and_target_edge(ray_session, tmp_path):
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma", "lang": "en"},
+        {"doc_id": 1, "text": "alpha beta gamma", "lang": "de"},
+        {"doc_id": 2, "text": "   ", "lang": "en"},  # whitespace-only: no row
+        {"doc_id": 3, "text": "delta epsilon", "lang": "en"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = dsir_weights(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [0, 1, 3]
+    # identical text -> identical weight regardless of the doc's own lang
+    w = out.set_index("doc_id")["weight_scaled"]
+    assert w[0] == w[1]
+    assert list(out["n_tokens"]) == [3, 3, 2]
+
+
+def test_dsir_deterministic(ray_session):
+    a = dsir_weights(SF001).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = dsir_weights(SF001).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -877,3 +877,123 @@ def tfidf_top_terms(sf_dir: str, n_buckets: int | None = None) -> ray.data.Datas
         .groupby("dbucket")
         .map_groups(_argmax, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    sf_dir: str,
+    n_buckets: int = 1024,
+    target_lang: str = "en",
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """DSIR importance weights over hashed unigram bag-of-words models.
+
+    The target distribution is the ``target_lang`` slice of the corpus (the
+    stand-in for a high-quality reference set); the raw distribution is the
+    whole corpus. Each token hashes into one of ``n_buckets`` buckets
+    (md5_number_upper parity, the :func:`winnow_fingerprints` idiom); both
+    models are add-one-smoothed bucket unigram distributions, and a
+    document's importance weight is sum_b c_b * (ln p_b - ln q_b).
+
+    Scale shape (two streaming passes, no corpus-sized driver state):
+
+    1. per-batch partial (bucket, target_cnt, raw_cnt) rows — pre-aggregated
+       per batch, so the reduce shuffle moves O(batches x nonzero buckets)
+       rows, never tokens — reduced through a bucket-key groupby to exactly
+       ``n_buckets`` rows of driver state;
+    2. the per-bucket log-ratios are frozen to INTEGER fixed-point
+       ``s_b = floor(scale * (ln p_b - ln q_b))`` (the pagerank posture:
+       only B floats ever cross the float seam, each verified far from its
+       floor boundary; document sums are then order-independent integer
+       arithmetic, bit-identical to any SQL evaluation order) and broadcast
+       via ``ray.put``;
+    3. a second pass scores each document vectorized (bincount over
+       occurrence buckets).
+
+    Columns: doc_id, n_tokens, weight_scaled (all int64). Documents whose
+    trimmed text is empty emit no row (SQL WHERE parity).
+    """
+    import numpy as np
+
+    from .dedup import _batch_token_codes
+
+    path = f"{sf_dir}/documents.parquet"
+    B = int(n_buckets)
+
+    def _partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        uh, codes, counts = _batch_token_codes(df["text"].fillna("").tolist())
+        if len(codes) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "t_cnt": pd.Series([], dtype="int64"),
+                    "r_cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        occ_b = (uh % np.uint64(B)).astype(np.int64)[codes]
+        doc_idx = np.repeat(np.arange(len(df)), counts)
+        is_target = (df["lang"].fillna("") == target_lang).to_numpy()[doc_idx]
+        r = np.bincount(occ_b, minlength=B)
+        t = np.bincount(occ_b[is_target], minlength=B)
+        nz = np.nonzero(r)[0]
+        return pd.DataFrame(
+            {
+                "bucket": nz.astype(np.int64),
+                "t_cnt": t[nz].astype(np.int64),
+                "r_cnt": r[nz].astype(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    cnt = (
+        ray.data.read_parquet(path, columns=["text", "lang"])
+        .map_batches(_partial_counts, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("t_cnt", alias_name="t"), Sum("r_cnt", alias_name="r"))
+        .to_pandas()  # <= n_buckets rows — the ONLY driver-side state
+    )
+    t_cnt = np.zeros(B, dtype=np.int64)
+    r_cnt = np.zeros(B, dtype=np.int64)
+    t_cnt[cnt["bucket"].to_numpy("int64")] = cnt["t"].to_numpy("int64")
+    r_cnt[cnt["bucket"].to_numpy("int64")] = cnt["r"].to_numpy("int64")
+    T = int(t_cnt.sum())
+    R = int(r_cnt.sum())
+    # Integer fixed-point per-bucket scores: the only float -> int seam.
+    s = np.floor(
+        scale * (np.log((t_cnt + 1.0) / (T + B)) - np.log((r_cnt + 1.0) / (R + B)))
+    ).astype(np.int64)
+    ref = ray.put(s)
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(ref)
+        uh, codes, counts = _batch_token_codes(df["text"].fillna("").tolist())
+        keep = counts > 0
+        if len(codes) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "weight_scaled": pd.Series([], dtype="int64"),
+                }
+            )
+        occ_b = (uh % np.uint64(B)).astype(np.int64)[codes]
+        doc_idx = np.repeat(np.arange(len(df)), counts)
+        # integer-valued float additions are exact below 2^53, so bincount's
+        # summation order cannot change the result
+        w = np.bincount(doc_idx, weights=s[occ_b].astype(np.float64), minlength=len(df))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy("int64")[keep],
+                "n_tokens": counts[keep].astype(np.int64),
+                "weight_scaled": w[keep].astype(np.int64),
+            }
+        )
+
+    return ray.data.read_parquet(
+        path, columns=["doc_id", "text", "lang"]
+    ).map_batches(_score, batch_format="pandas")
