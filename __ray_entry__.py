@@ -829,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top_terms,
         winnow_fingerprints,
         dsir_weights,
+        dsir_select,
     )
 
     return {
@@ -866,6 +867,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # target_lang slice; per-bucket log-ratios frozen to integer
         # fixed-point (pagerank posture), doc sums pure int
         "dsir_weights": dsir_weights,
+        # DSIR selection: noise-free top-k resample (pure integer ranking)
+        "dsir_select": dsir_select,
         # CCNet-style LM coverage: corpus bigram table shuffle-joined to
         # each doc's bigrams (never broadcast; table is corpus-sized)
         "bigram_coverage": bigram_coverage,
@@ -1199,6 +1202,38 @@ def _pages_glob_sf001() -> str:
     from yomitoku_ray.synth.pages import ensure_pages_parquet
 
     return ensure_pages_parquet("/root/testdata/sf0.01") + "/*.parquet"
+
+
+_DSIR_WEIGHTS_SQL = r"""
+            WITH tb AS (
+                SELECT doc_id, lang,
+                       md5_number_upper(t) % 1024 AS b
+                FROM (
+                    SELECT doc_id, lang,
+                           unnest(string_split_regex(trim(text), '\s+')) AS t
+                    FROM documents WHERE length(trim(text)) > 0
+                )
+            ),
+            cnt AS (
+                SELECT b,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
+                       count(*) AS r_cnt
+                FROM tb GROUP BY b
+            ),
+            tot AS (SELECT sum(t_cnt) AS tt, sum(r_cnt) AS rr FROM cnt),
+            sc AS (
+                SELECT b,
+                       CAST(floor(1000000.0 * (
+                            ln((t_cnt + 1.0) / (tt + 1024.0))
+                          - ln((r_cnt + 1.0) / (rr + 1024.0)))) AS BIGINT) AS s
+                FROM cnt, tot
+            )
+            SELECT tb.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(sc.s) AS BIGINT) AS weight_scaled
+            FROM tb JOIN sc USING (b)
+            GROUP BY tb.doc_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1617,35 +1652,15 @@ def oracle_sql() -> dict[str, str]:
         # exact integer sums (order-independent on both engines). The only
         # float seam is ln() per bucket; verified >= 0.005 fractional
         # distance from every floor boundary at both sf legs.
-        "dsir_weights": r"""
-            WITH tb AS (
-                SELECT doc_id, lang,
-                       md5_number_upper(t) % 1024 AS b
-                FROM (
-                    SELECT doc_id, lang,
-                           unnest(string_split_regex(trim(text), '\s+')) AS t
-                    FROM documents WHERE length(trim(text)) > 0
-                )
-            ),
-            cnt AS (
-                SELECT b,
-                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
-                       count(*) AS r_cnt
-                FROM tb GROUP BY b
-            ),
-            tot AS (SELECT sum(t_cnt) AS tt, sum(r_cnt) AS rr FROM cnt),
-            sc AS (
-                SELECT b,
-                       CAST(floor(1000000.0 * (
-                            ln((t_cnt + 1.0) / (tt + 1024.0))
-                          - ln((r_cnt + 1.0) / (rr + 1024.0)))) AS BIGINT) AS s
-                FROM cnt, tot
-            )
-            SELECT tb.doc_id,
-                   count(*) AS n_tokens,
-                   CAST(sum(sc.s) AS BIGINT) AS weight_scaled
-            FROM tb JOIN sc USING (b)
-            GROUP BY tb.doc_id
+        "dsir_weights": _DSIR_WEIGHTS_SQL,
+        # DSIR top-k selection: integer rank over the same weight CTE
+        "dsir_select": f"""
+            WITH w AS ({_DSIR_WEIGHTS_SQL})
+            SELECT CAST(row_number() OVER (
+                       ORDER BY weight_scaled DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, n_tokens, weight_scaled
+            FROM w
+            ORDER BY rank LIMIT 100
         """,
         # extract_match_rate: the Ray side live-compares the distributed
         # pipeline's full output (text/markdown/doc_json) against the

@@ -85,3 +85,17 @@ def test_dsir_deterministic(ray_session):
     a = dsir_weights(SF001).to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = dsir_weights(SF001).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dsir_select_topk(ray_session):
+    from yomitoku_ray.functions.text_stats import dsir_select
+
+    sel = dsir_select(SF001, k=10).to_pandas().sort_values("rank")
+    assert list(sel["rank"]) == list(range(1, 11))
+    w = _local_dsir(f"{SF001}/documents.parquet")
+    want = w.sort_values(
+        ["weight_scaled", "doc_id"], ascending=[False, True]
+    ).head(10)
+    assert list(sel["doc_id"]) == list(want["doc_id"])
+    # descending weights with deterministic tie-break
+    assert (sel["weight_scaled"].diff().dropna() <= 0).all()

@@ -997,3 +997,51 @@ def dsir_weights(
     return ray.data.read_parquet(
         path, columns=["doc_id", "text", "lang"]
     ).map_batches(_score, batch_format="pandas")
+
+
+def dsir_select(
+    sf_dir: str,
+    k: int = 100,
+    n_buckets: int = 1024,
+    target_lang: str = "en",
+) -> ray.data.Dataset:
+    """DSIR selection: the top-``k`` documents by importance weight.
+
+    Deterministic stand-in for the paper's Gumbel-top-k resample (the
+    noise-free limit): rank by ``weight_scaled`` DESC with doc_id ASC
+    tie-break. Entirely integer arithmetic on top of
+    :func:`dsir_weights`, so no float seam at all.
+
+    Scale shape: per-batch partial top-k (each batch forwards at most k
+    rows) -> one single-group reduce over <= k x n_batches rows. Columns:
+    rank (1-based), doc_id, n_tokens, weight_scaled (all int64).
+    """
+    import numpy as np
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["weight_scaled", "doc_id"], ascending=[False, True]
+        ).head(k)
+        out = df.copy()
+        out["g"] = np.zeros(len(df), dtype="int64")
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["weight_scaled", "doc_id"], ascending=[False, True]
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(g) + 1, dtype="int64"),
+                "doc_id": g["doc_id"].to_numpy("int64"),
+                "n_tokens": g["n_tokens"].to_numpy("int64"),
+                "weight_scaled": g["weight_scaled"].to_numpy("int64"),
+            }
+        )
+
+    return (
+        dsir_weights(sf_dir, n_buckets=n_buckets, target_lang=target_lang)
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("g")
+        .map_groups(_final, batch_format="pandas")
+    )
