@@ -147,6 +147,8 @@ def run_bench() -> dict:
             segment_dedup,
         )
         from yomitoku_ray.functions.relational import event_pagerank
+        from yomitoku_ray.functions.similarity import semdedup
+        from yomitoku_ray.functions.text_stats import dsir_weights
 
         def timed(name, fn):
             t0 = time.perf_counter()
@@ -192,6 +194,8 @@ def run_bench() -> dict:
         timed("dup_ngram_spans", dup_ngram_spans)
         timed("segment_dedup", segment_dedup)
         timed("event_pagerank", event_pagerank)
+        timed("semdedup", semdedup)
+        timed("dsir_weights", dsir_weights)
 
     ray.shutdown()
     return {
