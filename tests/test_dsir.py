@@ -99,3 +99,31 @@ def test_dsir_select_topk(ray_session):
     assert list(sel["doc_id"]) == list(want["doc_id"])
     # descending weights with deterministic tie-break
     assert (sel["weight_scaled"].diff().dropna() <= 0).all()
+
+
+def test_dsir_select_multibatch_partial_topk(ray_session, tmp_path):
+    """>1 batch forces the per-batch partial top-k combiner path."""
+    rng = np.random.RandomState(11)
+    vocab = [f"tok{i}" for i in range(50)]
+    rows = []
+    for i in range(3000):
+        n = 5 + int(rng.randint(0, 20))
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(rng.choice(vocab, n)),
+                "lang": "en" if i % 3 == 0 else "de",
+            }
+        )
+    pq.write_table(
+        pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet")
+    )
+    from yomitoku_ray.functions.text_stats import dsir_select
+
+    sel = dsir_select(str(tmp_path), k=25).to_pandas().sort_values("rank")
+    w = _local_dsir(str(tmp_path / "documents.parquet"))
+    want = w.sort_values(
+        ["weight_scaled", "doc_id"], ascending=[False, True]
+    ).head(25)
+    assert list(sel["doc_id"]) == list(want["doc_id"])
+    assert list(sel["weight_scaled"]) == list(want["weight_scaled"])

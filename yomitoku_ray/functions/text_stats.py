@@ -983,14 +983,15 @@ def dsir_weights(
             )
         occ_b = (uh % np.uint64(B)).astype(np.int64)[codes]
         doc_idx = np.repeat(np.arange(len(df)), counts)
-        # integer-valued float additions are exact below 2^53, so bincount's
-        # summation order cannot change the result
-        w = np.bincount(doc_idx, weights=s[occ_b].astype(np.float64), minlength=len(df))
+        # int64 accumulation end-to-end: exact at any token count (a
+        # float-weighted bincount is only integer-exact below 2^53)
+        w = np.zeros(len(df), dtype=np.int64)
+        np.add.at(w, doc_idx, s[occ_b])
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy("int64")[keep],
                 "n_tokens": counts[keep].astype(np.int64),
-                "weight_scaled": w[keep].astype(np.int64),
+                "weight_scaled": w[keep],
             }
         )
 
