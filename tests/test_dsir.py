@@ -127,3 +127,36 @@ def test_dsir_select_multibatch_partial_topk(ray_session, tmp_path):
     ).head(25)
     assert list(sel["doc_id"]) == list(want["doc_id"])
     assert list(sel["weight_scaled"]) == list(want["weight_scaled"])
+
+
+def test_dsir_degenerate_corpora(ray_session, tmp_path):
+    # all-empty corpus: no rows, no crash (empty aggregate frame)
+    d = tmp_path / "empty"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["", "   "]),
+                "lang": pa.array(["en", "de"]),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    assert len(dsir_weights(str(d)).to_pandas()) == 0
+    # no target-language docs: smoothing keeps weights finite, and
+    # identical texts still weigh identically
+    d2 = tmp_path / "notarget"
+    d2.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["hello world", "hello world"]),
+                "lang": pa.array(["de", "fr"]),
+            }
+        ),
+        str(d2 / "documents.parquet"),
+    )
+    out = dsir_weights(str(d2)).to_pandas()
+    assert len(out) == 2 and out["weight_scaled"].nunique() == 1

@@ -959,8 +959,9 @@ def dsir_weights(
     )
     t_cnt = np.zeros(B, dtype=np.int64)
     r_cnt = np.zeros(B, dtype=np.int64)
-    t_cnt[cnt["bucket"].to_numpy("int64")] = cnt["t"].to_numpy("int64")
-    r_cnt[cnt["bucket"].to_numpy("int64")] = cnt["r"].to_numpy("int64")
+    if len(cnt):  # an all-empty corpus aggregates to a column-less frame
+        t_cnt[cnt["bucket"].to_numpy("int64")] = cnt["t"].to_numpy("int64")
+        r_cnt[cnt["bucket"].to_numpy("int64")] = cnt["r"].to_numpy("int64")
     T = int(t_cnt.sum())
     R = int(r_cnt.sum())
     # Integer fixed-point per-bucket scores: the only float -> int seam.
