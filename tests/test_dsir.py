@@ -160,3 +160,56 @@ def test_dsir_degenerate_corpora(ray_session, tmp_path):
     )
     out = dsir_weights(str(d2)).to_pandas()
     assert len(out) == 2 and out["weight_scaled"].nunique() == 1
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_dsir_cross_engine_fuzz(ray_session, tmp_path, seed):
+    """Random ASCII corpora: the Ray operator must agree with the DuckDB
+    oracle EXACTLY (the correctness gate generalized beyond the fixed synth
+    tables). Alphabet stays ASCII space/tab/newline — the repo-wide token
+    convention (Python str.split vs regex '\\s+') diverges only on exotic
+    whitespace the corpus tables never contain."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(30)] + ["a", "bb", "ccc", "Zz9", "#!?"]
+    seps = np.array([" ", "  ", "\t", "\n", " \n "], dtype=object)
+    rows = []
+    for i in range(120):
+        n = int(rng.randint(0, 25))
+        toks = rng.choice(vocab, n)
+        text = "".join(
+            t + s for t, s in zip(toks, rng.choice(seps, n))
+        ).rstrip()
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": str(rng.choice(["en", "de", "fr"])),
+            }
+        )
+    d = tmp_path / "fuzz"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    got = (
+        dsir_weights(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = (
+        con.execute(entry.oracle_sql()["dsir_weights"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])

@@ -118,3 +118,46 @@ def test_semdedup_giant_cluster_rep_star(ray_session, blob_dir):
         full.sort_values("vec_id").reset_index(drop=True),
         star.sort_values("vec_id").reset_index(drop=True),
     )
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_semdedup_cross_engine_fuzz(ray_session, tmp_path, seed):
+    """Random embeddings tables: Ray vs the DuckDB full-Lloyd oracle must
+    agree exactly (generalizes the gate beyond the fixed synth tables)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    rng = np.random.RandomState(seed)
+    n, dim = 90, 12
+    base = rng.randn(6, dim)
+    vecs = base[rng.randint(0, 6, n)] + 0.7 * rng.randn(n, dim)
+    rows = [
+        {"vec_id": i, "embedding": vecs[i].astype(np.float64).tolist(), "label": 0}
+        for i in range(n)
+    ]
+    d = tmp_path / "fuzz"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "embeddings.parquet"))
+    got = (
+        semdedup(str(d))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    want = (
+        con.execute(entry.oracle_sql()["semdedup"])
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
