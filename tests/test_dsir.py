@@ -213,3 +213,27 @@ def test_dsir_cross_engine_fuzz(ray_session, tmp_path, seed):
         .astype("int64")
     )
     pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+
+
+def test_dsir_driver_state_is_bucket_sized(ray_session, monkeypatch):
+    """Building dsir_weights must collect only the B-row bucket-count
+    aggregate on the driver — never document- or token-sized data."""
+    import ray.data as rd
+
+    real_to_pandas = rd.Dataset.to_pandas
+    sizes = []
+
+    def _spy(self, *a, **k):
+        df = real_to_pandas(self, *a, **k)
+        sizes.append(len(df))
+        return df
+
+    def _boom(*a, **k):
+        raise AssertionError("from_pandas on the driver in dsir chain")
+
+    monkeypatch.setattr(rd, "from_pandas", _boom)
+    monkeypatch.setattr(rd.Dataset, "to_pandas", _spy)
+    ds = dsir_weights(SF001)  # chain construction collects the counts
+    monkeypatch.undo()
+    assert len(sizes) == 1 and sizes[0] <= 1024
+    assert ds.count() == 500

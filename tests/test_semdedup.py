@@ -161,3 +161,28 @@ def test_semdedup_cross_engine_fuzz(ray_session, tmp_path, seed):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)]
     )
+
+
+def test_semdedup_driver_state_is_centroid_sized(ray_session, monkeypatch):
+    """semdedup's driver state is the k-means training reduction only:
+    the k-seed init frame and one k-row combiner result per Lloyd round —
+    never a vector-table-sized collect."""
+    import ray.data as rd
+
+    real_to_pandas = rd.Dataset.to_pandas
+    sizes = []
+
+    def _spy(self, *a, **k):
+        df = real_to_pandas(self, *a, **k)
+        sizes.append(len(df))
+        return df
+
+    def _boom(*a, **k):
+        raise AssertionError("from_pandas on the driver in semdedup chain")
+
+    monkeypatch.setattr(rd, "from_pandas", _boom)
+    monkeypatch.setattr(rd.Dataset, "to_pandas", _spy)
+    ds = semdedup(SF001, n_clusters=8)
+    monkeypatch.undo()
+    assert sizes and max(sizes) <= 8
+    assert ds.count() == 500
