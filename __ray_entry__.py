@@ -869,6 +869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": dsir_weights,
         # DSIR selection: noise-free top-k resample (pure integer ranking)
         "dsir_select": dsir_select,
+        # DSIR with the paper's full hashed uni+bigram feature set
+        "dsir_weights_bigram": lambda sf_dir: dsir_weights(sf_dir, bigrams=True),
         # CCNet-style LM coverage: corpus bigram table shuffle-joined to
         # each doc's bigrams (never broadcast; table is corpus-sized)
         "bigram_coverage": bigram_coverage,
@@ -1234,6 +1236,45 @@ _DSIR_WEIGHTS_SQL = r"""
             FROM tb JOIN sc USING (b)
             GROUP BY tb.doc_id
         """
+
+
+_DSIR_BIGRAM_SQL = r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       string_split_regex(trim(text), '\s+') AS ts
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            feats AS (
+                SELECT doc_id, lang, unnest(ts) AS f FROM toks
+                UNION ALL
+                SELECT doc_id, lang,
+                       unnest([ts[i] || ' ' || ts[i + 1]
+                               for i in generate_series(1, len(ts) - 1)]) AS f
+                FROM toks
+            ),
+            tb AS (
+                SELECT doc_id, lang, md5_number_upper(f) % 1024 AS b FROM feats
+            ),
+            cnt AS (
+                SELECT b,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
+                       count(*) AS r_cnt
+                FROM tb GROUP BY b
+            ),
+            tot AS (SELECT sum(t_cnt) AS tt, sum(r_cnt) AS rr FROM cnt),
+            sc AS (
+                SELECT b,
+                       CAST(floor(1000000.0 * (
+                            ln((t_cnt + 1.0) / (tt + 1024.0))
+                          - ln((r_cnt + 1.0) / (rr + 1024.0)))) AS BIGINT) AS s
+                FROM cnt, tot
+            )
+            SELECT tb.doc_id,
+                   count(*) AS n_feats,
+                   CAST(sum(sc.s) AS BIGINT) AS weight_scaled
+            FROM tb JOIN sc USING (b)
+            GROUP BY tb.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1653,6 +1694,10 @@ def oracle_sql() -> dict[str, str]:
         # float seam is ln() per bucket; verified >= 0.005 fractional
         # distance from every floor boundary at both sf legs.
         "dsir_weights": _DSIR_WEIGHTS_SQL,
+        # uni+bigram feature set: same two-model integer fixed-point
+        # posture; bigram strings are the shingle idiom (left || ' ' ||
+        # right), floor margins re-verified at both sf legs
+        "dsir_weights_bigram": _DSIR_BIGRAM_SQL,
         # DSIR top-k selection: integer rank over the same weight CTE
         "dsir_select": f"""
             WITH w AS ({_DSIR_WEIGHTS_SQL})

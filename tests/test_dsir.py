@@ -237,3 +237,76 @@ def test_dsir_driver_state_is_bucket_sized(ray_session, monkeypatch):
     monkeypatch.undo()
     assert len(sizes) == 1 and sizes[0] <= 1024
     assert ds.count() == 500
+
+
+def test_dsir_bigram_mode(ray_session, tmp_path):
+    """Bigram features: a doc whose unigrams match the target but whose
+    bigram ORDER does not gets separated from the true target doc."""
+    from yomitoku_ray.functions.text_stats import _dsir_feature_occ
+
+    # feature extraction shape: n tokens -> n + (n-1) features
+    occ, fdi, counts, n_feats = _dsir_feature_occ(["a b c", "x", ""], True)
+    assert list(counts) == [3, 1, 0]
+    assert list(n_feats) == [5, 1, 0]
+    assert len(occ) == 6 and list(fdi) == [0, 0, 0, 1, 0, 0]
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma", "lang": "en"},
+        {"doc_id": 1, "text": "gamma beta alpha", "lang": "de"},  # same unigrams
+        {"doc_id": 2, "text": "alpha beta gamma", "lang": "de"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    uni = dsir_weights(str(tmp_path)).to_pandas().set_index("doc_id")
+    bi = (
+        dsir_weights(str(tmp_path), bigrams=True).to_pandas().set_index("doc_id")
+    )
+    # unigram models cannot tell 0/1/2 apart; bigrams separate doc 1
+    assert uni.loc[0, "weight_scaled"] == uni.loc[1, "weight_scaled"]
+    assert bi.loc[0, "weight_scaled"] == bi.loc[2, "weight_scaled"]
+    assert bi.loc[1, "weight_scaled"] < bi.loc[0, "weight_scaled"]
+    assert list(bi["n_feats"]) == [5, 5, 5]
+
+
+@pytest.mark.parametrize("seed", [6, 7])
+def test_dsir_bigram_cross_engine_fuzz(ray_session, tmp_path, seed):
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(100):
+        n = int(rng.randint(0, 20))
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(rng.choice(vocab, n)),
+                "lang": str(rng.choice(["en", "de"])),
+            }
+        )
+    d = tmp_path / "fuzz"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    got = (
+        dsir_weights(str(d), bigrams=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = (
+        con.execute(entry.oracle_sql()["dsir_weights_bigram"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )

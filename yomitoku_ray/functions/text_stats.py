@@ -884,13 +884,57 @@ def tfidf_top_terms(sf_dir: str, n_buckets: int | None = None) -> ray.data.Datas
 # ---------------------------------------------------------------------------
 
 
+def _dsir_feature_occ(texts: list, bigrams: bool):
+    """Hashed feature occurrences per document: unigrams, plus word
+    bigrams (``left + ' ' + right``, the shingle idiom) when ``bigrams``.
+
+    Returns (occ_hash u64[F], feat_doc_idx int64[F], n_tokens int64[D],
+    n_feats int64[D]). Hashes are md5_number_upper-parity; each unique
+    feature in the batch hashes once.
+    """
+    import itertools
+
+    import numpy as np
+
+    from .dedup import _md5_u64
+
+    toks_per_doc = [(t or "").split() for t in texts]
+    counts = np.fromiter(
+        (len(t) for t in toks_per_doc), dtype=np.int64, count=len(texts)
+    )
+    words = np.array(
+        list(itertools.chain.from_iterable(toks_per_doc)), dtype=object
+    )
+    if len(words) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint64), z, counts, counts.copy()
+    di = np.repeat(np.arange(len(texts)), counts)
+    feats, fdi = words, di
+    if bigrams:
+        same = di[1:] == di[:-1]
+        big = (
+            pd.Series(words[:-1][same], dtype=object)
+            .str.cat(pd.Series(words[1:][same], dtype=object), sep=" ")
+            .to_numpy(dtype=object)
+        )
+        feats = np.concatenate([words, big])
+        fdi = np.concatenate([di, di[:-1][same]])
+    codes, uniq = pd.factorize(feats)
+    uh = np.fromiter((_md5_u64(u) for u in uniq), dtype=np.uint64, count=len(uniq))
+    n_feats = np.bincount(fdi, minlength=len(texts)).astype(np.int64)
+    return uh[codes], fdi.astype(np.int64), counts, n_feats
+
+
 def dsir_weights(
     sf_dir: str,
     n_buckets: int = 1024,
     target_lang: str = "en",
     scale: int = 1_000_000,
+    bigrams: bool = False,
 ) -> ray.data.Dataset:
-    """DSIR importance weights over hashed unigram bag-of-words models.
+    """DSIR importance weights over hashed n-gram bag-of-words models
+    (unigrams by default; ``bigrams=True`` adds word bigrams — the
+    paper's hashed uni+bigram feature set).
 
     The target distribution is the ``target_lang`` slice of the corpus (the
     stand-in for a high-quality reference set); the raw distribution is the
@@ -914,19 +958,21 @@ def dsir_weights(
     3. a second pass scores each document vectorized (bincount over
        occurrence buckets).
 
-    Columns: doc_id, n_tokens, weight_scaled (all int64). Documents whose
-    trimmed text is empty emit no row (SQL WHERE parity).
+    Columns: doc_id, n_tokens (unigram mode) or n_feats (bigram mode),
+    weight_scaled (all int64). Documents whose trimmed text is empty emit
+    no row (SQL WHERE parity).
     """
     import numpy as np
 
-    from .dedup import _batch_token_codes
-
     path = f"{sf_dir}/documents.parquet"
     B = int(n_buckets)
+    n_col = "n_feats" if bigrams else "n_tokens"
 
     def _partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        uh, codes, counts = _batch_token_codes(df["text"].fillna("").tolist())
-        if len(codes) == 0:
+        occ_h, fdi, _counts, _ = _dsir_feature_occ(
+            df["text"].fillna("").tolist(), bigrams
+        )
+        if len(occ_h) == 0:
             return pd.DataFrame(
                 {
                     "bucket": pd.Series([], dtype="int64"),
@@ -934,9 +980,8 @@ def dsir_weights(
                     "r_cnt": pd.Series([], dtype="int64"),
                 }
             )
-        occ_b = (uh % np.uint64(B)).astype(np.int64)[codes]
-        doc_idx = np.repeat(np.arange(len(df)), counts)
-        is_target = (df["lang"].fillna("") == target_lang).to_numpy()[doc_idx]
+        occ_b = (occ_h % np.uint64(B)).astype(np.int64)
+        is_target = (df["lang"].fillna("") == target_lang).to_numpy()[fdi]
         r = np.bincount(occ_b, minlength=B)
         t = np.bincount(occ_b[is_target], minlength=B)
         nz = np.nonzero(r)[0]
@@ -972,26 +1017,28 @@ def dsir_weights(
 
     def _score(df: pd.DataFrame) -> pd.DataFrame:
         s = ray.get(ref)
-        uh, codes, counts = _batch_token_codes(df["text"].fillna("").tolist())
+        occ_h, fdi, counts, n_feats = _dsir_feature_occ(
+            df["text"].fillna("").tolist(), bigrams
+        )
         keep = counts > 0
-        if len(codes) == 0:
+        if len(occ_h) == 0:
             return pd.DataFrame(
                 {
                     "doc_id": pd.Series([], dtype="int64"),
-                    "n_tokens": pd.Series([], dtype="int64"),
+                    n_col: pd.Series([], dtype="int64"),
                     "weight_scaled": pd.Series([], dtype="int64"),
                 }
             )
-        occ_b = (uh % np.uint64(B)).astype(np.int64)[codes]
-        doc_idx = np.repeat(np.arange(len(df)), counts)
+        occ_b = (occ_h % np.uint64(B)).astype(np.int64)
         # int64 accumulation end-to-end: exact at any token count (a
         # float-weighted bincount is only integer-exact below 2^53)
         w = np.zeros(len(df), dtype=np.int64)
-        np.add.at(w, doc_idx, s[occ_b])
+        np.add.at(w, fdi, s[occ_b])
+        n_out = n_feats if bigrams else counts
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy("int64")[keep],
-                "n_tokens": counts[keep].astype(np.int64),
+                n_col: n_out[keep].astype(np.int64),
                 "weight_scaled": w[keep],
             }
         )
