@@ -955,8 +955,8 @@ def dsir_weights(
        floor boundary; document sums are then order-independent integer
        arithmetic, bit-identical to any SQL evaluation order) and broadcast
        via ``ray.put``;
-    3. a second pass scores each document vectorized (bincount over
-       occurrence buckets).
+    3. a second pass scores each document vectorized (int64 scatter-add
+       over occurrence buckets).
 
     Columns: doc_id, n_tokens (unigram mode) or n_feats (bigram mode),
     weight_scaled (all int64). Documents whose trimmed text is empty emit
