@@ -961,6 +961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup: kmeans-cluster-scoped embedding near-dup (greedy min-id
         # survivor rule; discrete int outputs only)
         "semdedup": semdedup,
+        # paper keep-rule variant (closest-to-centroid survives)
+        "semdedup_centroid": lambda sf_dir: semdedup(sf_dir, keep="centroid"),
         # relational aggregate layer
         "pricing_summary": pricing_summary,
         "revenue_by_segment": revenue_by_segment,
@@ -1236,6 +1238,66 @@ _DSIR_WEIGHTS_SQL = r"""
             FROM tb JOIN sc USING (b)
             GROUP BY tb.doc_id
         """
+
+
+_SEMDEDUP_LLOYD_CTE = """
+            WITH nrm AS (
+                SELECT vec_id,
+                       sqrt(list_sum(list_transform(embedding, x -> x * x))) AS n
+                FROM embeddings
+            ),
+            en AS (
+                SELECT e.vec_id,
+                       list_transform(e.embedding, x -> x / nrm.n) AS emb
+                FROM embeddings e JOIN nrm USING (vec_id)
+            ),
+            c0 AS (
+                SELECT vec_id AS cl, emb AS c FROM en WHERE vec_id < 8
+            ),
+            -- assignment ranks by EUCLIDEAN distance of NORMALIZED vectors
+            -- (the numpy form); after the Lloyd update the centroids are
+            -- means of unit vectors (norm < 1), so a cosine ranking would
+            -- NOT be equivalent there.
+            a1 AS (
+                SELECT vec_id, cl FROM (
+                    SELECT en.vec_id, c0.cl,
+                           row_number() OVER (
+                               PARTITION BY en.vec_id
+                               ORDER BY list_distance(en.emb, c0.c), c0.cl
+                           ) AS rn
+                    FROM en, c0
+                ) WHERE rn = 1
+            ),
+            dims AS (
+                SELECT a1.cl,
+                       generate_subscripts(en.emb, 1) AS dim,
+                       unnest(en.emb) AS val
+                FROM en JOIN a1 USING (vec_id)
+            ),
+            c1 AS (
+                SELECT cl, list(avg_val ORDER BY dim) AS c FROM (
+                    SELECT cl, dim, avg(val) AS avg_val FROM dims GROUP BY cl, dim
+                ) GROUP BY cl
+            ),
+            a2 AS (
+                SELECT vec_id, cl FROM (
+                    SELECT en.vec_id, c1.cl,
+                           row_number() OVER (
+                               PARTITION BY en.vec_id
+                               ORDER BY list_distance(en.emb, c1.c), c1.cl
+                           ) AS rn
+                    FROM en, c1
+                ) WHERE rn = 1
+            )"""
+
+
+_SEMDEDUP_TAIL = """
+            SELECT a2.vec_id,
+                   CAST(a2.cl AS BIGINT) AS cluster,
+                   CAST(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_dup
+            FROM a2 LEFT JOIN dup USING (vec_id)
+"""
 
 
 _DSIR_BIGRAM_SQL = r"""
@@ -1921,55 +1983,7 @@ def oracle_sql() -> dict[str, str]:
         # within the final clusters. Assignment margins and threshold gaps
         # are >= 1e-4 on the synthetic table — 10+ orders of magnitude above
         # numpy-vs-DuckDB double noise (verified for both sf legs).
-        "semdedup": """
-            WITH nrm AS (
-                SELECT vec_id,
-                       sqrt(list_sum(list_transform(embedding, x -> x * x))) AS n
-                FROM embeddings
-            ),
-            en AS (
-                SELECT e.vec_id,
-                       list_transform(e.embedding, x -> x / nrm.n) AS emb
-                FROM embeddings e JOIN nrm USING (vec_id)
-            ),
-            c0 AS (
-                SELECT vec_id AS cl, emb AS c FROM en WHERE vec_id < 8
-            ),
-            -- assignment ranks by EUCLIDEAN distance of NORMALIZED vectors
-            -- (the numpy form); after the Lloyd update the centroids are
-            -- means of unit vectors (norm < 1), so a cosine ranking would
-            -- NOT be equivalent there.
-            a1 AS (
-                SELECT vec_id, cl FROM (
-                    SELECT en.vec_id, c0.cl,
-                           row_number() OVER (
-                               PARTITION BY en.vec_id
-                               ORDER BY list_distance(en.emb, c0.c), c0.cl
-                           ) AS rn
-                    FROM en, c0
-                ) WHERE rn = 1
-            ),
-            dims AS (
-                SELECT a1.cl,
-                       generate_subscripts(en.emb, 1) AS dim,
-                       unnest(en.emb) AS val
-                FROM en JOIN a1 USING (vec_id)
-            ),
-            c1 AS (
-                SELECT cl, list(avg_val ORDER BY dim) AS c FROM (
-                    SELECT cl, dim, avg(val) AS avg_val FROM dims GROUP BY cl, dim
-                ) GROUP BY cl
-            ),
-            a2 AS (
-                SELECT vec_id, cl FROM (
-                    SELECT en.vec_id, c1.cl,
-                           row_number() OVER (
-                               PARTITION BY en.vec_id
-                               ORDER BY list_distance(en.emb, c1.c), c1.cl
-                           ) AS rn
-                    FROM en, c1
-                ) WHERE rn = 1
-            ),
+        "semdedup": _SEMDEDUP_LLOYD_CTE + """,
             dup AS (
                 SELECT DISTINCT pb.vec_id
                 FROM a2 pa
@@ -1978,12 +1992,31 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings eb ON eb.vec_id = pb.vec_id
                 WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3
             )
-            SELECT a2.vec_id,
-                   CAST(a2.cl AS BIGINT) AS cluster,
-                   CAST(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END
-                        AS BIGINT) AS is_dup
-            FROM a2 LEFT JOIN dup USING (vec_id)
-        """,
+        """ + _SEMDEDUP_TAIL,
+        # keep="centroid": the paper's keep-closest-to-centroid rule — the
+        # greedy order becomes (distance to final centroid, vec_id) within
+        # each cluster; same-cluster distance gaps verified >= 2.1e-6 at
+        # both legs, 10 orders above double noise.
+        "semdedup_centroid": _SEMDEDUP_LLOYD_CTE + """,
+            rnk AS (
+                SELECT a2.vec_id, a2.cl,
+                       row_number() OVER (
+                           PARTITION BY a2.cl
+                           ORDER BY list_distance(en.emb, c1.c), a2.vec_id
+                       ) AS r
+                FROM a2
+                JOIN en USING (vec_id)
+                JOIN c1 ON c1.cl = a2.cl
+            ),
+            dup AS (
+                SELECT DISTINCT pb.vec_id
+                FROM rnk pa
+                JOIN rnk pb ON pa.cl = pb.cl AND pa.r < pb.r
+                JOIN embeddings ea ON ea.vec_id = pa.vec_id
+                JOIN embeddings eb ON eb.vec_id = pb.vec_id
+                WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.3
+            )
+        """ + _SEMDEDUP_TAIL,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

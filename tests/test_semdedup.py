@@ -186,3 +186,84 @@ def test_semdedup_driver_state_is_centroid_sized(ray_session, monkeypatch):
     monkeypatch.undo()
     assert sizes and max(sizes) <= 8
     assert ds.count() == 500
+
+
+def test_semdedup_centroid_keep_rule(ray_session, tmp_path):
+    """keep='centroid': the survivor of a tight similarity group is the
+    member closest to its cluster centroid, not the minimum id."""
+    rng = np.random.RandomState(3)
+    # one tight blob; vec 0 is pushed furthest from the blob mean so the
+    # min-id and closest-to-centroid survivors differ
+    center = np.array([4.0] + [0.0] * 7)
+    pts = center + rng.normal(0, 0.002, (12, 8))
+    pts[0] = center * 1.0 + 0.05  # still >0.99 cosine, but off-center
+    # a second far blob so k=2 training is non-degenerate (seed 1 in it)
+    far = -center + rng.normal(0, 0.002, (12, 8))
+    vecs = np.concatenate([pts[:1], far[:1], pts[1:], far[1:]])
+    rows = [
+        {"vec_id": i, "embedding": vecs[i].tolist(), "label": 0}
+        for i in range(len(vecs))
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "embeddings.parquet"))
+    by_id = (
+        semdedup(str(tmp_path), n_clusters=2, threshold=0.99)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    by_cent = (
+        semdedup(str(tmp_path), n_clusters=2, threshold=0.99, keep="centroid")
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    # min-id rule keeps vec 0; centroid rule keeps some interior member
+    blob = [0] + list(range(2, 13))
+    assert by_id.loc[0, "is_dup"] == 0
+    assert by_id.loc[blob, "is_dup"].sum() == len(blob) - 1
+    assert by_cent.loc[blob, "is_dup"].sum() == len(blob) - 1
+    survivor = by_cent.loc[blob][by_cent.loc[blob, "is_dup"] == 0].index[0]
+    assert survivor != 0
+    # exactly one survivor per similarity group under both rules
+    assert by_cent.loc[0, "is_dup"] == 1
+
+
+def test_semdedup_centroid_matches_local(ray_session):
+    """keep='centroid' against a single-process recompute at sf0.001."""
+    got = (
+        semdedup(SF001, keep="centroid")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    t = (
+        pq.read_table(f"{SF001}/embeddings.parquet")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    k = 8
+    cents = mn[:k].copy()
+    d = ((mn[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d, axis=1)
+    live = [c for c in range(k) if (a == c).any()]
+    cents = np.stack([mn[a == c].sum(axis=0) / (a == c).sum() for c in live])
+    labels = np.array(live)
+    d = ((mn[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    ai = np.argmin(d, axis=1)
+    a2 = labels[ai]
+    dist = d[np.arange(len(mn)), ai]
+    ids = t["vec_id"].to_numpy("int64")
+    is_dup = np.zeros(len(mn), dtype=np.int64)
+    for c in labels:
+        idx = np.where(a2 == c)[0]
+        idx = idx[np.lexsort((ids[idx], dist[idx]))]
+        s = mn[idx] @ mn[idx].T
+        for j in range(1, len(idx)):
+            if (s[:j, j] >= 0.3).any():
+                is_dup[idx[j]] = 1
+    want = pd.DataFrame({"vec_id": ids, "cluster": a2, "is_dup": is_dup}).astype(
+        "int64"
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -635,6 +635,7 @@ def semdedup(
     threshold: float = 0.3,
     chunk_rows: int = 1024,
     max_block: int = 65536,
+    keep: str = "min_id",
 ) -> ray.data.Dataset:
     """SemDeDup (Abbas et al. 2023): embedding dedup scoped to LEARNED
     k-means clusters instead of all-pairs or a given blocking column.
@@ -648,10 +649,14 @@ def semdedup(
     3. one ``groupby(cluster)`` shuffle, then the chunked-matmul near-dup
        kernel of :func:`embedding_near_dup` inside each cluster.
 
-    Survivor rule is the paper's greedy column-max form, made deterministic
-    by vec_id order: a vector is a duplicate iff some SMALLER vec_id in the
-    same cluster has cosine >= ``threshold`` — so the minimum id of every
-    similarity group survives, independent of task scheduling.
+    Survivor rule is the paper's greedy column-max form over a
+    deterministic total order per cluster: a vector is a duplicate iff
+    some EARLIER vector in the same cluster has cosine >= ``threshold``.
+    ``keep="min_id"`` (default) orders by vec_id — the minimum id of
+    every similarity group survives; ``keep="centroid"`` orders by
+    (distance-to-centroid, vec_id) — the paper's keep-closest-to-centroid
+    rule (verified float margins: same-cluster distance gaps >= 2.1e-6 on
+    the synthetic table, 10 orders above double noise).
 
     Scale guards mirror ``embedding_near_dup``: the within-cluster matmul
     is row-chunked (never an n^2 matrix), and a cluster larger than
@@ -681,23 +686,34 @@ def semdedup(
     def _dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id").reset_index(drop=True)
         ids = g["vec_id"].to_numpy("int64")
+        cl = int(g["cluster"].iloc[0])
         mat = _emb_matrix(g)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         n = len(ids)
-        is_dup = np.zeros(n, dtype=bool)
+        if keep == "centroid":
+            labels, cents = ray.get(ref)
+            c = cents[int(np.searchsorted(labels, cl))]
+            dist = ((mat - c) ** 2).sum(axis=1)
+            order = np.lexsort((ids, dist))
+            mat = mat[order]
+        else:
+            order = np.arange(n)
+        flags = np.zeros(n, dtype=bool)
         if n > max_block:
-            # Giant-cluster guard: one matvec against the min-id rep.
-            is_dup[1:] = (mat[1:] @ mat[0]) >= threshold
+            # Giant-cluster guard: one matvec against the first-kept rep.
+            flags[1:] = (mat[1:] @ mat[0]) >= threshold
         else:
             for s in range(1, n, chunk_rows):
                 e = min(s + chunk_rows, n)
                 sim = mat[s:e] @ mat[:e].T  # (chunk, e) — bounded memory
                 lower = np.arange(e)[None, :] < (s + np.arange(e - s))[:, None]
-                is_dup[s:e] = ((sim >= threshold) & lower).any(axis=1)
+                flags[s:e] = ((sim >= threshold) & lower).any(axis=1)
+        is_dup = np.zeros(n, dtype=bool)
+        is_dup[order] = flags
         return pd.DataFrame(
             {
                 "vec_id": ids,
-                "cluster": np.full(n, int(g["cluster"].iloc[0]), dtype=np.int64),
+                "cluster": np.full(n, cl, dtype=np.int64),
                 "is_dup": is_dup.astype(np.int64),
             },
             columns=["vec_id", "cluster", "is_dup"],
