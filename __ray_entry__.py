@@ -830,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         winnow_fingerprints,
         dsir_weights,
         dsir_select,
+        ccnet_perplexity,
     )
 
     return {
@@ -871,6 +872,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": dsir_select,
         # DSIR with the paper's full hashed uni+bigram feature set
         "dsir_weights_bigram": lambda sf_dir: dsir_weights(sf_dir, bigrams=True),
+        # CCNet perplexity buckets (Wenzek et al. 2020): per-lang hashed-
+        # bigram LM trained on the src0 reference slice, integer fixed-point
+        # NLLs, exact per-lang head/middle/tail terciles
+        "ccnet_perplexity": ccnet_perplexity,
         # CCNet-style LM coverage: corpus bigram table shuffle-joined to
         # each doc's bigrams (never broadcast; table is corpus-sized)
         "bigram_coverage": bigram_coverage,
@@ -1238,6 +1243,77 @@ _DSIR_WEIGHTS_SQL = r"""
             FROM tb JOIN sc USING (b)
             GROUP BY tb.doc_id
         """
+
+
+_CCNET_PPL_SQL = r"""
+            WITH toks AS (
+                SELECT doc_id, lang, source,
+                       string_split_regex(trim(text), '\s+') AS ts
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            tr AS (
+                SELECT lang,
+                       md5_number_upper(ts[i]) % 256 AS b1,
+                       md5_number_upper(ts[i + 1]) % 256 AS b2
+                FROM (SELECT lang, ts,
+                             unnest(generate_series(1, len(ts) - 1)) AS i
+                      FROM toks WHERE source = 'src0')
+            ),
+            cnt AS (SELECT lang, b1, b2, count(*) AS c
+                    FROM tr GROUP BY lang, b1, b2),
+            ctx AS (SELECT lang, b1, sum(c) AS n FROM cnt GROUP BY lang, b1),
+            -- the ONLY float seam: the same floor(scale * ln(.)) freeze the
+            -- Ray side applies (margins verified far from floor boundaries)
+            sc AS (
+                SELECT cnt.lang, cnt.b1, cnt.b2,
+                       CAST(floor(1000000.0 * ln((cnt.c + 1.0) / (ctx.n + 256.0)))
+                            AS BIGINT) AS s
+                FROM cnt JOIN ctx USING (lang, b1)
+            ),
+            doc_tr AS (
+                SELECT doc_id, lang,
+                       md5_number_upper(ts[i]) % 256 AS b1,
+                       md5_number_upper(ts[i + 1]) % 256 AS b2
+                FROM (SELECT doc_id, lang, ts,
+                             unnest(generate_series(1, len(ts) - 1)) AS i
+                      FROM toks)
+            ),
+            doc_s AS (
+                SELECT d.doc_id, d.lang,
+                       coalesce(sc.s,
+                                CAST(floor(1000000.0 *
+                                           ln(1.0 / (coalesce(ctx.n, 0) + 256.0)))
+                                     AS BIGINT)) AS s
+                FROM doc_tr d
+                LEFT JOIN sc ON sc.lang = d.lang AND sc.b1 = d.b1
+                            AND sc.b2 = d.b2
+                LEFT JOIN ctx ON ctx.lang = d.lang AND ctx.b1 = d.b1
+            ),
+            docs AS (
+                SELECT doc_id, lang, count(*) AS n_trans,
+                       CAST(-sum(s) AS BIGINT) AS nll_scaled
+                FROM doc_s GROUP BY doc_id, lang
+            ),
+            qd AS (SELECT *, nll_scaled // (n_trans * 1000) AS ppl_q FROM docs),
+            ranked AS (
+                SELECT lang, ppl_q,
+                       row_number() OVER (PARTITION BY lang ORDER BY ppl_q) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM qd
+            ),
+            -- type-1 terciles: value at rank ceil(n/3) / ceil(2n/3)
+            thr AS (
+                SELECT lang,
+                       max(CASE WHEN rn = (n + 2) // 3 THEN ppl_q END) AS t1,
+                       max(CASE WHEN rn = (2 * n + 2) // 3 THEN ppl_q END) AS t2
+                FROM ranked GROUP BY lang
+            )
+            SELECT qd.doc_id, qd.lang, qd.n_trans, qd.nll_scaled,
+                   CAST(CASE WHEN qd.ppl_q <= thr.t1 THEN 0
+                             WHEN qd.ppl_q <= thr.t2 THEN 1
+                             ELSE 2 END AS BIGINT) AS ppl_bucket
+            FROM qd JOIN thr USING (lang)
+"""
 
 
 _SEMDEDUP_LLOYD_CTE = """
@@ -1760,6 +1836,9 @@ def oracle_sql() -> dict[str, str]:
         # posture; bigram strings are the shingle idiom (left || ' ' ||
         # right), floor margins re-verified at both sf legs
         "dsir_weights_bigram": _DSIR_BIGRAM_SQL,
+        # CCNet perplexity buckets: per-lang bigram-bucket LM over the src0
+        # reference slice; identical fixed-point freeze + integer terciles.
+        "ccnet_perplexity": _CCNET_PPL_SQL,
         # DSIR top-k selection: integer rank over the same weight CTE
         "dsir_select": f"""
             WITH w AS ({_DSIR_WEIGHTS_SQL})

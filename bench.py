@@ -148,7 +148,7 @@ def run_bench() -> dict:
         )
         from yomitoku_ray.functions.relational import event_pagerank
         from yomitoku_ray.functions.similarity import semdedup
-        from yomitoku_ray.functions.text_stats import dsir_weights
+        from yomitoku_ray.functions.text_stats import ccnet_perplexity, dsir_weights
 
         def timed(name, fn):
             t0 = time.perf_counter()
@@ -196,6 +196,7 @@ def run_bench() -> dict:
         timed("event_pagerank", event_pagerank)
         timed("semdedup", semdedup)
         timed("dsir_weights", dsir_weights)
+        timed("ccnet_perplexity", ccnet_perplexity)
 
     ray.shutdown()
     return {

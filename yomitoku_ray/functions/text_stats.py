@@ -1094,3 +1094,206 @@ def dsir_select(
         .groupby("g")
         .map_groups(_final, batch_format="pandas")
     )
+
+
+def _ccnet_transitions(df: pd.DataFrame, B: int):
+    """Hashed-bucket bigram transitions of a batch: per consecutive token
+    pair inside one document, (doc index, b1*B+b2, lang). Reuses the
+    ordered token-hash stream of :func:`_dsir_feature_occ` (unigram mode
+    preserves token order)."""
+    import numpy as np
+
+    occ_h, di, _counts, _ = _dsir_feature_occ(df["text"].fillna("").tolist(), False)
+    if len(occ_h) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=object)
+    b = (occ_h % np.uint64(B)).astype(np.int64)
+    same = di[1:] == di[:-1]
+    t_di = di[:-1][same]
+    key = b[:-1][same] * B + b[1:][same]
+    lang_tr = df["lang"].fillna("").to_numpy(dtype=object)[t_di]
+    return t_di, key, lang_tr
+
+
+def ccnet_perplexity(
+    sf_dir: str,
+    n_buckets: int = 256,
+    scale: int = 1_000_000,
+    q: int = 1000,
+    train_source: str = "src0",
+) -> ray.data.Dataset:
+    """CCNet-style LM perplexity bucketing (Wenzek et al. 2020): score
+    every document under a per-language LM trained on a small reference
+    slice, then split each language into head / middle / tail terciles by
+    perplexity — the CCNet quality signal (their KenLM-5 over Wikipedia
+    becomes an add-one-smoothed bigram LM over hashed token buckets here;
+    ``train_source`` is the reference-slice stand-in).
+
+    Determinism posture (the :func:`dsir_weights` fixed-point idiom): the
+    per-(lang, b1, b2) log-probs are frozen ONCE to integer fixed-point
+    ``s = floor(scale * ln((c+1)/(ctx+B)))`` — the only float seam, each
+    value verified far from its floor boundary — so document NLLs are
+    order-independent int64 sums and the tercile cut is exact integer
+    arithmetic on ``ppl_q = nll // (n_trans * q)`` (type-1: smallest value
+    whose per-lang cumulative count >= ceil(n/3) resp. ceil(2n/3)).
+
+    Scale shape (three streaming passes, bounded driver state):
+
+    1. TRAIN: bigram-bucket partial counts over the ``train_source`` slice
+       (filter pushed into the parquet scan) reduced through a
+       (lang, key) groupby — <= |langs| x B^2 rows of driver state; frozen
+       to dense int64 score tables and broadcast via ``ray.put``. A
+       language absent from the slice falls back to the uniform model
+       ``floor(scale * ln(1/B))`` (ctx = 0).
+    2. HISTOGRAM: per-batch (lang, ppl_q, cnt) partials reduced through a
+       (lang, ppl_q) groupby — value-space-sized (ppl_q <= scale*ln(B^2)/q
+       ~ 11k values at the defaults), never corpus-sized; exact per-lang
+       tercile thresholds broadcast as |langs| pairs.
+    3. ASSIGN: rescore + compare against the broadcast thresholds.
+
+    Scoring runs twice (passes 2 and 3) — the price of never
+    materializing a corpus-sized intermediate; both runs are
+    deterministic and identical. Documents with fewer than two tokens
+    emit no row (no transitions — SQL WHERE parity).
+
+    Columns: doc_id, lang, n_trans, nll_scaled, ppl_bucket (0 = head,
+    1 = middle, 2 = tail; all int64 except lang).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    B = int(n_buckets)
+
+    def _partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        _t_di, key, lang_tr = _ccnet_transitions(df, B)
+        if len(key) == 0:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype=object),
+                    "key": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        out = (
+            pd.DataFrame({"lang": lang_tr, "key": key})
+            .groupby(["lang", "key"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        out["key"] = out["key"].astype("int64")
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    cnt = (
+        ray.data.read_parquet(
+            path,
+            columns=["lang", "text"],
+            filter=pc.field("source") == train_source,
+        )
+        .map_batches(_partial_counts, batch_format="pandas")
+        .groupby(["lang", "key"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # <= |langs| x B^2 rows — bounded driver state
+    )
+    uniform_s = int(np.floor(scale * np.log(1.0 / B)))
+    s_map: dict[str, np.ndarray] = {}
+    for lang, sub in cnt.groupby("lang", sort=False):
+        c = np.zeros(B * B, dtype=np.int64)
+        c[sub["key"].to_numpy("int64")] = sub["cnt"].to_numpy("int64")
+        c2 = c.reshape(B, B)
+        ctx = c2.sum(axis=1)
+        # The ONLY float -> int seam (verified far from floor boundaries).
+        s_map[str(lang)] = (
+            np.floor(scale * np.log((c2 + 1.0) / (ctx[:, None] + float(B))))
+            .astype(np.int64)
+            .ravel()
+        )
+    ref = ray.put((s_map, uniform_s))
+
+    def _doc_scores(df: pd.DataFrame):
+        s_map, uniform_s = ray.get(ref)
+        t_di, key, lang_tr = _ccnet_transitions(df, B)
+        nll = np.zeros(len(df), dtype=np.int64)
+        if len(key):
+            s_tr = np.full(len(key), uniform_s, dtype=np.int64)
+            for lang in pd.unique(lang_tr):
+                tbl = s_map.get(str(lang))
+                if tbl is not None:
+                    m = lang_tr == lang
+                    s_tr[m] = tbl[key[m]]
+            np.add.at(nll, t_di, -s_tr)  # int64 end-to-end, order-free
+        n_trans = (
+            np.bincount(t_di, minlength=len(df)).astype(np.int64)
+            if len(key)
+            else np.zeros(len(df), dtype=np.int64)
+        )
+        keep = n_trans > 0
+        ppl_q = np.zeros(len(df), dtype=np.int64)
+        ppl_q[keep] = nll[keep] // (n_trans[keep] * q)
+        return keep, n_trans, nll, ppl_q
+
+    def _partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        keep, _n, _nll, ppl_q = _doc_scores(df)
+        out = (
+            pd.DataFrame(
+                {
+                    "lang": df["lang"].fillna("").to_numpy(dtype=object)[keep],
+                    "ppl_q": ppl_q[keep],
+                }
+            )
+            .groupby(["lang", "ppl_q"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        out["ppl_q"] = out["ppl_q"].astype("int64")
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    read = lambda cols: ray.data.read_parquet(path, columns=cols)  # noqa: E731
+    hist = (
+        read(["doc_id", "lang", "text"])
+        .map_batches(_partial_hist, batch_format="pandas")
+        .groupby(["lang", "ppl_q"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # |langs| x value-space rows, never corpus-sized
+    )
+    thr: dict[str, tuple[int, int]] = {}
+    for lang, sub in hist.groupby("lang", sort=False):
+        sub = sub.sort_values("ppl_q")
+        cum = sub["cnt"].cumsum().to_numpy()
+        vals = sub["ppl_q"].to_numpy("int64")
+        n = int(cum[-1])
+        t1 = int(vals[int(np.searchsorted(cum, (n + 2) // 3))])
+        t2 = int(vals[int(np.searchsorted(cum, (2 * n + 2) // 3))])
+        thr[str(lang)] = (t1, t2)
+    thr_ref = ray.put(thr)
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        thr = ray.get(thr_ref)
+        keep, n_trans, nll, ppl_q = _doc_scores(df)
+        langs = df["lang"].fillna("").to_numpy(dtype=object)[keep]
+        pq_k = ppl_q[keep]
+        t1 = np.fromiter(
+            (thr[str(l)][0] for l in langs), dtype=np.int64, count=len(langs)
+        )
+        t2 = np.fromiter(
+            (thr[str(l)][1] for l in langs), dtype=np.int64, count=len(langs)
+        )
+        bucket = np.where(pq_k <= t1, 0, np.where(pq_k <= t2, 1, 2)).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy("int64")[keep],
+                "lang": pd.Series(langs, dtype=object).astype(str),
+                "n_trans": n_trans[keep],
+                "nll_scaled": nll[keep],
+                "ppl_bucket": bucket,
+            }
+        )
+
+    return read(["doc_id", "lang", "text"]).map_batches(
+        _assign, batch_format="pandas"
+    )
