@@ -1140,8 +1140,11 @@ def ccnet_perplexity(
     Scale shape (three streaming passes, bounded driver state):
 
     1. TRAIN: bigram-bucket partial counts over the ``train_source`` slice
-       (filter pushed into the parquet scan) reduced through a
-       (lang, key) groupby — <= |langs| x B^2 rows of driver state; frozen
+       (filter pushed into the parquet scan) reduced through a coarse
+       bucket groupby + vectorized within-bucket pandas groupby (the
+       bigram_coverage idiom — a fine-key native aggregate pays Ray's
+       ~200 fixed reduce partitions; 23x measured on the 200k probe) —
+       <= |langs| x B^2 rows of driver state; frozen
        to dense int64 score tables and broadcast via ``ray.put``. A
        language absent from the slice falls back to the uniform model
        ``floor(scale * ln(1/B))`` (ctx = 0).
@@ -1161,10 +1164,14 @@ def ccnet_perplexity(
     """
     import numpy as np
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     path = f"{sf_dir}/documents.parquet"
     B = int(n_buckets)
+    # Fine-key groupby().aggregate() pays Ray's ~200 fixed reduce
+    # partitions (the bigram_coverage lesson); both reduces here go
+    # through a coarse bucket + vectorized within-bucket pandas groupby
+    # instead (23x measured on the 200k-doc probe).
+    _RED_MASK = 255
 
     def _partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         _t_di, key, lang_tr = _ccnet_transitions(df, B)
@@ -1174,6 +1181,7 @@ def ccnet_perplexity(
                     "lang": pd.Series([], dtype=object),
                     "key": pd.Series([], dtype="int64"),
                     "cnt": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
                 }
             )
         out = (
@@ -1184,7 +1192,11 @@ def ccnet_perplexity(
         )
         out["key"] = out["key"].astype("int64")
         out["cnt"] = out["cnt"].astype("int64")
+        out["bucket"] = out["key"] & _RED_MASK
         return out
+
+    def _reduce_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["lang", "key"], as_index=False)["cnt"].sum()
 
     cnt = (
         ray.data.read_parquet(
@@ -1193,8 +1205,8 @@ def ccnet_perplexity(
             filter=pc.field("source") == train_source,
         )
         .map_batches(_partial_counts, batch_format="pandas")
-        .groupby(["lang", "key"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("bucket")
+        .map_groups(_reduce_counts, batch_format="pandas")
         .to_pandas()  # <= |langs| x B^2 rows — bounded driver state
     )
     uniform_s = int(np.floor(scale * np.log(1.0 / B)))
@@ -1249,14 +1261,18 @@ def ccnet_perplexity(
         )
         out["ppl_q"] = out["ppl_q"].astype("int64")
         out["cnt"] = out["cnt"].astype("int64")
+        out["bucket"] = out["ppl_q"] & _RED_MASK
         return out
+
+    def _reduce_hist(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["lang", "ppl_q"], as_index=False)["cnt"].sum()
 
     read = lambda cols: ray.data.read_parquet(path, columns=cols)  # noqa: E731
     hist = (
         read(["doc_id", "lang", "text"])
         .map_batches(_partial_hist, batch_format="pandas")
-        .groupby(["lang", "ppl_q"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("bucket")
+        .map_groups(_reduce_hist, batch_format="pandas")
         .to_pandas()  # |langs| x value-space rows, never corpus-sized
     )
     thr: dict[str, tuple[int, int]] = {}
