@@ -831,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dsir_weights,
         dsir_select,
         ccnet_perplexity,
+        nb_classifier,
     )
 
     return {
@@ -876,6 +877,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram LM trained on the src0 reference slice, integer fixed-point
         # NLLs, exact per-lang head/middle/tail terciles
         "ccnet_perplexity": ccnet_perplexity,
+        # fastText-style trained classifier (model-based filtering family):
+        # multinomial NB over hashed unigram buckets, src0-trained,
+        # integer-exact argmax (~32% acc vs 29% for the marker heuristic —
+        # the synthetic text is largely lang-agnostic by construction)
+        "nb_langid": nb_classifier,
         # CCNet-style LM coverage: corpus bigram table shuffle-joined to
         # each doc's bigrams (never broadcast; table is corpus-sized)
         "bigram_coverage": bigram_coverage,
@@ -1313,6 +1319,69 @@ _CCNET_PPL_SQL = r"""
                              WHEN qd.ppl_q <= thr.t2 THEN 1
                              ELSE 2 END AS BIGINT) AS ppl_bucket
             FROM qd JOIN thr USING (lang)
+"""
+
+
+_NB_LANGID_SQL = r"""
+            WITH toks AS (
+                SELECT doc_id, lang, source,
+                       unnest(string_split_regex(trim(text), '\s+')) AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            tb AS (SELECT doc_id, lang, source,
+                          md5_number_upper(t) % 1024 AS b FROM toks),
+            ccnt AS (
+                SELECT lang AS cls, b, count(*) AS c
+                FROM tb WHERE source = 'src0' GROUP BY lang, b
+            ),
+            ctot AS (SELECT cls, sum(c) AS tot FROM ccnt GROUP BY cls),
+            dcnt AS (
+                SELECT lang AS cls, count(*) AS nd
+                FROM documents WHERE source = 'src0' GROUP BY lang
+            ),
+            ntot AS (SELECT sum(nd) AS n FROM dcnt),
+            -- the ONLY float seams: identical floor(scale * ln(.)) freezes
+            -- to the Ray side (margins pytest-verified)
+            pri AS (
+                SELECT cls, CAST(floor(1000000.0 * ln(nd / n)) AS BIGINT) AS p
+                FROM dcnt, ntot
+            ),
+            sc AS (
+                SELECT ccnt.cls, ccnt.b,
+                       CAST(floor(1000000.0 *
+                                  ln((ccnt.c + 1.0) / (ctot.tot + 1024.0)))
+                            AS BIGINT) AS s
+                FROM ccnt JOIN ctot USING (cls)
+            ),
+            db AS (SELECT doc_id, lang, b, count(*) AS c
+                   FROM tb GROUP BY doc_id, lang, b),
+            scored AS (
+                SELECT db.doc_id, db.lang AS actual, ctot.cls,
+                       pri.p + sum(db.c * coalesce(sc.s,
+                           CAST(floor(1000000.0 *
+                                      ln(1.0 / (ctot.tot + 1024.0)))
+                                AS BIGINT))) AS score
+                FROM db
+                CROSS JOIN ctot
+                JOIN pri ON pri.cls = ctot.cls
+                LEFT JOIN sc ON sc.cls = ctot.cls AND sc.b = db.b
+                GROUP BY db.doc_id, db.lang, ctot.cls, pri.p
+            ),
+            best AS (
+                SELECT doc_id, actual, cls,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, cls ASC
+                       ) AS rn
+                FROM scored
+            )
+            SELECT b.doc_id, dn.n_tokens, b.cls AS pred, b.actual,
+                   CAST(CASE WHEN b.cls = b.actual THEN 1 ELSE 0 END
+                        AS BIGINT) AS correct
+            FROM best b
+            JOIN (SELECT doc_id, count(*) AS n_tokens
+                  FROM tb GROUP BY doc_id) dn USING (doc_id)
+            WHERE b.rn = 1
 """
 
 
@@ -1839,6 +1908,8 @@ def oracle_sql() -> dict[str, str]:
         # CCNet perplexity buckets: per-lang bigram-bucket LM over the src0
         # reference slice; identical fixed-point freeze + integer terciles.
         "ccnet_perplexity": _CCNET_PPL_SQL,
+        # Multinomial NB lang classifier: src0-trained, integer-exact argmax.
+        "nb_langid": _NB_LANGID_SQL,
         # DSIR top-k selection: integer rank over the same weight CTE
         "dsir_select": f"""
             WITH w AS ({_DSIR_WEIGHTS_SQL})

@@ -148,7 +148,11 @@ def run_bench() -> dict:
         )
         from yomitoku_ray.functions.relational import event_pagerank
         from yomitoku_ray.functions.similarity import semdedup
-        from yomitoku_ray.functions.text_stats import ccnet_perplexity, dsir_weights
+        from yomitoku_ray.functions.text_stats import (
+            ccnet_perplexity,
+            dsir_weights,
+            nb_classifier,
+        )
 
         def timed(name, fn):
             t0 = time.perf_counter()
@@ -197,6 +201,7 @@ def run_bench() -> dict:
         timed("semdedup", semdedup)
         timed("dsir_weights", dsir_weights)
         timed("ccnet_perplexity", ccnet_perplexity)
+        timed("nb_langid", nb_classifier)
 
     ray.shutdown()
     return {

@@ -1313,3 +1313,173 @@ def ccnet_perplexity(
     return read(["doc_id", "lang", "text"]).map_batches(
         _assign, batch_format="pandas"
     )
+
+
+def nb_classifier(
+    sf_dir: str,
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+    label_col: str = "lang",
+    train_source: str = "src0",
+) -> ray.data.Dataset:
+    """Trained text classifier over hashed unigram buckets — the
+    fastText-style model-based filtering family (GPT-3's quality
+    classifier, CCNet/fastText lang-id): multinomial Naive Bayes trained
+    on the ``train_source`` reference slice, predicting ``label_col``
+    for every document.
+
+    The linear form (class prior + sum of per-bucket log-likelihoods) is
+    exactly fastText's unigram classifier shape; multinomial NB makes the
+    training a pure count aggregation, so the whole model fits the
+    :func:`dsir_weights` integer fixed-point posture: per-(class, bucket)
+    scores freeze ONCE to ``floor(scale * ln((c+1)/(tot_c+B)))`` and
+    class priors to ``floor(scale * ln(n_c/n))`` — the only float seams —
+    making per-document class scores order-free int64 sums and the argmax
+    (tie-break: lexicographically smallest class) exact integer
+    arithmetic, bit-identical to any SQL evaluation order.
+
+    Scale shape (two streaming passes, bounded driver state):
+
+    1. TRAIN: per-batch (class, bucket, cnt) partials over the pushed-down
+       source filter, reduced via the coarse-bucket map_groups idiom to
+       <= |classes| x B rows + |classes| doc counts of driver state,
+       frozen dense and broadcast via ``ray.put``;
+    2. SCORE: vectorized per-batch scoring — per class one int64
+       scatter-add over the batch's token-bucket occurrences, then an
+       integer argmax across the |classes| columns.
+
+    Documents with no tokens emit no row (SQL WHERE parity); if the
+    reference slice is empty the result is empty. Columns: doc_id,
+    n_tokens, pred, actual, correct (int64 / str / str / int64).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    path = f"{sf_dir}/documents.parquet"
+    B = int(n_buckets)
+    _RED_MASK = 255
+
+    def _partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        occ_h, fdi, counts, _ = _dsir_feature_occ(
+            df["text"].fillna("").tolist(), False
+        )
+        cls = df[label_col].fillna("").to_numpy(dtype=object)
+        frames = []
+        if len(occ_h):
+            occ_b = (occ_h % np.uint64(B)).astype(np.int64)
+            tok = (
+                pd.DataFrame({"cls": cls[fdi], "bucket_id": occ_b})
+                .groupby(["cls", "bucket_id"], as_index=False)
+                .size()
+                .rename(columns={"size": "cnt"})
+            )
+            tok["kind"] = 0
+            frames.append(tok)
+        # per-class document counts ride the same reduce (kind=1 rows)
+        dc = (
+            pd.DataFrame({"cls": cls})
+            .groupby("cls", as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        dc["bucket_id"] = -1
+        dc["kind"] = 1
+        frames.append(dc)
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket_id"] = out["bucket_id"].astype("int64")
+        out["cnt"] = out["cnt"].astype("int64")
+        out["kind"] = out["kind"].astype("int64")
+        out["bucket"] = out["bucket_id"] & _RED_MASK
+        return out
+
+    def _reduce_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["cls", "bucket_id", "kind"], as_index=False)["cnt"].sum()
+
+    cnt = (
+        ray.data.read_parquet(
+            path,
+            columns=[label_col, "text"],
+            filter=pc.field("source") == train_source,
+        )
+        .map_batches(_partial_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_reduce_counts, batch_format="pandas")
+        .to_pandas()  # <= |classes| x (B + 1) rows — bounded driver state
+    )
+    doc_cnt = cnt[cnt["kind"] == 1]
+    classes = sorted(str(c) for c in doc_cnt["cls"].unique())
+    K = len(classes)
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    n_docs_c = np.zeros(K, dtype=np.int64)
+    for _, row in doc_cnt.iterrows():
+        n_docs_c[cls_idx[str(row["cls"])]] = int(row["cnt"])
+    tok_cnt = cnt[cnt["kind"] == 0]
+    c_kb = np.zeros((K, B), dtype=np.int64)
+    if len(tok_cnt):
+        ki = np.fromiter(
+            (cls_idx[str(c)] for c in tok_cnt["cls"]),
+            dtype=np.int64,
+            count=len(tok_cnt),
+        )
+        c_kb[ki, tok_cnt["bucket_id"].to_numpy("int64")] = tok_cnt[
+            "cnt"
+        ].to_numpy("int64")
+    n_total = int(n_docs_c.sum())
+    if K == 0:
+        s_kb = np.zeros((0, B), dtype=np.int64)
+        prior = np.zeros(0, dtype=np.int64)
+    else:
+        tot_c = c_kb.sum(axis=1)
+        # The ONLY float -> int seams (margins verified in tests).
+        s_kb = np.floor(
+            scale * np.log((c_kb + 1.0) / (tot_c[:, None] + float(B)))
+        ).astype(np.int64)
+        prior = np.floor(scale * np.log(n_docs_c / float(n_total))).astype(
+            np.int64
+        )
+    ref = ray.put((classes, s_kb, prior))
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        classes, s_kb, prior = ray.get(ref)
+        K = len(classes)
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "pred": pd.Series([], dtype=object),
+                "actual": pd.Series([], dtype=object),
+                "correct": pd.Series([], dtype="int64"),
+            }
+        )
+        if K == 0:
+            return empty
+        occ_h, fdi, counts, _ = _dsir_feature_occ(
+            df["text"].fillna("").tolist(), False
+        )
+        if len(occ_h) == 0:
+            return empty
+        occ_b = (occ_h % np.uint64(B)).astype(np.int64)
+        n = len(df)
+        scores = np.empty((n, K), dtype=np.int64)
+        for k in range(K):
+            w = np.full(n, prior[k], dtype=np.int64)
+            np.add.at(w, fdi, s_kb[k][occ_b])  # int64 end-to-end
+            scores[:, k] = w
+        # first max = lexicographically smallest class on ties
+        pred_i = np.argmax(scores, axis=1)
+        keep = counts > 0
+        actual = df[label_col].fillna("").to_numpy(dtype=object)[keep]
+        pred = np.array(classes, dtype=object)[pred_i[keep]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy("int64")[keep],
+                "n_tokens": counts[keep].astype("int64"),
+                "pred": pd.Series(pred, dtype=object).astype(str),
+                "actual": pd.Series(actual, dtype=object).astype(str),
+                "correct": (pred == actual).astype(np.int64),
+            }
+        )
+
+    return ray.data.read_parquet(
+        path, columns=["doc_id", label_col, "text"]
+    ).map_batches(_score, batch_format="pandas")
