@@ -833,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ccnet_perplexity,
         nb_classifier,
     )
+    from yomitoku_ray.functions.sketch import hll_distinct_tokens
 
     return {
         # extraction pipeline (pages synthesized from BASELINE input_hint)
@@ -882,6 +883,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact argmax (~32% acc vs 29% for the marker heuristic —
         # the synthetic text is largely lang-agnostic by construction)
         "nb_langid": nb_classifier,
+        # HyperLogLog distinct-token sketch: per-batch partial registers
+        # merged by an order-free max; integer-exact estimator (frozen
+        # alpha ppm; the sole ln seam verified over its ENTIRE input space)
+        "hll_distinct_tokens": hll_distinct_tokens,
         # CCNet-style LM coverage: corpus bigram table shuffle-joined to
         # each doc's bigrams (never broadcast; table is corpus-sized)
         "bigram_coverage": bigram_coverage,
@@ -1382,6 +1387,48 @@ _NB_LANGID_SQL = r"""
             JOIN (SELECT doc_id, count(*) AS n_tokens
                   FROM tb GROUP BY doc_id) dn USING (doc_id)
             WHERE b.rn = 1
+"""
+
+
+_HLL_SQL = r"""
+            WITH toks AS (
+                SELECT lang,
+                       unnest(string_split_regex(trim(text), '\s+')) AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            th AS (SELECT DISTINCT lang, md5_number_upper(t) AS h FROM toks),
+            r0 AS (SELECT lang, CAST(h % 1024 AS BIGINT) AS idx,
+                          h // 1024 AS w FROM th),
+            reg AS (
+                SELECT lang, idx,
+                       max(CASE WHEN w = 0 THEN 55
+                                ELSE 55 - length(bin(w)) END) AS rho
+                FROM r0 GROUP BY lang, idx
+            ),
+            agg AS (
+                SELECT lang,
+                       sum(1::HUGEINT << (55 - rho))
+                         + (1024 - count(*))::HUGEINT * (1::HUGEINT << 55)
+                         AS sum_pow,
+                       1024 - count(*) AS v
+                FROM reg GROUP BY lang
+            ),
+            est AS (
+                SELECT lang, v,
+                       CASE WHEN raw <= 2560 AND v > 0
+                            THEN (1024 * CAST(floor(1000000.0 * ln(1024.0 / v))
+                                              AS BIGINT)) // 1000000
+                            ELSE raw END AS e
+                FROM (SELECT lang, v,
+                             CAST((720541::HUGEINT * 1024 * 1024 *
+                                   (1::HUGEINT << 55))
+                                  // (sum_pow * 1000000::HUGEINT)
+                                  AS BIGINT) AS raw
+                      FROM agg)
+            )
+            SELECT lang, CAST(v AS BIGINT) AS v_zeros,
+                   CAST(e AS BIGINT) AS est_distinct
+            FROM est
 """
 
 
@@ -1910,6 +1957,8 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_perplexity": _CCNET_PPL_SQL,
         # Multinomial NB lang classifier: src0-trained, integer-exact argmax.
         "nb_langid": _NB_LANGID_SQL,
+        # HyperLogLog sketch: same register math + integer estimator.
+        "hll_distinct_tokens": _HLL_SQL,
         # DSIR top-k selection: integer rank over the same weight CTE
         "dsir_select": f"""
             WITH w AS ({_DSIR_WEIGHTS_SQL})

@@ -202,6 +202,9 @@ def run_bench() -> dict:
         timed("dsir_weights", dsir_weights)
         timed("ccnet_perplexity", ccnet_perplexity)
         timed("nb_langid", nb_classifier)
+        from yomitoku_ray.functions.sketch import hll_distinct_tokens
+
+        timed("hll_distinct_tokens", hll_distinct_tokens)
 
     ray.shutdown()
     return {
