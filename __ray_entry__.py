@@ -761,6 +761,7 @@ def _ann_with_self_check(fn, sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     from yomitoku_ray.functions.dedup import (
         exact_dedup,
+        soft_dedup_weights,
         corpus_sample,
         cross_corpus_near_dup,
         shuffle_rank,
@@ -902,6 +903,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": tfidf_top_terms,
         # dedup family
         "exact_dedup": exact_dedup,
+        # SoftDeDup: reweight duplicates (1e6 // multiplicity) instead of
+        # dropping them — one digest shuffle, integer output
+        "soft_dedup_weights": soft_dedup_weights,
         # max_bucket sized so the LSH pair set is exact at test scale (the
         # DuckDB oracle computes the full >=threshold pair set; the default
         # 64-doc skew guard would drop pairs if a duplicate class ever grew
@@ -2125,6 +2129,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents
             GROUP BY md5(text)
+        """,
+        "soft_dedup_weights": """
+            SELECT doc_id,
+                   n_copies,
+                   CAST(1000000 // n_copies AS BIGINT) AS weight_ppm
+            FROM (
+                SELECT doc_id,
+                       count(*) OVER (PARTITION BY md5(text)) AS n_copies
+                FROM documents
+            )
         """,
         "kmeans_assign": """
             WITH c0 AS (

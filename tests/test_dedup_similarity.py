@@ -471,3 +471,58 @@ def test_ann_queries_self_check(ray_session):
         assert len(df) > 0
         assert int(df["ok_rank"].sum()) == len(df), name
         assert int(df["ok_self"].sum()) == len(df), name
+
+
+def test_soft_dedup_weights(ray_session, tmp_path):
+    """SoftDeDup: weight = 1e6 // multiplicity, every doc keeps a row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yomitoku_ray.functions.dedup import soft_dedup_weights
+
+    rows = (
+        [{"doc_id": 0, "text": "unique zero"}]
+        + [{"doc_id": i, "text": "twice seen"} for i in (1, 2)]
+        + [{"doc_id": i, "text": "three of these"} for i in (3, 4, 5)]
+    )
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    got = (
+        soft_dedup_weights(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_copies"].tolist() == [1, 2, 2, 3, 3, 3]
+    assert got["weight_ppm"].tolist() == [1000000, 500000, 500000, 333333, 333333, 333333]
+
+
+def test_soft_dedup_matches_oracle(ray_session):
+    """sf0.001 pin against the DuckDB window-count oracle."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from yomitoku_ray.functions.dedup import soft_dedup_weights
+
+    got = (
+        soft_dedup_weights("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = (
+        con.execute(entry.oracle_sql()["soft_dedup_weights"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -1148,3 +1148,34 @@ def shuffle_rank(sf_dir: str, n_buckets: int = 1024) -> ray.data.Dataset:
         )
 
     return keyed.groupby("bucket").map_groups(_rank, batch_format="pandas")
+
+
+def soft_dedup_weights(sf_dir: str) -> ray.data.Dataset:
+    """SoftDeDup (He et al. 2024): instead of DROPPING duplicates, assign
+    every document a sampling weight inversely proportional to its exact
+    duplicate multiplicity — common content is down-weighted, not lost.
+
+    One digest-keyed shuffle (the :func:`exact_dedup` partitioning; text is
+    dropped before the exchange, only (doc_id, text_hash) rows move); the
+    group size IS the multiplicity, so no second pass or join is needed.
+    ``weight_ppm = 1_000_000 // n_copies`` keeps the output pure integer
+    (no float seam). Columns: doc_id, n_copies, weight_ppm (all int64).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=32,
+    )
+    keyed = ds.map_batches(_md5_batch, batch_format="pandas", batch_size=256)
+
+    def _weights(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy("int64"),
+                "n_copies": np.full(n, n, dtype=np.int64),
+                "weight_ppm": np.full(n, 1_000_000 // n, dtype=np.int64),
+            }
+        )
+
+    return keyed.groupby("text_hash").map_groups(_weights, batch_format="pandas")
