@@ -834,7 +834,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ccnet_perplexity,
         nb_classifier,
     )
-    from yomitoku_ray.functions.sketch import hll_distinct_tokens
+    from yomitoku_ray.functions.sketch import (
+        cms_top_term_counts,
+        hll_distinct_tokens,
+    )
 
     return {
         # extraction pipeline (pages synthesized from BASELINE input_hint)
@@ -888,6 +891,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merged by an order-free max; integer-exact estimator (frozen
         # alpha ppm; the sole ln seam verified over its ENTIRE input space)
         "hll_distinct_tokens": hll_distinct_tokens,
+        # Count-Min sketch: order-free SUM-merged counters, d x w driver
+        # state, NO float seam; output pins est >= exact (one-sided error)
+        "cms_top_term_counts": cms_top_term_counts,
         # CCNet-style LM coverage: corpus bigram table shuffle-joined to
         # each doc's bigrams (never broadcast; table is corpus-sized)
         "bigram_coverage": bigram_coverage,
@@ -1963,6 +1969,33 @@ def oracle_sql() -> dict[str, str]:
         "nb_langid": _NB_LANGID_SQL,
         # HyperLogLog sketch: same register math + integer estimator.
         "hll_distinct_tokens": _HLL_SQL,
+        # Count-Min sketch: identical d x w counter build + min-over-rows.
+        "cms_top_term_counts": r"""
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            tc AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+            cms AS (
+                SELECT r.j,
+                       md5_number_upper(r.j::VARCHAR || '|' || tc.t)
+                           % 16384 AS col,
+                       sum(tc.n) AS cnt
+                FROM tc, range(0, 4) r(j)
+                GROUP BY 1, 2
+            ),
+            topk AS (SELECT t, n FROM tc ORDER BY n DESC, t ASC LIMIT 20),
+            probe AS (
+                SELECT topk.t, topk.n, r.j,
+                       md5_number_upper(r.j::VARCHAR || '|' || topk.t)
+                           % 16384 AS col
+                FROM topk, range(0, 4) r(j)
+            )
+            SELECT probe.t AS term, CAST(probe.n AS BIGINT) AS n_exact,
+                   CAST(min(cms.cnt) AS BIGINT) AS n_cms
+            FROM probe JOIN cms ON cms.j = probe.j AND cms.col = probe.col
+            GROUP BY probe.t, probe.n
+        """,
         # DSIR top-k selection: integer rank over the same weight CTE
         "dsir_select": f"""
             WITH w AS ({_DSIR_WEIGHTS_SQL})

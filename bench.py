@@ -202,9 +202,13 @@ def run_bench() -> dict:
         timed("dsir_weights", dsir_weights)
         timed("ccnet_perplexity", ccnet_perplexity)
         timed("nb_langid", nb_classifier)
-        from yomitoku_ray.functions.sketch import hll_distinct_tokens
+        from yomitoku_ray.functions.sketch import (
+            cms_top_term_counts,
+            hll_distinct_tokens,
+        )
 
         timed("hll_distinct_tokens", hll_distinct_tokens)
+        timed("cms_top_term_counts", cms_top_term_counts)
 
     ray.shutdown()
     return {

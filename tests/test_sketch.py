@@ -199,3 +199,117 @@ def test_hll_driver_state_is_register_sized(ray_session, monkeypatch):
     monkeypatch.undo()
     assert len(sizes) == 1 and sizes[0] <= 5 * HLL_M
     assert len(out) == 5
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+from yomitoku_ray.functions.sketch import CMS_D, CMS_W, cms_top_term_counts
+
+
+def _cms_oracle(dirpath: str) -> pd.DataFrame:
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dirpath}/documents.parquet')"
+    )
+    want = (
+        con.execute(entry.oracle_sql()["cms_top_term_counts"])
+        .df()
+        .sort_values(["n_exact", "term"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    for c in ("n_exact", "n_cms"):
+        want[c] = want[c].astype("int64")
+    return want
+
+
+def test_cms_matches_oracle_sf001(ray_session):
+    got = (
+        cms_top_term_counts(SF001)
+        .sort_values(["n_exact", "term"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _cms_oracle(SF001))
+    # the defining one-sided guarantee
+    assert (got["n_cms"] >= got["n_exact"]).all()
+
+
+def test_cms_overcount_only_large_vocab(ray_session, tmp_path):
+    """A vocabulary far above w forces collisions: estimates may exceed
+    the exact counts but can never undercount, and the heavy hitters
+    stay within the epsilon*N additive bound with room to spare."""
+    rng = np.random.RandomState(3)
+    vocab = np.array([f"t{i}" for i in range(40_000)], dtype=object)
+    rows = []
+    for i in range(200):
+        words = vocab[rng.randint(0, 40_000, 300)].tolist()
+        words += ["heavy"] * 50  # one true heavy hitter
+        rows.append({"doc_id": i, "text": " ".join(words), "lang": "en",
+                     "source": "src0"})
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    got = cms_top_term_counts(str(d))
+    assert (got["n_cms"] >= got["n_exact"]).all()
+    n_total = 200 * 350
+    # The additive bound eN/w holds per query with prob 1 - 2^-d, not
+    # hard: most terms must sit within a few multiples, stragglers allowed
+    # (this seed has one term colliding with a heavy in every row).
+    over = got["n_cms"] - got["n_exact"]
+    assert (over <= 4 * 2 * n_total // CMS_W).sum() >= 17
+    assert got.loc[0, "term"] == "heavy" and got.loc[0, "n_exact"] == 10_000
+    pd.testing.assert_frame_equal(
+        got.sort_values(["n_exact", "term"], ascending=[False, True])
+        .reset_index(drop=True),
+        _cms_oracle(str(d)),
+    )
+
+
+def test_cms_merge_is_order_free(ray_session, tmp_path):
+    """Different file/batch splits of the same corpus produce the same
+    sketch (SUM merge is commutative/associative)."""
+    rng = np.random.RandomState(4)
+    vocab = np.array([f"v{i}" for i in range(2000)], dtype=object)
+    rows = [
+        {"doc_id": i, "text": " ".join(vocab[rng.randint(0, 2000, 80)]),
+         "lang": "en", "source": "src0"}
+        for i in range(300)
+    ]
+    a = tmp_path / "one"
+    b = tmp_path / "many"
+    a.mkdir(); b.mkdir()
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(a / "documents.parquet"))
+    (b / "documents.parquet").mkdir()
+    for j in range(6):
+        pq.write_table(
+            t.slice(j * 50, 50), str(b / "documents.parquet" / f"p{j}.parquet")
+        )
+    pd.testing.assert_frame_equal(
+        cms_top_term_counts(str(a)), cms_top_term_counts(str(b))
+    )
+
+
+def test_cms_driver_state_is_sketch_sized(ray_session, monkeypatch):
+    import ray.data as rd
+
+    real_to_pandas = rd.Dataset.to_pandas
+    sizes = []
+
+    def _spy(self, *a, **k):
+        df = real_to_pandas(self, *a, **k)
+        sizes.append(len(df))
+        return df
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", _spy)
+    out = cms_top_term_counts(SF001)
+    monkeypatch.undo()
+    # the CMS cells + top_terms' vocabulary-sized aggregate
+    assert sizes and sizes[0] <= CMS_D * CMS_W
+    assert len(out) == 20

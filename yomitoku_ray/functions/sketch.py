@@ -164,3 +164,94 @@ def hll_distinct_tokens(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["lang", "v_zeros", "est_distinct"]).astype(
         {"v_zeros": "int64", "est_distinct": "int64"}
     )
+
+
+# Count-Min sketch parameters, shared verbatim with the SQL oracle.
+CMS_D = 4  # hash rows
+CMS_W = 16384  # counters per row
+
+
+def cms_top_term_counts(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) point-count
+    estimates for the corpus's top-``k`` terms, beside their exact counts.
+
+    The second mergeable sketch: per-batch partial (row, col, cnt) cells
+    merge by SUM — commutative/associative, so the reduce is order-free —
+    and the whole sketch is d x w = 64k integers of driver state no matter
+    the corpus size. There is NO float seam anywhere: counters, hashing
+    and the min-over-rows estimate are all integer, so the oracle match is
+    exact by construction. The defining CMS guarantee — estimates can only
+    OVERCOUNT (one-sided error) — is an output invariant the driver can
+    hash-check: est >= exact for every term, always.
+
+    Candidate terms come from the exact :func:`~.text_stats.top_terms`
+    heavy-hitter pass (deterministic), making the output a self-validating
+    (term, exact, estimate) table. Columns: term (str), n_exact, n_cms
+    (int64), ordered by (n_exact DESC, term ASC).
+
+    Per-term row hashes are ``md5("{j}|{term}") % w`` — the DSIR
+    md5_number_upper parity idiom, reproducible in SQL.
+    """
+    import numpy as np
+
+    from .dedup import _md5_u64
+    from .text_stats import _TOKEN_SPLIT, top_terms
+
+    path = f"{sf_dir}/documents.parquet"
+    _RED_MASK = 255
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.strip().str.split(_TOKEN_SPLIT).explode()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        terms = vc.index.to_numpy(dtype=object)
+        cnts = vc.to_numpy("int64")
+        frames = []
+        for j in range(CMS_D):
+            # pure-Python modulo: `python_int % np.uint64` routes through
+            # float64 and garbles the low bits
+            cols = np.fromiter(
+                (_md5_u64(f"{j}|{t}") % CMS_W for t in terms),
+                dtype=np.int64,
+                count=len(terms),
+            )
+            sub = (
+                pd.DataFrame({"col": cols, "cnt": cnts})
+                .groupby("col", as_index=False)["cnt"]
+                .sum()
+            )
+            sub["row"] = np.int64(j)
+            frames.append(sub)
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = out["col"] & _RED_MASK
+        return out[["row", "col", "cnt", "bucket"]]
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["row", "col"], as_index=False)["cnt"].sum()
+
+    cells = (
+        ray.data.read_parquet(path, columns=["text"])
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_merge, batch_format="pandas")
+        .to_pandas()  # <= d x w rows — the whole sketch
+    )
+    cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    cms[cells["row"].to_numpy("int64"), cells["col"].to_numpy("int64")] = cells[
+        "cnt"
+    ].to_numpy("int64")
+
+    exact = top_terms(sf_dir, k=k)
+    ests = []
+    for t in exact["term"]:
+        est = min(
+            int(cms[j, _md5_u64(f"{j}|{t}") % CMS_W]) for j in range(CMS_D)
+        )
+        ests.append(est)
+    return pd.DataFrame(
+        {
+            "term": exact["term"].astype(str),
+            "n_exact": exact["n"].astype("int64"),
+            "n_cms": pd.Series(ests, dtype="int64"),
+        }
+    )
