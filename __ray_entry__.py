@@ -1976,19 +1976,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE length(trim(text)) > 0
             ),
             tc AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+            -- Kirsch-Mitzenmacher double hashing off ONE md5 per term:
+            -- col_j = (h1 + j*h2) % w, h1 = h % 2^32, h2 = (h >> 32) | 1
+            th AS (
+                SELECT t, n,
+                       md5_number_upper(t) % 4294967296 AS h1,
+                       (md5_number_upper(t) // 4294967296) | 1 AS h2
+                FROM tc
+            ),
             cms AS (
-                SELECT r.j,
-                       md5_number_upper(r.j::VARCHAR || '|' || tc.t)
-                           % 16384 AS col,
-                       sum(tc.n) AS cnt
-                FROM tc, range(0, 4) r(j)
+                SELECT r.j, (th.h1 + r.j * th.h2) % 16384 AS col,
+                       sum(th.n) AS cnt
+                FROM th, range(0, 4) r(j)
                 GROUP BY 1, 2
             ),
-            topk AS (SELECT t, n FROM tc ORDER BY n DESC, t ASC LIMIT 20),
+            topk AS (SELECT t, n, h1, h2
+                     FROM th ORDER BY n DESC, t ASC LIMIT 20),
             probe AS (
                 SELECT topk.t, topk.n, r.j,
-                       md5_number_upper(r.j::VARCHAR || '|' || topk.t)
-                           % 16384 AS col
+                       (topk.h1 + r.j * topk.h2) % 16384 AS col
                 FROM topk, range(0, 4) r(j)
             )
             SELECT probe.t AS term, CAST(probe.n AS BIGINT) AS n_exact,

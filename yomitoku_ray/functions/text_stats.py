@@ -271,26 +271,36 @@ def top_terms(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     The scale shape for heavy hitters: a vectorized per-batch value_counts
     COMBINER shrinks each batch to its distinct terms before the only
-    shuffle (groupby(term) sum); the final top-k sort runs on the
-    aggregated (vocabulary-sized) table. Ties break by term ascending —
-    replicated exactly in the SQL oracle.
+    shuffle — a coarse-bucket reduce (a fine-key term groupby pays Ray's
+    ~200 fixed reduce partitions: 43.8 -> 7.4 s on the 200k-doc probe);
+    the final top-k sort runs on the aggregated (vocabulary-sized) table.
+    Ties break by term ascending — replicated exactly in the SQL oracle.
     """
     import ray.data
-    from ray.data.aggregate import Sum
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.strip().str.split(_TOKEN_SPLIT).explode()
         toks = toks[toks != ""]
         vc = toks.value_counts()
-        return pd.DataFrame({"term": vc.index.astype(str), "n": vc.values.astype("int64")})
+        out = pd.DataFrame(
+            {"term": vc.index.astype(str), "n": vc.values.astype("int64")}
+        )
+        out["bucket"] = (
+            pd.util.hash_array(out["term"].to_numpy(dtype=object)).astype("int64")
+            & 255
+        )
+        return out
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", as_index=False)["n"].sum()
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    agg = (
+    out = (
         ds.map_batches(_partial, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+        .to_pandas()  # vocabulary-sized
     )
-    out = agg.to_pandas()
     out["n"] = out["n"].astype("int64")
     return (
         out.sort_values(["n", "term"], ascending=[False, True])
