@@ -209,6 +209,9 @@ def run_bench() -> dict:
 
         timed("hll_distinct_tokens", hll_distinct_tokens)
         timed("cms_top_term_counts", cms_top_term_counts)
+        from yomitoku_ray.functions.dedup import soft_dedup_weights
+
+        timed("soft_dedup_weights", soft_dedup_weights)
 
     ray.shutdown()
     return {
