@@ -193,3 +193,34 @@ def test_ccnet_deterministic(ray_session):
     a = _run(SF001)
     b = _run(SF001)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ccnet_no_train_slice_uniform_model(ray_session, tmp_path):
+    """A corpus with NO train_source docs must not crash (the aggregate
+    returns a column-less frame): every lang falls back to the uniform
+    model and the result still matches the oracle's coalesce path."""
+    rows = [
+        {"doc_id": i, "text": f"alpha beta gamma g{i}", "lang": "en",
+         "source": "src1"}
+        for i in range(6)
+    ]
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    got = _run(str(d))
+    assert len(got) == 6
+    uniform = int(np.floor(1_000_000 * np.log(1.0 / 256)))
+    assert (got["nll_scaled"] == -uniform * 3).all()
+    pd.testing.assert_frame_equal(got, _oracle(str(d)), check_like=True)
+
+
+def test_ccnet_fully_empty_table(ray_session, tmp_path):
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("lang", pa.string()), ("source", pa.string())]
+    )
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist([], schema=schema),
+                   str(d / "documents.parquet"))
+    assert len(ccnet_perplexity(str(d)).to_pandas()) == 0

@@ -185,3 +185,17 @@ def test_nb_deterministic(ray_session):
     a = _run(SF001)
     b = _run(SF001)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_nb_no_train_slice_is_empty(ray_session, tmp_path):
+    """No reference-slice docs -> zero classes -> empty result, matching
+    the oracle (and no crash on the column-less aggregate frame)."""
+    rows = [
+        {"doc_id": i, "text": "alpha beta", "lang": "en", "source": "src1"}
+        for i in range(4)
+    ]
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    assert len(nb_classifier(str(d)).to_pandas()) == 0
+    assert len(_oracle(str(d))) == 0

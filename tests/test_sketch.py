@@ -313,3 +313,16 @@ def test_cms_driver_state_is_sketch_sized(ray_session, monkeypatch):
     # the CMS cells + top_terms' vocabulary-sized aggregate
     assert sizes and sizes[0] <= CMS_D * CMS_W
     assert len(out) == 20
+
+
+def test_sketches_fully_empty_table(ray_session, tmp_path):
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("lang", pa.string()), ("source", pa.string())]
+    )
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist([], schema=schema),
+                   str(d / "documents.parquet"))
+    assert len(hll_distinct_tokens(str(d))) == 0
+    assert len(cms_top_term_counts(str(d))) == 0

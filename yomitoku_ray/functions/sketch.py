@@ -154,6 +154,8 @@ def hll_distinct_tokens(sf_dir: str) -> pd.DataFrame:
         .to_pandas()  # <= |langs| x m rows — the whole sketch
     )
     rows = []
+    if len(reg) == 0:  # empty corpus: column-less frame
+        reg = pd.DataFrame(columns=["lang", "idx", "rho"])
     for lang, sub in sorted(reg.groupby("lang", sort=False), key=lambda t: str(t[0])):
         r = np.zeros(HLL_M, dtype=np.int64)
         r[sub["idx"].to_numpy("int64")] = sub["rho"].to_numpy("int64")
@@ -245,9 +247,10 @@ def cms_top_term_counts(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .to_pandas()  # <= d x w rows — the whole sketch
     )
     cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
-    cms[cells["row"].to_numpy("int64"), cells["col"].to_numpy("int64")] = cells[
-        "cnt"
-    ].to_numpy("int64")
+    if len(cells):  # empty corpus aggregates to a column-less frame
+        cms[cells["row"].to_numpy("int64"), cells["col"].to_numpy("int64")] = (
+            cells["cnt"].to_numpy("int64")
+        )
 
     exact = top_terms(sf_dir, k=k)
     ests = []

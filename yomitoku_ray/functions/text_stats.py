@@ -301,6 +301,8 @@ def top_terms(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .map_groups(_reduce, batch_format="pandas")
         .to_pandas()  # vocabulary-sized
     )
+    if len(out) == 0:  # empty corpus: column-less frame
+        out = pd.DataFrame(columns=["term", "n", "bucket"])
     out["n"] = out["n"].astype("int64")
     return (
         out.sort_values(["n", "term"], ascending=[False, True])
@@ -1221,6 +1223,8 @@ def ccnet_perplexity(
     )
     uniform_s = int(np.floor(scale * np.log(1.0 / B)))
     s_map: dict[str, np.ndarray] = {}
+    if len(cnt) == 0:  # no train-slice docs: column-less frame; all langs
+        cnt = pd.DataFrame(columns=["lang", "key", "cnt"])  # -> uniform model
     for lang, sub in cnt.groupby("lang", sort=False):
         c = np.zeros(B * B, dtype=np.int64)
         c[sub["key"].to_numpy("int64")] = sub["cnt"].to_numpy("int64")
@@ -1286,6 +1290,8 @@ def ccnet_perplexity(
         .to_pandas()  # |langs| x value-space rows, never corpus-sized
     )
     thr: dict[str, tuple[int, int]] = {}
+    if len(hist) == 0:  # no scorable docs: column-less frame
+        hist = pd.DataFrame(columns=["lang", "ppl_q", "cnt"])
     for lang, sub in hist.groupby("lang", sort=False):
         sub = sub.sort_values("ppl_q")
         cum = sub["cnt"].cumsum().to_numpy()
@@ -1416,6 +1422,8 @@ def nb_classifier(
         .map_groups(_reduce_counts, batch_format="pandas")
         .to_pandas()  # <= |classes| x (B + 1) rows — bounded driver state
     )
+    if len(cnt) == 0:  # no train-slice docs: column-less frame -> K = 0
+        cnt = pd.DataFrame(columns=["cls", "bucket_id", "kind", "cnt"])
     doc_cnt = cnt[cnt["kind"] == 1]
     classes = sorted(str(c) for c in doc_cnt["cls"].unique())
     K = len(classes)
