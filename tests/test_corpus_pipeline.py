@@ -195,3 +195,40 @@ def test_corpus_cli_streaming_flag(tmp_path):
     assert summary["n_docs"] > 0
     back = pq.read_table(out)
     assert "n_copies" not in back.schema.names  # streaming mode marker
+
+
+def test_corpus_output_feeds_ccnet_and_nb(ray_session, tmp_path):
+    """The CCNet-recipe chain composes end to end: pages -> corpus_build
+    -> ccnet_perplexity head/middle/tail buckets -> nb_classifier over
+    the EXTRACTED corpus (not the synth documents table)."""
+    from yomitoku_ray.functions.text_stats import ccnet_perplexity, nb_classifier
+
+    p = _pages_with_dups(tmp_path, n=50)
+    corpus = build_corpus(p).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(corpus) > 0
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(corpus)), pa.int64()),
+            "text": pa.array(corpus["text"], pa.string()),
+            "lang": pa.array(corpus["lang"], pa.string()),
+            # alternate sources so a reference slice exists
+            "source": pa.array(
+                ["src0" if i % 3 == 0 else "src1" for i in range(len(corpus))],
+                pa.string(),
+            ),
+        }
+    )
+    docs_dir = tmp_path / "ccdir"
+    docs_dir.mkdir()
+    pq.write_table(docs, str(docs_dir / "documents.parquet"))
+
+    ppl = ccnet_perplexity(str(docs_dir)).to_pandas()
+    assert set(ppl["ppl_bucket"].unique()) <= {0, 1, 2}
+    assert len(ppl) > 0  # extracted text has >= 2 tokens per page
+    # CCNet's filter: keep head+middle
+    kept = ppl[ppl["ppl_bucket"] <= 1]
+    assert 0 < len(kept) <= len(ppl)
+
+    nb = nb_classifier(str(docs_dir)).to_pandas()
+    assert len(nb) == len(ppl)  # same scorable-doc set (>= 1 token each)
+    assert set(nb.columns) == {"doc_id", "n_tokens", "pred", "actual", "correct"}
