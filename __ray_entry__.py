@@ -833,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dsir_select,
         ccnet_perplexity,
         nb_classifier,
+        token_entropy,
     )
     from yomitoku_ray.functions.sketch import (
         cms_top_term_counts,
@@ -894,6 +895,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min sketch: order-free SUM-merged counters, d x w driver
         # state, NO float seam; output pins est >= exact (one-sided error)
         "cms_top_term_counts": cms_top_term_counts,
+        # token-distribution entropy (lexical diversity / gibberish
+        # filter): shuffle-free, integer fixed-point with a margin-checked
+        # ln value-space seam
+        "token_entropy": token_entropy,
         # CCNet-style LM coverage: corpus bigram table shuffle-joined to
         # each doc's bigrams (never broadcast; table is corpus-sized)
         "bigram_coverage": bigram_coverage,
@@ -1969,6 +1974,22 @@ def oracle_sql() -> dict[str, str]:
         "nb_langid": _NB_LANGID_SQL,
         # HyperLogLog sketch: same register math + integer estimator.
         "hll_distinct_tokens": _HLL_SQL,
+        # Token entropy: identical fixed-point formulation per doc.
+        "token_entropy": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(c) * CAST(floor(1000000.0 * ln(sum(c))) AS BIGINT)
+                        - sum(c * CAST(floor(1000000.0 * ln(c)) AS BIGINT))
+                        AS BIGINT) AS ent_scaled
+            FROM tc GROUP BY doc_id
+        """,
         # Count-Min sketch: identical d x w counter build + min-over-rows.
         "cms_top_term_counts": r"""
             WITH toks AS (

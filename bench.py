@@ -152,6 +152,7 @@ def run_bench() -> dict:
             ccnet_perplexity,
             dsir_weights,
             nb_classifier,
+            token_entropy,
         )
 
         def timed(name, fn):
@@ -212,6 +213,7 @@ def run_bench() -> dict:
         from yomitoku_ray.functions.dedup import soft_dedup_weights
 
         timed("soft_dedup_weights", soft_dedup_weights)
+        timed("token_entropy", token_entropy)
 
     ray.shutdown()
     return {

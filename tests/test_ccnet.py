@@ -224,3 +224,101 @@ def test_ccnet_fully_empty_table(ray_session, tmp_path):
     pq.write_table(pa.Table.from_pylist([], schema=schema),
                    str(d / "documents.parquet"))
     assert len(ccnet_perplexity(str(d)).to_pandas()) == 0
+
+
+# ---------------------------------------------------------------------------
+# token_entropy (lexical diversity)
+# ---------------------------------------------------------------------------
+
+from yomitoku_ray.functions.text_stats import token_entropy
+
+
+def _ent_oracle(dirpath: str) -> pd.DataFrame:
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dirpath}/documents.parquet')"
+    )
+    return (
+        con.execute(entry.oracle_sql()["token_entropy"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def test_entropy_matches_oracle_sf001(ray_session):
+    got = (
+        token_entropy(SF001)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, _ent_oracle(SF001))
+
+
+def test_entropy_semantics(ray_session, tmp_path):
+    """Repetition -> zero entropy; all-distinct -> n*floor(scale*ln n);
+    and the scaled value tracks true entropy within floor error."""
+    rows = [
+        {"doc_id": 0, "text": "spam spam spam spam"},           # H = 0
+        {"doc_id": 1, "text": "a b c d"},                        # H = ln 4
+        {"doc_id": 2, "text": "a a b b"},                        # H = ln 2
+    ]
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    got = token_entropy(str(d)).to_pandas().set_index("doc_id")
+    s = lambda c: int(np.floor(1_000_000 * np.log(c)))  # noqa: E731
+    assert got.loc[0, "ent_scaled"] == 4 * s(4) - 4 * s(4)  # == 0
+    assert got.loc[1, "ent_scaled"] == 4 * s(4)  # all c_i = 1, ln 1 = 0
+    assert got.loc[2, "ent_scaled"] == 4 * s(4) - 4 * s(2)
+    # scaled/(scale*n) ~ true entropy
+    approx = got["ent_scaled"] / (1_000_000 * got["n_tokens"])
+    assert abs(approx.loc[1] - np.log(4)) < 1e-5
+    assert abs(approx.loc[2] - np.log(2)) < 1e-5
+    pd.testing.assert_frame_equal(
+        token_entropy(str(d)).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True).astype("int64"),
+        _ent_oracle(str(d)),
+    )
+
+
+def test_entropy_ln_value_space_margins():
+    """The seam is floor(scale*ln(c)) over counts: c=1 is exactly 0.0;
+    the worst margin over 2..10^6 must stay orders above the ~1-ulp
+    cross-engine ln disagreement (measured: 6.0e-7 at c=632754, ~200
+    ulps at that magnitude)."""
+    c = np.arange(2, 1_000_001, dtype=np.float64)
+    v = 1_000_000.0 * np.log(c)
+    frac = np.abs(v - np.round(v))
+    assert frac.min() > 5e-7
+    ulp = np.spacing(v[np.argmin(frac)])
+    assert frac.min() / ulp > 100  # 100+ ulps of headroom at the worst point
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_entropy_cross_engine_fuzz(ray_session, tmp_path, seed):
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(15)]  # small vocab -> many repeats
+    rows = []
+    for i in range(150):
+        n = int(rng.randint(0, 60))
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(vocab, n))})
+    d = tmp_path / "fuzz"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    got = (
+        token_entropy(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, _ent_oracle(str(d)))

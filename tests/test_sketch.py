@@ -326,3 +326,18 @@ def test_sketches_fully_empty_table(ray_session, tmp_path):
                    str(d / "documents.parquet"))
     assert len(hll_distinct_tokens(str(d))) == 0
     assert len(cms_top_term_counts(str(d))) == 0
+
+
+def test_bit_length_hypothesis_fuzz():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                    min_size=1, max_size=50))
+    def check(vals):
+        arr = np.array(vals, dtype=np.uint64)
+        got = _bit_length_u64(arr)
+        want = np.array([v.bit_length() for v in vals], dtype=np.int64)
+        assert (got == want).all()
+
+    check()
