@@ -302,6 +302,17 @@ def _domain_skew(sf_dir: str) -> pd.DataFrame:
     return domain_skew_probe(ds, top_n=20)
 
 
+def _url_quality(sf_dir: str):
+    """RefinedWeb-style URL filter features over the pages table —
+    shuffle-free integer features + keep gate (functions/merge.url_quality)."""
+    import ray.data
+
+    from yomitoku_ray.functions.merge import url_quality
+
+    ds = ray.data.read_parquet(_pages_path(sf_dir), columns=["url"])
+    return url_quality(ds)
+
+
 def _page_text_merge(sf_dir: str) -> pd.DataFrame:
     """Skew-defused (prefix-range salted) ordered merge of the RAW page text
     by host domain — the G4 shuffle shape with a full SQL oracle: DuckDB's
@@ -855,6 +866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_match_rate": _semantic_match_rate,
         "page_merge_by_domain": _page_merge_by_domain,
         "domain_skew": _domain_skew,
+        # RefinedWeb URL filtering: exact-integer URL features + keep gate
+        "url_quality": _url_quality,
         "page_text_merge": _page_text_merge,
         "url_dedup_recrawl": _url_dedup_recrawl,
         "paged_extract": _paged_extract,
@@ -2079,6 +2092,33 @@ def oracle_sql() -> dict[str, str]:
                          regexp_extract(url, '{_DOMAIN_REGEX_SQL}', 1) AS d
                   FROM read_parquet('{_merge_input_tmp("/root/testdata/sf0.01")}/*.parquet'))
             GROUP BY 1
+        """,
+        "url_quality": f"""
+            WITH f AS (
+                SELECT url,
+                       CASE WHEN d = '' THEN 'unknown' ELSE d END AS host,
+                       CAST(length(url) AS BIGINT) AS url_len,
+                       CAST(length(url) - length(regexp_replace(url, '[0-9]', '', 'g'))
+                            AS BIGINT) AS n_digits,
+                       CAST(length(url) - length(replace(url, '&', ''))
+                            + CASE WHEN position('?' IN url) > 0 THEN 1 ELSE 0 END
+                            AS BIGINT) AS n_params,
+                       CAST((length(lower(url)) - length(replace(lower(url), 'casino', ''))) // 6
+                          + (length(lower(url)) - length(replace(lower(url), 'viagra', ''))) // 6
+                          + (length(lower(url)) - length(replace(lower(url), 'porn', ''))) // 4
+                          + (length(lower(url)) - length(replace(lower(url), 'xxx', ''))) // 3
+                          + (length(lower(url)) - length(replace(lower(url), 'gambling', ''))) // 8
+                            AS BIGINT) AS blocklist_hits
+                FROM (SELECT url, regexp_extract(url, '{_DOMAIN_REGEX_SQL}', 1) AS d
+                      FROM read_parquet('{pages}'))
+            )
+            SELECT url, host, url_len, n_digits, n_params,
+                   CAST(length(host) - length(replace(host, '.', '')) AS BIGINT)
+                       AS host_dots,
+                   blocklist_hits,
+                   CAST(CASE WHEN blocklist_hits = 0 AND 2 * n_digits < url_len
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM f
         """,
         "page_text_merge": f"""
             SELECT CASE WHEN d = '' THEN 'unknown' ELSE d END AS domain,

@@ -115,3 +115,88 @@ def test_url_dedup_fast_equals_slow(ray_session, tmp_path):
     fast = url_dedup_first_fast(ds, num_partitions=4).to_pandas()[cols].sort_values("url").reset_index(drop=True)
     assert fast.equals(slow)
     assert (fast[fast["url"] == "https://x/0000"]["text"] == "v0-0").all()
+
+
+def test_url_quality_features_and_gate(ray_session, tmp_path):
+    """RefinedWeb-style URL gate: exact integer features; blocklisted and
+    digit-heavy URLs dropped; realistic URLs (the synth pages table is
+    uniform, so this pins the interesting behavior)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from yomitoku_ray.functions.merge import url_quality
+
+    urls = [
+        "https://news.example.com/articles/today?id=7&ref=rss",  # keep
+        "https://best-casino-bonus.example.com/win",  # blocklisted
+        "https://a.b.c.example.org/x",  # 4 host dots, keep
+        "http://spam.example.net/0123456789012345678901234567890",  # digit-heavy
+        "not-a-url-at-all",  # host -> unknown
+        "https://ok.example.jp/p?q=1",  # keep
+    ]
+    t = pa.table({"url": urls})
+    p = tmp_path / "pages.parquet"
+    pq.write_table(t, str(p))
+    got = (
+        url_quality(ray.data.read_parquet(str(p)))
+        .to_pandas()
+        .set_index("url")
+    )
+    assert got.loc[urls[0], "keep"] == 1
+    assert got.loc[urls[0], "n_params"] == 2
+    assert got.loc[urls[1], "blocklist_hits"] == 1
+    assert got.loc[urls[1], "keep"] == 0
+    assert got.loc[urls[2], "host_dots"] == 4
+    assert got.loc[urls[3], "keep"] == 0  # 31 digits in a 49-char url
+    assert got.loc[urls[4], "host"] == "unknown"
+    assert got.loc[urls[5], "keep"] == 1
+
+
+def test_url_quality_matches_oracle_formula(ray_session, tmp_path):
+    """Cross-engine fuzz: the driver's SQL formula (re-pointed at a fuzz
+    table) must agree exactly, including overlap-free blocklist counting
+    and the unknown-host fallback."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import __ray_entry__ as entry
+    from yomitoku_ray.functions.merge import url_quality
+
+    rng = np.random.RandomState(2)
+    parts = ["casino", "xxxx", "news", "a1b2", "??", "&&x=1", "q.r.s", "123456"]
+    urls = []
+    for i in range(200):
+        n = rng.randint(1, 6)
+        body = "".join(rng.choice(parts, n))
+        scheme = rng.choice(["https://", "http://", ""])
+        urls.append(f"{scheme}host{i % 7}.example.com/{body}")
+    t = pa.table({"url": urls})
+    d = tmp_path / "pages"
+    d.mkdir()
+    pq.write_table(t, str(d / "p.parquet"))
+    got = (
+        url_quality(ray.data.read_parquet(str(d / "p.parquet")))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    sql = entry.oracle_sql()["url_quality"]
+    import re as _re
+
+    sql = _re.sub(r"read_parquet\('[^']*'\)", f"read_parquet('{d}/p.parquet')", sql)
+    want = (
+        duckdb.connect()
+        .execute(sql)
+        .df()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    for c in ("url_len", "n_digits", "n_params", "host_dots", "blocklist_hits", "keep"):
+        want[c] = want[c].astype("int64")
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)

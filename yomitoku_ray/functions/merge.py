@@ -240,3 +240,55 @@ def url_dedup_first_fast(
         return t.drop_columns(["min_ts"])
 
     return joined.map_batches(_keep_first, batch_format="pyarrow")
+
+
+# Public RefinedWeb/UT1-style URL blocklist tokens (fixed, shared verbatim
+# with the SQL oracle). Deliberately tiny: the mechanism, not the list, is
+# the operator.
+URL_BLOCKLIST = ("casino", "viagra", "porn", "xxx", "gambling")
+
+
+def url_quality(pages_ds) -> "ray.data.Dataset":
+    """RefinedWeb-style URL filtering features + keep flag per page.
+
+    Every feature is an exact integer computed by vectorized string ops
+    (no float seam at all): URL length, digit count, query-param count,
+    subdomain dots in the host, and non-overlapping blocklist-token hits
+    (``str.count`` == the SQL replace-length formula). ``keep`` is the
+    RefinedWeb-shaped gate: no blocklist hit AND digits are less than
+    half the URL (integer cross-multiplication, no division).
+
+    Shuffle-free: one ``map_batches`` pass; composes in front of the
+    extraction pipeline as the cheapest possible early gate (URL-only —
+    no html decode needed for dropped rows).
+    """
+    import numpy as np
+
+    def _feats(df: pd.DataFrame) -> pd.DataFrame:
+        url = df["url"].fillna("").astype(str)
+        lower = url.str.lower()
+        host = _domain_series(url)
+        url_len = url.str.len().astype("int64")
+        n_digits = url.str.count(r"[0-9]").astype("int64")
+        n_params = (
+            url.str.count("&") + (url.str.contains(r"\?", regex=True)).astype(int)
+        ).astype("int64")
+        host_dots = host.str.count(r"\.", ).astype("int64")
+        hits = np.zeros(len(df), dtype=np.int64)
+        for w in URL_BLOCKLIST:
+            hits += lower.str.count(w, flags=0).to_numpy("int64")
+        keep = ((hits == 0) & (2 * n_digits < url_len)).astype("int64")
+        return pd.DataFrame(
+            {
+                "url": url,
+                "host": host,
+                "url_len": url_len,
+                "n_digits": n_digits,
+                "n_params": n_params,
+                "host_dots": host_dots,
+                "blocklist_hits": hits,
+                "keep": keep,
+            }
+        )
+
+    return pages_ds.map_batches(_feats, batch_format="pandas")
