@@ -232,3 +232,19 @@ def test_corpus_output_feeds_ccnet_and_nb(ray_session, tmp_path):
     nb = nb_classifier(str(docs_dir)).to_pandas()
     assert len(nb) == len(ppl)  # same scorable-doc set (>= 1 token each)
     assert set(nb.columns) == {"doc_id", "n_tokens", "pred", "actual", "correct"}
+
+
+def test_corpus_url_filter_gate(ray_session, tmp_path):
+    """cfg.url_filter drops blocklisted URLs at the SOURCE (before any
+    html decode); default config keeps them."""
+    t = generate_pages_table(20).to_pylist()
+    t[3]["url"] = "https://free-casino-spins.example.com/win"
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.Table.from_pylist(t), p)
+
+    plain = build_corpus(p).to_pandas()
+    gated = build_corpus(p, CorpusConfig(url_filter=True)).to_pandas()
+    assert "https://free-casino-spins.example.com/win" in set(plain["url"])
+    assert "https://free-casino-spins.example.com/win" not in set(gated["url"])
+    # nothing else is dropped by the gate on the synthetic URLs
+    assert len(plain) - len(gated) == 1

@@ -258,37 +258,49 @@ def url_quality(pages_ds) -> "ray.data.Dataset":
     RefinedWeb-shaped gate: no blocklist hit AND digits are less than
     half the URL (integer cross-multiplication, no division).
 
-    Shuffle-free: one ``map_batches`` pass; composes in front of the
-    extraction pipeline as the cheapest possible early gate (URL-only —
-    no html decode needed for dropped rows).
+    Shuffle-free: one ``map_batches`` pass; ``pipelines/corpus.py`` mounts
+    the same keep rule (``url_keep_mask``) in front of the extraction
+    pipeline as the cheapest possible early gate (URL-only — dropped rows
+    never pay an html decode).
     """
-    import numpy as np
 
     def _feats(df: pd.DataFrame) -> pd.DataFrame:
-        url = df["url"].fillna("").astype(str)
-        lower = url.str.lower()
-        host = _domain_series(url)
-        url_len = url.str.len().astype("int64")
-        n_digits = url.str.count(r"[0-9]").astype("int64")
-        n_params = (
-            url.str.count("&") + (url.str.contains(r"\?", regex=True)).astype(int)
-        ).astype("int64")
-        host_dots = host.str.count(r"\.", ).astype("int64")
-        hits = np.zeros(len(df), dtype=np.int64)
-        for w in URL_BLOCKLIST:
-            hits += lower.str.count(w, flags=0).to_numpy("int64")
-        keep = ((hits == 0) & (2 * n_digits < url_len)).astype("int64")
-        return pd.DataFrame(
-            {
-                "url": url,
-                "host": host,
-                "url_len": url_len,
-                "n_digits": n_digits,
-                "n_params": n_params,
-                "host_dots": host_dots,
-                "blocklist_hits": hits,
-                "keep": keep,
-            }
-        )
+        return _url_features(df["url"])
 
     return pages_ds.map_batches(_feats, batch_format="pandas")
+
+
+def _url_features(urls: pd.Series) -> pd.DataFrame:
+    import numpy as np
+
+    url = urls.fillna("").astype(str)
+    lower = url.str.lower()
+    host = _domain_series(url)
+    url_len = url.str.len().astype("int64")
+    n_digits = url.str.count(r"[0-9]").astype("int64")
+    n_params = (
+        url.str.count("&") + (url.str.contains(r"\?", regex=True)).astype(int)
+    ).astype("int64")
+    host_dots = host.str.count(r"\.").astype("int64")
+    hits = np.zeros(len(url), dtype=np.int64)
+    for w in URL_BLOCKLIST:
+        hits += lower.str.count(w, flags=0).to_numpy("int64")
+    keep = ((hits == 0) & (2 * n_digits < url_len)).astype("int64")
+    return pd.DataFrame(
+        {
+            "url": url,
+            "host": host,
+            "url_len": url_len,
+            "n_digits": n_digits,
+            "n_params": n_params,
+            "host_dots": host_dots,
+            "blocklist_hits": hits,
+            "keep": keep,
+        }
+    )
+
+
+def url_keep_mask(urls: pd.Series):
+    """Boolean keep mask of :func:`url_quality`'s gate — for mounting the
+    URL filter inside other pipelines without materializing features."""
+    return _url_features(urls)["keep"].to_numpy() == 1

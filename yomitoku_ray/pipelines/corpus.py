@@ -60,6 +60,11 @@ class CorpusConfig:
     # filter — excluded pages never leave storage (row-group pruning),
     # the cheapest possible language gate at 100 TB
     langs: tuple[str, ...] | None = None
+    # RefinedWeb-style URL gate (functions/merge.url_keep_mask): applied
+    # to the SOURCE before the extraction pool, so blocklisted or
+    # digit-heavy pages never pay an html decode. The mask reads only the
+    # url column; the filter is a zero-copy pyarrow take.
+    url_filter: bool = False
 
 
 def _clean_batch(df: pd.DataFrame, *, min_words: int, max_dup_pct: int, mask: int) -> pd.DataFrame:
@@ -114,7 +119,7 @@ def build_corpus(pages_path: str, cfg: CorpusConfig | None = None) -> ray.data.D
     (columns: digest, url, warc_ts, lang, text, n_words, n_copies)."""
     cfg = cfg or CorpusConfig()
     mask = resolve_mask(cfg.digest_buckets, paths=pages_path)
-    if cfg.langs is not None:
+    if cfg.langs is not None or cfg.url_filter:
         import pyarrow.compute as pc
         import pyarrow.dataset  # noqa: F401  (registers expression filtering)
 
@@ -123,8 +128,22 @@ def build_corpus(pages_path: str, cfg: CorpusConfig | None = None) -> ray.data.D
         src = ray.data.read_parquet(
             pages_path,
             columns=list(PAGES_COLUMNS),
-            filter=pc.field("lang").isin(list(cfg.langs)),
+            filter=(
+                pc.field("lang").isin(list(cfg.langs))
+                if cfg.langs is not None
+                else None
+            ),
         )
+        if cfg.url_filter:
+            import pyarrow as pa
+
+            from ..functions.merge import url_keep_mask
+
+            def _url_gate(batch: pa.Table) -> pa.Table:
+                keep = url_keep_mask(batch.column("url").to_pandas())
+                return batch.filter(pa.array(keep))
+
+            src = src.map_batches(_url_gate, batch_format="pyarrow")
         ds = build_extract_pipeline(src, cfg.extract or ExtractConfig())
     else:
         ds = extract_pages(pages_path, cfg.extract)
