@@ -302,6 +302,80 @@ def _domain_skew(sf_dir: str) -> pd.DataFrame:
     return domain_skew_probe(ds, top_n=20)
 
 
+def _image_dhash(sf_dir: str) -> pd.DataFrame:
+    """Image near-dup via 64-bit dHash over the synthesized images table
+    plus planted self-checks (rows-only: pixel decode has no SQL form):
+
+    - a LOSSLESS TRIO — the same pixels encoded as PNG, BMP and netpbm —
+      must produce three IDENTICAL hashes (``ok_trio``);
+    - a NEAR COPY — the trio image with a corner patch inverted — must
+      land within a small nonzero Hamming distance of the original and be
+      surfaced by the pigeonhole pair scan (``ok_near``).
+
+    Columns: n_images, n_decoded, n_pairs, ok_trio, ok_near (int64).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from yomitoku_ray.functions.dedup import hamming_pairs_u64
+    from yomitoku_ray.kernels.bmp import encode_bmp
+    from yomitoku_ray.kernels.netpbm import encode_netpbm
+    from yomitoku_ray.kernels.png import encode_png
+    from yomitoku_ray.stages.multimodal import ImageDHashStage
+    from yomitoku_ray.synth.images import ensure_images_parquet
+
+    rng = np.random.RandomState(0xD45)
+    px = rng.randint(0, 256, (32, 48, 3), dtype=np.uint8)
+    near = px.copy()
+    near[:4, :6] = 255 - near[:4, :6]  # one 9x8-cell patch flipped
+    planted = pa.Table.from_pylist(
+        [
+            {"img_id": 1_000_001, "image": encode_png(px), "kind": "plant_png"},
+            {"img_id": 1_000_002, "image": encode_bmp(px), "kind": "plant_bmp"},
+            {"img_id": 1_000_003, "image": encode_netpbm(px), "kind": "plant_pnm"},
+            {"img_id": 1_000_004, "image": encode_png(near), "kind": "plant_near"},
+        ]
+    )
+    base = ray.data.read_parquet(ensure_images_parquet(sf_dir))
+    ds = base.union(ray.data.from_arrow(planted)).map_batches(
+        ImageDHashStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    # Decode ONCE: the (img_id, dhash, error) projection is images-table
+    # sized (two ints + a flag per image), so collect it and feed the pair
+    # scan from the collected table instead of re-executing the strict
+    # decode chain per consumer (3.4x measured).
+    hashed_df = ds.select_columns(["img_id", "dhash", "dhash_error"]).to_pandas()
+    okd = hashed_df[hashed_df["dhash_error"].isna()][["img_id", "dhash"]]
+    pairs = hamming_pairs_u64(
+        ray.data.from_pandas(okd.reset_index(drop=True)),
+        "img_id",
+        "dhash",
+        n_chunks=8,
+        hamming_max=7,
+    )
+    tbl = hashed_df.set_index("img_id")
+    trio = [int(tbl.loc[i, "dhash"]) for i in (1_000_001, 1_000_002, 1_000_003)]
+    ok_trio = int(trio[0] == trio[1] == trio[2])
+    near_rows = pairs[
+        (pairs["id_a"] == 1_000_001) & (pairs["id_b"] == 1_000_004)
+    ]
+    ok_near = int(len(near_rows) == 1 and 0 < int(near_rows["hamming"].iloc[0]) <= 7)
+    return pd.DataFrame(
+        {
+            "n_images": pd.Series([len(tbl)], dtype="int64"),
+            "n_decoded": pd.Series([int(tbl["dhash_error"].isna().sum())], dtype="int64"),
+            "n_pairs": pd.Series([len(pairs)], dtype="int64"),
+            "ok_trio": pd.Series([ok_trio], dtype="int64"),
+            "ok_near": pd.Series([ok_near], dtype="int64"),
+        }
+    )
+
+
 def _url_quality(sf_dir: str):
     """RefinedWeb-style URL filter features over the pages table —
     shuffle-free integer features + keep gate (functions/merge.url_quality)."""
@@ -872,6 +946,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_recrawl": _url_dedup_recrawl,
         "paged_extract": _paged_extract,
         "image_features_summary": _image_features_summary,
+        # image near-dup: 64-bit dHash + pigeonhole Hamming pairs; planted
+        # lossless-trio and near-copy self-checks (rows-only, ok columns)
+        "image_dhash": _image_dhash,
         "audio_features_summary": _audio_features_summary,
         "video_frames_summary": _video_frames_summary,
         # WARC source gate: CC-layout .warc.gz round trip, byte identity

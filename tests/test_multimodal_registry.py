@@ -116,3 +116,68 @@ def test_rows_only_queries_self_check(ray_session):
         assert len(df) > 0, name
         for c in cols:
             assert int(df[c].sum()) == len(df), (name, c)
+
+
+def test_image_dhash_lossless_format_invariance(ray_session):
+    """The same pixels hash identically across PNG/BMP/netpbm; a small
+    patch flip moves only a few gradient bits."""
+    import numpy as np
+
+    from yomitoku_ray.kernels.bmp import encode_bmp
+    from yomitoku_ray.kernels.netpbm import encode_netpbm
+    from yomitoku_ray.kernels.png import encode_png
+    from yomitoku_ray.stages.multimodal import DecoderBackend, ImageDHashStage
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (24, 40, 3), dtype=np.uint8)
+    be = DecoderBackend(mode="strict")
+    hashes = {
+        enc.__name__: ImageDHashStage.dhash_of_pixels(be.decode_image(enc(px)))
+        for enc in (encode_png, encode_bmp, encode_netpbm)
+    }
+    assert len(set(hashes.values())) == 1, hashes
+    near = px.copy()
+    near[:3, :5] = 255 - near[:3, :5]
+    h0 = next(iter(hashes.values()))
+    h1 = ImageDHashStage.dhash_of_pixels(be.decode_image(encode_png(near)))
+    ham = bin(h0 ^ h1).count("1")
+    assert 0 < ham <= 8
+
+
+def test_image_dhash_stage_error_isolation(ray_session):
+    """Garbage blobs get dhash 0 + an error string; the batch survives."""
+    import pyarrow as pa
+
+    from yomitoku_ray.stages.multimodal import ImageDHashStage
+    from yomitoku_ray.kernels.png import encode_png
+    import numpy as np
+
+    px = np.zeros((8, 9, 3), dtype=np.uint8)
+    batch = pa.table(
+        {
+            "img_id": pa.array([0, 1, 2], pa.int64()),
+            "image": pa.array([encode_png(px), b"\x00garbage", None], pa.binary()),
+        }
+    )
+    out = ImageDHashStage()(batch)
+    errs = out.column("dhash_error").to_pylist()
+    assert errs[0] is None and errs[1] is not None and errs[2] is not None
+
+
+def test_hamming_pairs_u64_exact_radius(ray_session):
+    """Pigeonhole completeness on a hand-built hash set."""
+    import pandas as pd
+    import ray.data
+
+    from yomitoku_ray.functions.dedup import hamming_pairs_u64
+
+    rows = [
+        {"img_id": 0, "h": 0b1111000},
+        {"img_id": 1, "h": 0b1111001},   # ham 1 from 0
+        {"img_id": 2, "h": 0b1111111},   # ham 3 from 0, 2 from 1
+        {"img_id": 3, "h": (1 << 63) | 0b1010101},  # far from all
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = hamming_pairs_u64(ds, "img_id", "h", n_chunks=4, hamming_max=3)
+    pairs = {(a, b): h for a, b, h in got.itertuples(index=False)}
+    assert pairs == {(0, 1): 1, (0, 2): 3, (1, 2): 2}

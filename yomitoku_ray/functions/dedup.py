@@ -1179,3 +1179,82 @@ def soft_dedup_weights(sf_dir: str) -> ray.data.Dataset:
         )
 
     return keyed.groupby("text_hash").map_groups(_weights, batch_format="pandas")
+
+
+def hamming_pairs_u64(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    hash_col: str,
+    n_chunks: int = 4,
+    hamming_max: int = 3,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """All id pairs whose 64-bit ``hash_col`` values are within
+    ``hamming_max`` — the :func:`simhash_dup_pairs` pigeonhole machinery
+    generalized to ANY precomputed u64 fingerprint column (simhash,
+    image dHash, audio fingerprints...). ``n_chunks > hamming_max``
+    gives pigeonhole completeness. Hashes are int64 bit-preserving
+    (``.view``) as everywhere else.
+
+    Columns out: id_a, id_b, hamming (int64), sorted.
+    """
+    mask = resolve_mask(n_buckets) if n_buckets is not None else 1023
+    chunk_bits = 64 // n_chunks
+    cmask = _U64((1 << chunk_bits) - 1)
+
+    def _chunk_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        sig = batch.column(hash_col).to_numpy().astype(np.int64).view(np.uint64)
+        n = len(ids)
+        chunk_id = np.repeat(np.arange(n_chunks, dtype=np.int64), n)
+        docs = np.tile(ids, n_chunks)
+        sigs = np.tile(sig, n_chunks)
+        shifts = (chunk_id * chunk_bits).astype(np.uint64)
+        values = (sigs >> shifts) & cmask
+        cbucket = ((values.view(np.int64) * 1000003) ^ chunk_id) & mask
+        return pa.table(
+            {
+                "cbucket": pa.array(cbucket),
+                "chunk_id": pa.array(chunk_id),
+                "chunk_value": pa.array(values.astype(np.int64)),
+                "doc_id": pa.array(docs, pa.int64()),
+                "simhash": pa.array(sigs.view(np.int64)),
+            }
+        )
+
+    chunked = ds.map_batches(_chunk_rows, batch_format="pyarrow", batch_size=256)
+    pairs = chunked.groupby("cbucket").map_groups(
+        _simhash_bucket_pairs_fn(hamming_max), batch_format="pandas"
+    )
+
+    # Cross-chunk dedup via the coarse-bucket reduce (a fine-key pair_key
+    # aggregate pays Ray's ~200 fixed reduce partitions; identical-hash
+    # cliques x n_chunks make the pair volume large enough to feel it).
+    def _rebucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column("pair_key").to_numpy()
+        return batch.append_column("pbucket", pa.array(keys & mask, pa.int64()))
+
+    def _dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("pair_key", as_index=False)["hamming"].min()
+
+    uniq = (
+        pairs.map_batches(_rebucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(_dedup_pairs, batch_format="pandas")
+    )
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        keys = batch.column("pair_key").to_numpy()
+        a, b = _unpack_pair(keys)
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(batch.column("hamming").to_numpy(), pa.int64()),
+            }
+        )
+
+    out = uniq.map_batches(_decode, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

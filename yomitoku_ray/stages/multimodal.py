@@ -1,12 +1,12 @@
 """Multimodal column stages: opaque binary payloads + typed metadata.
 
-Images/audio/video ride as ``binary`` columns with struct metadata. PNG
-pixel decode, resize and feature extraction are REAL (pure zlib+numpy
-codec, ``kernels/png.py``); JPEG/GIF pixel decode stays a seam behind
-``DecoderBackend`` — raising NotImplementedError (strict mode) or
-producing a deterministic fake (fake mode) — because a DCT pipeline needs
-codec libraries this container doesn't ship. The Ray-side plumbing is real
-and tested: schema, actor-pool stage shape, small batch sizes for large
+Images/audio/video ride as ``binary`` columns with struct metadata. Pixel
+decode, resize and feature extraction are REAL for every shipped codec
+(PNG/GIF/JPEG incl. progressive+arithmetic/BMP/TIFF/WebP incl. lossy
+VP8/netpbm — pure zlib+numpy, ``kernels/``); ``DecoderBackend`` keeps a
+seam only for formats beyond them — NotImplementedError (strict mode) or
+a deterministic fake (fake mode). The Ray-side plumbing is real and
+tested: schema, actor-pool stage shape, small batch sizes for large
 payloads, metadata extraction without full decode.
 
 Reference anchor: the engine's image path (figure crops,
@@ -456,3 +456,57 @@ class VideoFrameFeatureStage:
                 "error": pa.array(errs, pa.string()),
             }
         )
+
+
+class ImageDHashStage:
+    """Actor stage: binary image column -> 64-bit difference hash (dHash)
+    — the standard perceptual fingerprint for image near-dup detection in
+    web-scale multimodal corpora (LAION-style dedup).
+
+    Fully integer-deterministic: decode (any repo codec) -> nearest
+    resize to 9x8 -> integer Rec.601 luma (299R+587G+114B, no division)
+    -> 64 horizontal-gradient bits via strict ``>``. Identical pixel
+    content hashes identically regardless of (lossless) container
+    format. Undecodable rows get dhash 0 + a per-row error (the batch
+    never fails).
+    """
+
+    def __init__(self, blob_column: str = "image"):
+        self.blob_column = blob_column
+        self.backend = DecoderBackend(mode="strict")
+
+    @staticmethod
+    def dhash_of_pixels(px: np.ndarray) -> int:
+        from ..kernels.png import resize_nearest
+
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if px.shape[2] == 4:
+            px = px[:, :, :3]
+        small = resize_nearest(px, 9, 8).astype(np.int64)
+        c = small.shape[2]
+        if c >= 3:
+            luma = 299 * small[:, :, 0] + 587 * small[:, :, 1] + 114 * small[:, :, 2]
+        else:
+            luma = 1000 * small[:, :, 0]
+        bits = (luma[:, 1:] > luma[:, :-1]).ravel()  # 8 rows x 8 diffs
+        h = 0
+        for b in bits:
+            h = (h << 1) | int(b)
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes, errs = [], []
+        for blob in batch.column(self.blob_column).to_pylist():
+            try:
+                px = self.backend.decode_image(blob or b"")
+                hashes.append(self.dhash_of_pixels(px))
+                errs.append(None)
+            except (ValueError, NotImplementedError) as e:
+                hashes.append(0)
+                errs.append(str(e) or type(e).__name__)
+        # bit-preserving signed storage (the simhash convention)
+        arr = np.array(hashes, dtype=np.uint64).view(np.int64)
+        return batch.append_column(
+            "dhash", pa.array(arr, pa.int64())
+        ).append_column("dhash_error", pa.array(errs, pa.string()))
