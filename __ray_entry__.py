@@ -376,6 +376,80 @@ def _image_dhash(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _audio_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Audio near-dup via the 64-bit spectral fingerprint (rows-only:
+    PCM decode has no SQL form) with planted self-checks:
+
+    - a VOLUME-SCALED copy (0.3x) of a planted tone sweep must fingerprint
+      IDENTICALLY (``ok_volume`` — amplitude invariance by construction);
+    - a NOISE-ADDED copy must land within a small Hamming radius and be
+      surfaced by the pigeonhole pair scan (``ok_noise``).
+
+    Columns: n_clips, n_decoded, n_pairs, ok_volume, ok_noise (int64).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from yomitoku_ray.functions.dedup import hamming_pairs_u64
+    from yomitoku_ray.kernels.audio import encode_wav
+    from yomitoku_ray.stages.multimodal import AudioFingerprintStage
+    from yomitoku_ray.synth.audio import ensure_audio_parquet
+
+    rate = 16000
+    t = np.arange(rate * 2) / rate  # 2 s
+    # per-eighth rising tones so every fingerprint frame has a clear peak
+    base = np.concatenate(
+        [
+            0.6 * np.sin(2 * np.pi * (250 * (1 << (i % 6))) * t[: rate // 4])
+            for i in range(8)
+        ]
+    )
+    rng = np.random.RandomState(0xA0D10)
+    noisy = base + 0.05 * rng.randn(len(base))
+    planted = pa.Table.from_pylist(
+        [
+            {"clip_id": 1_000_001, "audio": encode_wav(base, rate), "kind": "plant"},
+            {"clip_id": 1_000_002, "audio": encode_wav(0.3 * base, rate), "kind": "plant_vol"},
+            {"clip_id": 1_000_003, "audio": encode_wav(noisy, rate), "kind": "plant_noise"},
+        ]
+    )
+    base_ds = ray.data.read_parquet(
+        ensure_audio_parquet(sf_dir), columns=["clip_id", "audio", "kind"]
+    )
+    ds = base_ds.union(ray.data.from_arrow(planted)).map_batches(
+        AudioFingerprintStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    fp_df = ds.select_columns(["clip_id", "audio_fp", "fp_error"]).to_pandas()
+    okd = fp_df[fp_df["fp_error"].isna()][["clip_id", "audio_fp"]]
+    pairs = hamming_pairs_u64(
+        ray.data.from_pandas(okd.reset_index(drop=True)),
+        "clip_id",
+        "audio_fp",
+        n_chunks=8,
+        hamming_max=7,
+    )
+    tbl = fp_df.set_index("clip_id")
+    ok_volume = int(
+        int(tbl.loc[1_000_001, "audio_fp"]) == int(tbl.loc[1_000_002, "audio_fp"])
+    )
+    near = pairs[(pairs["id_a"] == 1_000_001) & (pairs["id_b"] == 1_000_003)]
+    ok_noise = int(len(near) == 1 and int(near["hamming"].iloc[0]) <= 7)
+    return pd.DataFrame(
+        {
+            "n_clips": pd.Series([len(tbl)], dtype="int64"),
+            "n_decoded": pd.Series([int(tbl["fp_error"].isna().sum())], dtype="int64"),
+            "n_pairs": pd.Series([len(pairs)], dtype="int64"),
+            "ok_volume": pd.Series([ok_volume], dtype="int64"),
+            "ok_noise": pd.Series([ok_noise], dtype="int64"),
+        }
+    )
+
+
 def _url_quality(sf_dir: str):
     """RefinedWeb-style URL filter features over the pages table —
     shuffle-free integer features + keep gate (functions/merge.url_quality)."""
@@ -950,6 +1024,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lossless-trio and near-copy self-checks (rows-only, ok columns)
         "image_dhash": _image_dhash,
         "audio_features_summary": _audio_features_summary,
+        # audio near-dup: 64-bit spectral fingerprint + pigeonhole pairs;
+        # planted volume-invariance and noise-robustness self-checks
+        "audio_fingerprint": _audio_fingerprint,
         "video_frames_summary": _video_frames_summary,
         # WARC source gate: CC-layout .warc.gz round trip, byte identity
         "warc_roundtrip": _warc_roundtrip,

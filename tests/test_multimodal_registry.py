@@ -181,3 +181,45 @@ def test_hamming_pairs_u64_exact_radius(ray_session):
     got = hamming_pairs_u64(ds, "img_id", "h", n_chunks=4, hamming_max=3)
     pairs = {(a, b): h for a, b, h in got.itertuples(index=False)}
     assert pairs == {(0, 1): 1, (0, 2): 3, (1, 2): 2}
+
+
+def test_audio_fingerprint_volume_invariant_noise_robust(ray_session):
+    import numpy as np
+
+    from yomitoku_ray.kernels.audio import decode_wav, encode_wav
+    from yomitoku_ray.stages.multimodal import AudioFingerprintStage
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    base = np.concatenate(
+        [0.6 * np.sin(2 * np.pi * (500 * (1 << (i % 5))) * t[: rate // 8])
+         for i in range(8)]
+    )
+    fp = AudioFingerprintStage.fingerprint_of
+    x0, r0 = decode_wav(encode_wav(base, rate))
+    xs, _ = decode_wav(encode_wav(0.25 * base, rate))
+    rng = np.random.RandomState(3)
+    xn, _ = decode_wav(encode_wav(base + 0.05 * rng.randn(len(base)), rate))
+    h0, hs, hn = fp(x0, r0), fp(xs, r0), fp(xn, r0)
+    assert h0 == hs  # amplitude invariance
+    assert bin(h0 ^ hn).count("1") <= 7  # noise robustness
+    assert h0 != 0
+
+
+def test_audio_fingerprint_stage_error_isolation(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from yomitoku_ray.kernels.audio import encode_wav
+    from yomitoku_ray.stages.multimodal import AudioFingerprintStage
+
+    good = encode_wav(np.sin(np.arange(8000) / 10.0), 8000)
+    batch = pa.table(
+        {
+            "clip_id": pa.array([0, 1], pa.int64()),
+            "audio": pa.array([good, b"not-a-wav"], pa.binary()),
+        }
+    )
+    out = AudioFingerprintStage()(batch)
+    errs = out.column("fp_error").to_pylist()
+    assert errs[0] is None and errs[1] is not None

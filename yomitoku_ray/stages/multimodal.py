@@ -510,3 +510,59 @@ class ImageDHashStage:
         return batch.append_column(
             "dhash", pa.array(arr, pa.int64())
         ).append_column("dhash_error", pa.array(errs, pa.string()))
+
+
+class AudioFingerprintStage:
+    """Actor stage: WAV column -> 64-bit spectral fingerprint — the audio
+    counterpart of :class:`ImageDHashStage` (constellation-style audio
+    near-dup detection, Shazam-family reduced to its deterministic core).
+
+    The clip splits into 16 equal frames; each frame contributes a 4-bit
+    log2 bucket of its dominant rFFT frequency (DC excluded, silent
+    frames -> 0). Amplitude-INVARIANT by construction (argmax of the
+    spectrum is unchanged under volume scaling) and robust to small added
+    noise (each frame's dominant bin must flip to change its nibble).
+    Undecodable rows get fingerprint 0 + a per-row error.
+    """
+
+    N_FRAMES = 16
+
+    def __init__(self, blob_column: str = "audio"):
+        self.blob_column = blob_column
+
+    @staticmethod
+    def fingerprint_of(samples: np.ndarray, rate: int) -> int:
+        n = len(samples)
+        if n < AudioFingerprintStage.N_FRAMES:
+            return 0
+        fp = 0
+        flen = n // AudioFingerprintStage.N_FRAMES
+        for f in range(AudioFingerprintStage.N_FRAMES):
+            fr = samples[f * flen : (f + 1) * flen]
+            spec = np.abs(np.fft.rfft(fr))
+            nib = 0
+            if len(spec) > 1:
+                k = 1 + int(np.argmax(spec[1:]))
+                if spec[k] > 1e-9:  # silent frame -> 0
+                    hz = k * rate / flen
+                    # 4-bit log2 bucket: ~32 Hz..16 kHz usable range
+                    nib = int(np.clip(int(np.log2(max(hz, 1.0))) - 4, 0, 15))
+            fp = (fp << 4) | nib
+        return fp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.audio import AudioError, decode_wav
+
+        fps, errs = [], []
+        for blob in batch.column(self.blob_column).to_pylist():
+            try:
+                x, rate = decode_wav(blob or b"")
+                fps.append(self.fingerprint_of(x, rate))
+                errs.append(None)
+            except AudioError as e:
+                fps.append(0)
+                errs.append(str(e))
+        arr = np.array(fps, dtype=np.uint64).view(np.int64)
+        return batch.append_column(
+            "audio_fp", pa.array(arr, pa.int64())
+        ).append_column("fp_error", pa.array(errs, pa.string()))
