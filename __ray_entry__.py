@@ -450,6 +450,101 @@ def _audio_fingerprint(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _video_dhash(sf_dir: str) -> pd.DataFrame:
+    """Video near-dup: dHash of the MIDDLE frame of each MJPEG-AVI clip
+    (frame-sample + the image fingerprint — the standard cheap video
+    near-dup signal). Planted self-checks (rows-only):
+
+    - a RE-ENCODED copy (same frames, lower JPEG quality) must land
+      within a small nonzero-or-zero Hamming radius and surface in the
+      pair scan (``ok_reenc`` — MJPEG is lossy, so bits may move but the
+      perceptual hash must not);
+    - a DIFFERENT clip (inverted frames) must NOT pair with the original
+      (``ok_distinct``).
+
+    Columns: n_videos, n_decoded, n_pairs, ok_reenc, ok_distinct (int64).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from yomitoku_ray.functions.dedup import hamming_pairs_u64
+    from yomitoku_ray.kernels.avi import decode_avi_frame, encode_mjpeg_avi, index_avi
+    from yomitoku_ray.stages.multimodal import ImageDHashStage
+    from yomitoku_ray.synth.videos import ensure_videos_parquet
+
+    # smooth structured frames (2-D sinusoids): decisive gradients survive
+    # lossy MJPEG re-encode (random-noise frames have near-tie gradients
+    # everywhere and flip many dHash bits — measured, hence this choice)
+    y, x = np.mgrid[0:48, 0:64]
+    frames = []
+    for i in range(6):
+        f = (127 + 120 * np.sin(x / (3 + i)) * np.cos(y / (4 + i))).astype(
+            np.uint8
+        )
+        frames.append(np.stack([f, np.roll(f, i, axis=1), 255 - f], axis=2))
+    inv = [255 - f for f in frames]
+    planted = pa.Table.from_pylist(
+        [
+            {"vid_id": 1_000_001, "video": encode_mjpeg_avi(frames, quality=90),
+             "kind": "plant"},
+            {"vid_id": 1_000_002, "video": encode_mjpeg_avi(frames, quality=60),
+             "kind": "plant_reenc"},
+            {"vid_id": 1_000_003, "video": encode_mjpeg_avi(inv, quality=90),
+             "kind": "plant_inv"},
+        ]
+    )
+
+    def _mid_frame_dhash(batch: pa.Table) -> pa.Table:
+        hashes, errs = [], []
+        for blob in batch.column("video").to_pylist():
+            try:
+                idx = index_avi(blob or b"")
+                spans = idx["frames"]
+                px = decode_avi_frame(blob, spans[len(spans) // 2])
+                hashes.append(ImageDHashStage.dhash_of_pixels(px))
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — per-row isolation
+                hashes.append(0)
+                errs.append(str(e) or type(e).__name__)
+        arr = np.array(hashes, dtype=np.uint64).view(np.int64)
+        return batch.append_column(
+            "vhash", pa.array(arr, pa.int64())
+        ).append_column("vhash_error", pa.array(errs, pa.string()))
+
+    ds = (
+        ray.data.read_parquet(ensure_videos_parquet(sf_dir))
+        .union(ray.data.from_arrow(planted))
+        .map_batches(
+            _mid_frame_dhash, batch_format="pyarrow", batch_size=16, num_cpus=0.5
+        )
+    )
+    df = ds.select_columns(["vid_id", "vhash", "vhash_error"]).to_pandas()
+    okd = df[df["vhash_error"].isna()][["vid_id", "vhash"]]
+    pairs = hamming_pairs_u64(
+        ray.data.from_pandas(okd.reset_index(drop=True)),
+        "vid_id",
+        "vhash",
+        n_chunks=8,
+        hamming_max=7,
+    )
+    tbl = df.set_index("vid_id")
+    reenc = pairs[(pairs["id_a"] == 1_000_001) & (pairs["id_b"] == 1_000_002)]
+    ok_reenc = int(len(reenc) == 1 and int(reenc["hamming"].iloc[0]) <= 7)
+    ok_distinct = int(
+        len(pairs[(pairs["id_a"] == 1_000_001) & (pairs["id_b"] == 1_000_003)]) == 0
+    )
+    return pd.DataFrame(
+        {
+            "n_videos": pd.Series([len(tbl)], dtype="int64"),
+            "n_decoded": pd.Series([int(tbl["vhash_error"].isna().sum())], dtype="int64"),
+            "n_pairs": pd.Series([len(pairs)], dtype="int64"),
+            "ok_reenc": pd.Series([ok_reenc], dtype="int64"),
+            "ok_distinct": pd.Series([ok_distinct], dtype="int64"),
+        }
+    )
+
+
 def _url_quality(sf_dir: str):
     """RefinedWeb-style URL filter features over the pages table —
     shuffle-free integer features + keep gate (functions/merge.url_quality)."""
@@ -1028,6 +1123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # planted volume-invariance and noise-robustness self-checks
         "audio_fingerprint": _audio_fingerprint,
         "video_frames_summary": _video_frames_summary,
+        # video near-dup: middle-frame dHash + pigeonhole pairs; planted
+        # re-encode-robustness and distinct-clip self-checks
+        "video_dhash": _video_dhash,
         # WARC source gate: CC-layout .warc.gz round trip, byte identity
         "warc_roundtrip": _warc_roundtrip,
         "warc_split_parity": _warc_split_parity,

@@ -223,3 +223,27 @@ def test_audio_fingerprint_stage_error_isolation(ray_session):
     out = AudioFingerprintStage()(batch)
     errs = out.column("fp_error").to_pylist()
     assert errs[0] is None and errs[1] is not None
+
+
+def test_video_middle_frame_dhash_stable_under_reencode(ray_session):
+    import numpy as np
+
+    from yomitoku_ray.kernels.avi import decode_avi_frame, encode_mjpeg_avi, index_avi
+    from yomitoku_ray.stages.multimodal import ImageDHashStage
+
+    def mid_hash(blob):
+        spans = index_avi(blob)["frames"]
+        return ImageDHashStage.dhash_of_pixels(
+            decode_avi_frame(blob, spans[len(spans) // 2])
+        )
+
+    y, x = np.mgrid[0:48, 0:64]
+    frames = []
+    for i in range(6):
+        f = (127 + 120 * np.sin(x / (3 + i)) * np.cos(y / (4 + i))).astype(np.uint8)
+        frames.append(np.stack([f, np.roll(f, i, axis=1), 255 - f], axis=2))
+    h90 = mid_hash(encode_mjpeg_avi(frames, quality=90))
+    h30 = mid_hash(encode_mjpeg_avi(frames, quality=30))
+    hinv = mid_hash(encode_mjpeg_avi([255 - f for f in frames], quality=90))
+    assert bin(h90 ^ h30).count("1") <= 2  # perceptual hash survives q30
+    assert bin(h90 ^ hinv).count("1") > 32  # inversion flips the gradients
