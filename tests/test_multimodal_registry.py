@@ -247,3 +247,25 @@ def test_video_middle_frame_dhash_stable_under_reencode(ray_session):
     hinv = mid_hash(encode_mjpeg_avi([255 - f for f in frames], quality=90))
     assert bin(h90 ^ h30).count("1") <= 2  # perceptual hash survives q30
     assert bin(h90 ^ hinv).count("1") > 32  # inversion flips the gradients
+
+
+def test_hamming_pairs_u64_rep_star_for_identical_hashes(ray_session):
+    """An identical-hash clique emits min-id-rep star pairs (hamming 0,
+    O(clique)), and near pairs connect cliques through their reps."""
+    import pandas as pd
+    import ray.data
+
+    from yomitoku_ray.functions.dedup import hamming_pairs_u64
+
+    rows = [
+        {"img_id": 0, "h": 0b1111000},
+        {"img_id": 1, "h": 0b1111000},
+        {"img_id": 2, "h": 0b1111000},   # clique {0,1,2}
+        {"img_id": 3, "h": 0b1111001},   # ham 1 from the clique hash
+        {"img_id": 4, "h": (1 << 62)},   # far
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = hamming_pairs_u64(ds, "img_id", "h", n_chunks=4, hamming_max=3)
+    pairs = {(a, b): h for a, b, h in got.itertuples(index=False)}
+    # stars: rep 0 -> members 1,2 at distance 0; near: rep 0 -> 3 only
+    assert pairs == {(0, 1): 0, (0, 2): 0, (0, 3): 1}

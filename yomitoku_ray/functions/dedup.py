@@ -40,6 +40,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
@@ -1196,15 +1197,82 @@ def hamming_pairs_u64(
     gives pigeonhole completeness. Hashes are int64 bit-preserving
     (``.view``) as everywhere else.
 
+    IDENTICAL hashes form exact-duplicate cliques (boilerplate images,
+    re-posted clips) and get the rep-star treatment: one coarse reduce
+    groups each distinct hash, emits (min-id rep -> member, hamming 0)
+    star pairs in O(clique) and forwards ONE rep row per distinct hash to
+    the pigeonhole scan — without this, a clique re-pairs O(clique^2)
+    inside EVERY chunk (39.1 -> 6.5 s on 5k synth images with ~half the
+    hashes shared). Near pairs are then between clique REPS (the standard
+    lossy-for-raw-pairs, lossless-for-components policy documented on the
+    other rep-star guards).
+
     Columns out: id_a, id_b, hamming (int64), sorted.
     """
     mask = resolve_mask(n_buckets) if n_buckets is not None else 1023
     chunk_bits = 64 // n_chunks
     cmask = _U64((1 << chunk_bits) - 1)
 
-    def _chunk_rows(batch: pa.Table) -> pa.Table:
+    def _hash_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy().astype(np.int64)
-        sig = batch.column(hash_col).to_numpy().astype(np.int64).view(np.uint64)
+        sig = batch.column(hash_col).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "hbucket": pa.array((sig & mask), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "simhash": pa.array(sig, pa.int64()),
+            }
+        )
+
+    def _star_and_reps(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for h, sub in g.groupby("simhash", sort=False):
+            ids = np.sort(sub["doc_id"].to_numpy("int64"))
+            rep = ids[0]
+            rows = {
+                "kind": np.zeros(1, dtype=np.int64),
+                "doc_id": np.array([rep], dtype=np.int64),
+                "simhash": np.array([h], dtype=np.int64),
+                "pair_key": np.zeros(1, dtype=np.int64),
+            }
+            frames.append(pd.DataFrame(rows))
+            if len(ids) > 1:
+                keys = _pack_pair(
+                    np.full(len(ids) - 1, rep, dtype=np.int64), ids[1:]
+                ).astype(np.int64)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "kind": np.ones(len(keys), dtype=np.int64),
+                            "doc_id": np.zeros(len(keys), dtype=np.int64),
+                            "simhash": np.zeros(len(keys), dtype=np.int64),
+                            "pair_key": keys,
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True)
+
+    grouped = (
+        ds.map_batches(_hash_bucket, batch_format="pyarrow", batch_size=4096)
+        .groupby("hbucket")
+        .map_groups(_star_and_reps, batch_format="pandas")
+    )
+
+    def _take_stars(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("kind"), 1))
+        return pa.table(
+            {
+                "pair_key": b.column("pair_key"),
+                "hamming": pa.array(
+                    np.zeros(b.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def _chunk_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("kind"), 0))
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        sig = batch.column("simhash").to_numpy().astype(np.int64).view(np.uint64)
         n = len(ids)
         chunk_id = np.repeat(np.arange(n_chunks, dtype=np.int64), n)
         docs = np.tile(ids, n_chunks)
@@ -1222,10 +1290,14 @@ def hamming_pairs_u64(
             }
         )
 
-    chunked = ds.map_batches(_chunk_rows, batch_format="pyarrow", batch_size=256)
-    pairs = chunked.groupby("cbucket").map_groups(
+    star_pairs = grouped.map_batches(_take_stars, batch_format="pyarrow")
+    chunked = grouped.map_batches(_chunk_rows, batch_format="pyarrow")
+    near_pairs = chunked.groupby("cbucket").map_groups(
         _simhash_bucket_pairs_fn(hamming_max), batch_format="pandas"
     )
+    # star pairs (hamming 0) are disjoint from rep-level near pairs
+    # (distinct hashes differ by >= 1 bit), so a plain union is exact
+    pairs = near_pairs.union(star_pairs)
 
     # Cross-chunk dedup via the coarse-bucket reduce (a fine-key pair_key
     # aggregate pays Ray's ~200 fixed reduce partitions; identical-hash
