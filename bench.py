@@ -214,6 +214,9 @@ def run_bench() -> dict:
 
         timed("soft_dedup_weights", soft_dedup_weights)
         timed("token_entropy", token_entropy)
+        from __ray_entry__ import _image_dhash
+
+        timed("image_dhash", _image_dhash)
 
     ray.shutdown()
     return {
