@@ -1148,6 +1148,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram LM trained on the src0 reference slice, integer fixed-point
         # NLLs, exact per-lang head/middle/tail terciles
         "ccnet_perplexity": ccnet_perplexity,
+        # the CCNet SELECTION: keep head+middle terciles (what ships to
+        # training); expression-pushdown filter over the bucket column
+        "ccnet_head_middle": lambda sf_dir: ccnet_perplexity(sf_dir).filter(
+            expr="ppl_bucket <= 1"
+        ),
         # fastText-style trained classifier (model-based filtering family):
         # multinomial NB over hashed unigram buckets, src0-trained,
         # integer-exact argmax (~32% acc vs 29% for the marker heuristic —
@@ -2235,6 +2240,10 @@ def oracle_sql() -> dict[str, str]:
         # CCNet perplexity buckets: per-lang bigram-bucket LM over the src0
         # reference slice; identical fixed-point freeze + integer terciles.
         "ccnet_perplexity": _CCNET_PPL_SQL,
+        # CCNet selection: the perplexity CTE filtered to head+middle.
+        "ccnet_head_middle": "SELECT * FROM ("
+        + _CCNET_PPL_SQL
+        + ") WHERE ppl_bucket <= 1",
         # Multinomial NB lang classifier: src0-trained, integer-exact argmax.
         "nb_langid": _NB_LANGID_SQL,
         # HyperLogLog sketch: same register math + integer estimator.

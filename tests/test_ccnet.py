@@ -322,3 +322,19 @@ def test_entropy_cross_engine_fuzz(ray_session, tmp_path, seed):
         .astype("int64")
     )
     pd.testing.assert_frame_equal(got, _ent_oracle(str(d)))
+
+
+def test_ccnet_head_middle_selection(ray_session):
+    """The CCNet selection keeps exactly the bucket<=1 rows."""
+    import __ray_entry__ as entry
+
+    full = _run(SF001)
+    kept = (
+        entry.queries()["ccnet_head_middle"](SF001)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = full[full["ppl_bucket"] <= 1].reset_index(drop=True)
+    pd.testing.assert_frame_equal(kept, want)
+    assert 0 < len(kept) < len(full)
