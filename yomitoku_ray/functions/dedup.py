@@ -1258,14 +1258,15 @@ def hamming_pairs_u64(
         .map_groups(_star_and_reps, batch_format="pandas")
     )
 
-    def _take_stars(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.equal(batch.column("kind"), 1))
-        return pa.table(
+    def _take_stars(g: pd.DataFrame) -> pd.DataFrame:
+        # pandas in/out so the union partner (the map_groups pair stream,
+        # pandas blocks) sees one block schema — mixed arrow/pandas blocks
+        # trip Ray's schema-consistency warning
+        b = g[g["kind"] == 1]
+        return pd.DataFrame(
             {
-                "pair_key": b.column("pair_key"),
-                "hamming": pa.array(
-                    np.zeros(b.num_rows, dtype=np.int64), pa.int64()
-                ),
+                "pair_key": b["pair_key"].to_numpy("int64"),
+                "hamming": np.zeros(len(b), dtype=np.int64),
             }
         )
 
@@ -1290,7 +1291,7 @@ def hamming_pairs_u64(
             }
         )
 
-    star_pairs = grouped.map_batches(_take_stars, batch_format="pyarrow")
+    star_pairs = grouped.map_batches(_take_stars, batch_format="pandas")
     chunked = grouped.map_batches(_chunk_rows, batch_format="pyarrow")
     near_pairs = chunked.groupby("cbucket").map_groups(
         _simhash_bucket_pairs_fn(hamming_max), batch_format="pandas"
