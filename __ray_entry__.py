@@ -1056,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann_kmeans,
         kmeans_assign,
         knn_brute_force,
+        pq_codes,
     )
     from yomitoku_ray.functions.clean import (
         contamination_check,
@@ -1239,6 +1240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": knn_brute_force,
         # distributed Lloyd k-means: broadcast centroids, combiner update
         "kmeans_assign": kmeans_assign,
+        # product quantization (Jegou 2011): per-subspace Lloyd codebooks,
+        # one broadcast-assign pass; integer codes only
+        "pq_codes": pq_codes,
         "ann_lsh": lambda sf_dir: _ann_with_self_check(ann_lsh, sf_dir),
         "ann_ivf": lambda sf_dir: _ann_with_self_check(ann_ivf, sf_dir),
         # IVF invariant: probing every partition must reproduce brute force
@@ -1715,6 +1719,58 @@ _HLL_SQL = r"""
                    CAST(e AS BIGINT) AS est_distinct
             FROM est
 """
+
+
+def _pq_lloyd_cte(lo: int, hi: int, p: str) -> str:
+    """One sliced 2-iteration Lloyd chain for the PQ oracle (the
+    kmeans_assign SQL over the embedding subspace [lo:hi), 0-based;
+    DuckDB list slices are 1-based inclusive)."""
+    sl = f"embedding[{lo + 1}:{hi}]"
+    return f"""
+            {p}c0 AS (SELECT vec_id AS cl, {sl} AS c
+                      FROM embeddings WHERE vec_id < 8),
+            {p}a1 AS (
+                SELECT vec_id, cl FROM (
+                    SELECT e.vec_id, {p}c0.cl,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.{sl}, {p}c0.c),
+                                        {p}c0.cl) AS rn
+                    FROM embeddings e, {p}c0
+                ) WHERE rn = 1
+            ),
+            {p}dims AS (
+                SELECT {p}a1.cl, generate_subscripts(e.{sl}, 1) AS dim,
+                       unnest(e.{sl}) AS val
+                FROM embeddings e JOIN {p}a1 USING (vec_id)
+            ),
+            {p}c1 AS (
+                SELECT cl, list(avg_val ORDER BY dim) AS c FROM (
+                    SELECT cl, dim, avg(val) AS avg_val
+                    FROM {p}dims GROUP BY cl, dim
+                ) GROUP BY cl
+            ),
+            {p}a2 AS (
+                SELECT vec_id, cl FROM (
+                    SELECT e.vec_id, {p}c1.cl,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.{sl}, {p}c1.c),
+                                        {p}c1.cl) AS rn
+                    FROM embeddings e, {p}c1
+                ) WHERE rn = 1
+            )"""
+
+
+_PQ_CODES_SQL = (
+    "WITH "
+    + _pq_lloyd_cte(0, 32, "s0")
+    + ","
+    + _pq_lloyd_cte(32, 64, "s1")
+    + """
+            SELECT a.vec_id, CAST(a.cl AS BIGINT) AS code_0,
+                   CAST(b.cl AS BIGINT) AS code_1
+            FROM s0a2 a JOIN s1a2 b USING (vec_id)
+"""
+)
 
 
 _SEMDEDUP_LLOYD_CTE = """
@@ -2539,6 +2595,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a2
         """,
         "knn_brute_force": _KNN_SQL,
+        # PQ: two sliced Lloyd chains joined on vec_id.
+        "pq_codes": _PQ_CODES_SQL,
         "ann_ivf_exhaustive": _KNN_SQL,
         "ann_lsh_exhaustive": _KNN_SQL,
         "ann_kmeans_exhaustive": _KNN_SQL,

@@ -267,3 +267,79 @@ def test_semdedup_centroid_matches_local(ray_session):
         "int64"
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# pq_codes (product quantization)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_matches_local_recompute(ray_session):
+    """m=2,k=8 PQ against a single-process sliced-Lloyd recompute."""
+    from yomitoku_ray.functions.similarity import pq_codes
+
+    got = (
+        pq_codes(SF001)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    t = (
+        pq.read_table(f"{SF001}/embeddings.parquet")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    ids = t["vec_id"].to_numpy("int64")
+    codes = {}
+    for j, (lo, hi) in enumerate([(0, 32), (32, 64)]):
+        sub = mat[:, lo:hi]
+        cents = sub[:8].copy()
+        d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        live = [c for c in range(8) if (a == c).any()]
+        cents = np.stack([sub[a == c].mean(axis=0) for c in live])
+        labels = np.array(live)
+        d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        codes[f"code_{j}"] = labels[np.argmin(d, axis=1)]
+    want = pd.DataFrame({"vec_id": ids, **codes}).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pq_codes_quantize_planted_clusters(ray_session, tmp_path):
+    """Vectors from the same planted blob share codes in BOTH subspaces;
+    blobs differing only in the second half differ only in code_1."""
+    rng = np.random.RandomState(5)
+    a_lo, a_hi = np.ones(32), np.ones(32)
+    b_hi = -np.ones(32)
+    rows = []
+    vid = 0
+    for _ in range(10):  # blob A: (1s, 1s)
+        v = np.concatenate([a_lo, a_hi]) + rng.normal(0, 0.01, 64)
+        rows.append({"vec_id": vid, "embedding": v.tolist(), "label": 0}); vid += 1
+    for _ in range(10):  # blob B: (1s, -1s) — same first half
+        v = np.concatenate([a_lo, b_hi]) + rng.normal(0, 0.01, 64)
+        rows.append({"vec_id": vid, "embedding": v.tolist(), "label": 0}); vid += 1
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "embeddings.parquet"))
+    from yomitoku_ray.functions.similarity import pq_codes
+
+    got = pq_codes(str(d), m=2, k=4).to_pandas().sort_values("vec_id")
+    a = got.iloc[:10]
+    b = got.iloc[10:]
+    # Subspace 1 separates the blobs (their second halves sit at +-1):
+    # no centroid can capture points from both, so the code sets are
+    # disjoint. (Within-blob code UNIQUENESS is not guaranteed — the k
+    # seeds are the first k vectors, all inside blob A, so a tight blob
+    # legitimately splits across near-identical centroids.)
+    assert set(a["code_1"]) & set(b["code_1"]) == set()
+
+
+def test_pq_codes_rejects_indivisible_dim(ray_session):
+    from yomitoku_ray.functions.similarity import pq_codes
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codes(SF001, m=7)
