@@ -1057,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kmeans_assign,
         knn_brute_force,
         pq_codes,
+        ann_pq,
     )
     from yomitoku_ray.functions.clean import (
         contamination_check,
@@ -1243,6 +1244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product quantization (Jegou 2011): per-subspace Lloyd codebooks,
         # one broadcast-assign pass; integer codes only
         "pq_codes": pq_codes,
+        # ADC search over PQ codes (the IVFPQ search half): scoring uses
+        # only codes + per-query distance tables
+        "ann_pq": ann_pq,
         "ann_lsh": lambda sf_dir: _ann_with_self_check(ann_lsh, sf_dir),
         "ann_ivf": lambda sf_dir: _ann_with_self_check(ann_ivf, sf_dir),
         # IVF invariant: probing every partition must reproduce brute force
@@ -1769,6 +1773,40 @@ _PQ_CODES_SQL = (
             SELECT a.vec_id, CAST(a.cl AS BIGINT) AS code_0,
                    CAST(b.cl AS BIGINT) AS code_1
             FROM s0a2 a JOIN s1a2 b USING (vec_id)
+"""
+)
+
+
+_ANN_PQ_SQL = (
+    "WITH "
+    + _pq_lloyd_cte(0, 32, "s0")
+    + ","
+    + _pq_lloyd_cte(32, 64, "s1")
+    + """,
+            q AS (SELECT vec_id AS qid, embedding AS qe
+                  FROM embeddings WHERE vec_id < 10),
+            -- ADC: squared distance from the query SUBVECTOR to the
+            -- final centroid of each vector's code, summed over subspaces
+            d AS (
+                SELECT q.qid, v.vec_id AS nid,
+                       power(list_distance(q.qe[1:32], c0s.c), 2)
+                     + power(list_distance(q.qe[33:64], c1s.c), 2) AS dist
+                FROM q, embeddings v
+                JOIN s0a2 ON s0a2.vec_id = v.vec_id
+                JOIN s0c1 c0s ON c0s.cl = s0a2.cl
+                JOIN s1a2 ON s1a2.vec_id = v.vec_id
+                JOIN s1c1 c1s ON c1s.cl = s1a2.cl
+                WHERE v.vec_id != q.qid
+            ),
+            ranked AS (
+                SELECT qid, nid,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY dist, nid) AS r
+                FROM d
+            )
+            SELECT qid AS query_id, nid AS neighbor_id,
+                   CAST(r AS BIGINT) AS rank
+            FROM ranked WHERE r <= 5
 """
 )
 
@@ -2597,6 +2635,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute_force": _KNN_SQL,
         # PQ: two sliced Lloyd chains joined on vec_id.
         "pq_codes": _PQ_CODES_SQL,
+        # ADC: the same chains + per-code centroid distance sums.
+        "ann_pq": _ANN_PQ_SQL,
         "ann_ivf_exhaustive": _KNN_SQL,
         "ann_lsh_exhaustive": _KNN_SQL,
         "ann_kmeans_exhaustive": _KNN_SQL,

@@ -343,3 +343,58 @@ def test_pq_codes_rejects_indivisible_dim(ray_session):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_codes(SF001, m=7)
+
+
+def test_ann_pq_multi_shard_invariance(ray_session, tmp_path):
+    """Block boundaries must not change ADC results: the tie-aware
+    (dist, nid) partial top-k is a correct mergeable combiner even with
+    heavy quantized-distance ties."""
+    from yomitoku_ray.functions.similarity import ann_pq
+
+    src = pq.read_table(f"{SF001}/embeddings.parquet")
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(); many.mkdir()
+    pq.write_table(src, str(one / "embeddings.parquet"))
+    (many / "embeddings.parquet").mkdir()
+    rows = src.num_rows
+    step = rows // 8
+    for j in range(8):
+        end = rows if j == 7 else (j + 1) * step
+        pq.write_table(
+            src.slice(j * step, end - j * step),
+            str(many / "embeddings.parquet" / f"p{j}.parquet"),
+        )
+    a = ann_pq(str(one))
+    b = ann_pq(str(many))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ann_pq_neighbors_respect_planted_blobs(ray_session, tmp_path):
+    """On WELL-SEPARATED blobs, quantization preserves blob membership:
+    every ADC neighbor comes from the query's own blob. (The synth
+    `label` column is a random blocking key, NOT proximity — exact
+    cosine KNN itself only agrees with it 4% — so blob structure must
+    be planted.)"""
+    from yomitoku_ray.functions.similarity import ann_pq
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 64) * 10
+    rows = []
+    vid = 0
+    for b in range(4):
+        for _ in range(25):
+            v = centers[b] + rng.normal(0, 0.1, 64)
+            rows.append(
+                {"vec_id": vid, "embedding": v.tolist(), "label": b}
+            )
+            vid += 1
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "embeddings.parquet"))
+    got = ann_pq(str(d), n_queries=8)
+    blob_of = lambda i: i // 25  # noqa: E731
+    assert all(
+        blob_of(n) == blob_of(q)
+        for q, n in zip(got["query_id"], got["neighbor_id"])
+    )

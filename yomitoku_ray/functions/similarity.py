@@ -821,3 +821,109 @@ def pq_codes(
     return ray.data.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
         _assign, batch_format="pandas"
     )
+
+
+def ann_pq(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    m: int = 2,
+    n_cents: int = 8,
+    iterations: int = 2,
+) -> pd.DataFrame:
+    """Asymmetric-distance (ADC) search over product-quantized codes —
+    the search half of the IVFPQ architecture (Jegou et al. 2011): the
+    index stores only each vector's ``m`` codes; a query precomputes an
+    (m x n_cents) table of squared distances to every sub-centroid ONCE
+    and scores any vector with ``m`` table lookups, never touching the
+    raw embedding again.
+
+    Scale shape: codebooks from the shared Lloyd combiner (broadcast);
+    per batch, one vectorized pass assigns codes AND scores all queries
+    via fancy-indexed table lookups (n_q x B from m gathers) with a
+    partial top-k combiner; a tiny groupby(query_id) merges ranks. The
+    raw-embedding read here stands in for reading a stored codes table —
+    the scoring path uses ONLY codes + tables.
+
+    Float contract: ranking by summed squared sub-distances (exact ADC
+    order); ties by neighbor_id — the :func:`knn_brute_force` posture
+    (margins on the synth tables dwarf cross-engine double noise; the
+    hash gate verifies). Columns: query_id, neighbor_id, rank (int64).
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    first = ray.data.read_parquet(path, columns=["embedding"]).take(1)[0][
+        "embedding"
+    ]
+    dim = len(first)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    per = dim // m
+    models = [
+        _kmeans_train(path, n_cents, iterations, dims=(j * per, (j + 1) * per))[1]
+        for j in range(m)
+    ]
+    queries = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n_queries}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = queries["vec_id"].to_numpy("int64")
+    q_mat = _emb_matrix(queries)
+    # per-query ADC tables: (m, n_q, k_j) squared distances to sub-centroids
+    tables = []
+    for j, cents in enumerate(models):
+        qs = q_mat[:, j * per : (j + 1) * per]
+        tables.append(((qs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2))
+    ref = ray.put((q_ids, models, tables))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        q_ids, models, tables = ray.get(ref)
+        mat = _emb_matrix(df)
+        v_ids = df["vec_id"].to_numpy("int64")
+        n_q = len(q_ids)
+        dist = np.zeros((n_q, len(v_ids)), dtype=np.float64)
+        for j, cents in enumerate(models):
+            sub = mat[:, j * per : (j + 1) * per]
+            codes = _kmeans_assign_of(sub, cents)
+            dist += tables[j][:, codes]  # (n_q, B) gather per subspace
+        out_q, out_n, out_d = [], [], []
+        kk = min(k + 1, dist.shape[1])
+        for qi in range(n_q):
+            # Quantized distances tie HEAVILY (few distinct code combos),
+            # so the batch-local truncation must follow the same total
+            # order as the final merge — (dist, nid) — or ties at the
+            # cut get dropped arbitrarily (argpartition is NOT tie-aware)
+            idx = np.lexsort((v_ids, dist[qi]))[:kk]
+            for jj in idx:
+                if v_ids[jj] == q_ids[qi]:
+                    continue
+                out_q.append(q_ids[qi])
+                out_n.append(v_ids[jj])
+                out_d.append(dist[qi, jj])
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+                "dist": pd.Series(out_d, dtype="float64"),
+            }
+        )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "neighbor_id"], ascending=[True, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64").values,
+                "neighbor_id": g["neighbor_id"].astype("int64").values,
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(_partial, batch_format="pandas", batch_size=1024)
+        .groupby("query_id")
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
