@@ -800,6 +800,45 @@ def _warc_split_parity(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """JSONL sink/source gate (rows-only, self-checking like warc_roundtrip):
+    write the documents table as Dolma-layout ``.jsonl.gz`` shards (one per
+    block, whole-stream gzip, mtime=0), read it back through the streaming
+    JsonlDatasource, and report per-doc exact identity of every column.
+    Every row should read ok_text=1, ok_meta=1; n_shards proves the write
+    was distributed (one shard per block, > 1)."""
+    import glob
+    import os
+    import shutil
+
+    import ray.data
+
+    from yomitoku_ray.export.jsonl import read_jsonl, write_jsonl
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = f"/tmp/yomitoku_ray_jsonl_{label}"
+    shutil.rmtree(out, ignore_errors=True)
+    src = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    write_jsonl(src, out)
+    n_shards = len(glob.glob(os.path.join(out, "*.jsonl.gz")))
+    got = read_jsonl(out).to_pandas().set_index("doc_id").sort_index()
+    want = src.to_pandas().set_index("doc_id").sort_index()
+    ok_text = (got["text"] == want["text"]).astype("int64")
+    ok_meta = (
+        (got["lang"] == want["lang"])
+        & (got["source"] == want["source"])
+        & (got["n_chars"].astype("int64") == want["n_chars"].astype("int64"))
+    ).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": want.index,
+            "ok_text": ok_text.values,
+            "ok_meta": ok_meta.values,
+            "n_shards": pd.Series([int(n_shards)] * len(want), dtype="int64"),
+        }
+    ).reset_index(drop=True)
+
+
 def _warc_roundtrip(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
     """WARC source gate (rows-only; self-checking like extract_match_rate):
     encode the first ``n_pages`` synthetic pages as a Common-Crawl-layout
@@ -1131,6 +1170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # WARC source gate: CC-layout .warc.gz round trip, byte identity
         "warc_roundtrip": _warc_roundtrip,
         "warc_split_parity": _warc_split_parity,
+        # JSONL sink/source gate: Dolma-layout .jsonl.gz shard round trip,
+        # exact column identity per doc (rows-only, ok columns)
+        "jsonl_roundtrip": _jsonl_roundtrip,
         # text analysis (documents)
         "doc_stats": doc_stats,
         "quality_score": quality_score,
