@@ -839,6 +839,65 @@ def _jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _wat_roundtrip(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
+    """WAT sink/source gate (rows-only, self-checking like warc_roundtrip):
+    write the synthetic pages table as CC-layout ``.warc.wat.gz`` metadata
+    shards, stream them back, and compare the lifted title/link-count
+    columns against a direct single-process DOM parse of the same html,
+    plus µs identity of warc_ts. Every row should read ok_meta=1, ok_ts=1."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from yomitoku_ray.dom import decode_html, parse_html
+    from yomitoku_ray.export.wat import _LINK_ATTRS, read_wat, write_wat
+    from yomitoku_ray.export.wet import _ts_us_of
+    from yomitoku_ray.synth.pages import generate_pages_table
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = f"/tmp/yomitoku_ray_wat_{label}"
+    shutil.rmtree(out, ignore_errors=True)
+    table = generate_pages_table(n_pages)
+    write_wat(ray.data.from_arrow(table), out)
+    got = read_wat(out).to_pandas().set_index("url").sort_index()
+
+    urls, ok_meta, ok_ts, n_links = [], [], [], []
+    for r in table.to_pylist():
+        try:
+            root = parse_html(decode_html(r["html"]))
+            ts = root.find_all("title")
+            want_title = ts[0].text_content() if ts else None
+            want_links = sum(
+                1
+                for n in root.iter()
+                for t, a in _LINK_ATTRS
+                if n.tag == t and n.attr(a)
+            )
+        except Exception:
+            want_title, want_links = None, 0
+        row = got.loc[r["url"]]
+        urls.append(r["url"])
+        got_title = row["title"] if row["title"] is not None else None
+        ok_meta.append(
+            int(got_title == want_title and int(row["n_links"]) == want_links)
+        )
+        ok_ts.append(int(_ts_us_of(row["warc_ts"]) == _ts_us_of(r["warc_ts"])))
+        n_links.append(int(row["n_links"]))
+    return (
+        pd.DataFrame(
+            {
+                "url": urls,
+                "ok_meta": pd.Series(ok_meta, dtype="int64"),
+                "ok_ts": pd.Series(ok_ts, dtype="int64"),
+                "n_links": pd.Series(n_links, dtype="int64"),
+            }
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
 def _warc_roundtrip(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
     """WARC source gate (rows-only; self-checking like extract_match_rate):
     encode the first ``n_pages`` synthetic pages as a Common-Crawl-layout
@@ -1173,6 +1232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # JSONL sink/source gate: Dolma-layout .jsonl.gz shard round trip,
         # exact column identity per doc (rows-only, ok columns)
         "jsonl_roundtrip": _jsonl_roundtrip,
+        # WAT sink/source gate: CC metadata envelope round trip, title/link
+        # parity vs a direct DOM parse (rows-only, ok columns)
+        "wat_roundtrip": _wat_roundtrip,
         # text analysis (documents)
         "doc_stats": doc_stats,
         "quality_score": quality_score,
