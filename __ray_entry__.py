@@ -839,6 +839,40 @@ def _jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _host_link_graph(sf_dir: str, n_pages: int = 1000) -> pd.DataFrame:
+    """Host-level link graph over the synthetic pages (rows-only,
+    self-checking): per-page A/IMG/LINK harvest -> urljoin resolve ->
+    per-batch pair combiner -> one hosts²-bounded groupby. The ok_total
+    column compares each host's edge total against an INDEPENDENT exact
+    ground truth — a byte count of b'<a href="' over the raw page bytes
+    (the synth corpus' links are all double-quoted A@/href in
+    ASCII-transparent encodings), which shares no code with the DOM
+    parser. Every row should read ok_total=1."""
+    import ray.data
+
+    from yomitoku_ray.functions.linkgraph import host_link_graph
+    from yomitoku_ray.functions.merge import _domain_of
+    from yomitoku_ray.synth.pages import generate_pages_table
+
+    table = generate_pages_table(n_pages)
+    got = host_link_graph(ray.data.from_arrow(table))
+
+    want: dict[str, int] = {}
+    for r in table.to_pylist():
+        h = _domain_of(r["url"]).lower()
+        want[h] = want.get(h, 0) + bytes(r["html"]).count(b'<a href="')
+    got = got.copy()
+    got["ok_total"] = pd.Series(
+        [
+            int(s == d and int(n) == want.get(s, 0))
+            for s, d, n in zip(got["src_host"], got["dst_host"], got["n_links"])
+        ],
+        dtype="int64",
+    )
+    got["n_links"] = got["n_links"].astype("int64")
+    return got.reset_index(drop=True)
+
+
 def _wat_roundtrip(sf_dir: str, n_pages: int = 500) -> pd.DataFrame:
     """WAT sink/source gate (rows-only, self-checking like warc_roundtrip):
     write the synthetic pages table as CC-layout ``.warc.wat.gz`` metadata
@@ -1235,6 +1269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # WAT sink/source gate: CC metadata envelope round trip, title/link
         # parity vs a direct DOM parse (rows-only, ok columns)
         "wat_roundtrip": _wat_roundtrip,
+        # cc-webgraph shape: host-level link-graph edge list; per-host
+        # totals checked against an independent byte-pattern ground truth
+        "host_link_graph": _host_link_graph,
         # text analysis (documents)
         "doc_stats": doc_stats,
         "quality_score": quality_score,
