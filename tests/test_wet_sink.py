@@ -120,10 +120,15 @@ def test_crawl_cli(ray_session, tmp_path, capsys):
     write_warc_file(rows, warc)
     main(["crawl", warc, str(tmp_path / "wet"), "--wet"])
     assert glob.glob(str(tmp_path / "wet" / "*.warc.wet.gz"))
-    main(["crawl", warc, str(tmp_path / "pq")])
+    main(["crawl", warc, str(tmp_path / "pq"), "--wat", str(tmp_path / "wat")])
     import pyarrow.parquet as pq
 
     assert pq.read_table(str(tmp_path / "pq")).num_rows == 20
+    from yomitoku_ray.export.wat import read_wat
+
+    wat = read_wat(str(tmp_path / "wat")).to_pandas()
+    assert sorted(wat["url"]) == sorted(r["url"] for r in rows)
+    assert (wat["n_links"] >= 0).all() and wat["n_links"].sum() > 0
 
 
 from hypothesis import given, settings, strategies as st

@@ -81,6 +81,17 @@ def cmd_crawl(args):
     from .sources.warc import read_warc
 
     cfg = ExtractConfig(detect_concurrency=(2, max(2, args.num_cpus - 2)))
+    if args.wat:
+        # WAT derives from the RAW capture, not the extraction output, so
+        # it is its own consume of the WARC input (exactly how CC produces
+        # it — a separate metadata job over the same shard). Runs in both
+        # the plain and --resumable drives.
+        from .export.wat import write_wat
+
+        write_wat(
+            read_warc(args.inputs).select_columns(["url", "warc_ts", "html"]),
+            args.wat,
+        )
     if args.resumable:
         if args.wet:
             raise SystemExit("--resumable writes checkpointed parquet waves; drop --wet")
@@ -99,7 +110,15 @@ def cmd_crawl(args):
         write_wet(out.filter(lambda r: r["error"] is None), args.output)
     else:
         out.write_parquet(args.output)
-    print(json.dumps({"output": args.output, "format": "wet" if args.wet else "parquet"}))
+    print(
+        json.dumps(
+            {
+                "output": args.output,
+                "format": "wet" if args.wet else "parquet",
+                **({"wat": args.wat} if args.wat else {}),
+            }
+        )
+    )
 
 
 def cmd_cdx(args):
@@ -225,6 +244,7 @@ def main(argv=None):
     p.add_argument("inputs", nargs="+", help=".warc / .warc.gz file(s)")
     p.add_argument("output")
     p.add_argument("--wet", action="store_true", help="write CC WET instead of parquet")
+    p.add_argument("--wat", metavar="DIR", help="also write CC WAT metadata shards to DIR")
     p.add_argument("--resumable", action="store_true",
                    help="checkpointed per-shard waves (input = directory of WARCs)")
     p.add_argument("--wave-files", type=int, default=4)
