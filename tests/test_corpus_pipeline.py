@@ -130,6 +130,30 @@ def test_corpus_cli_end_to_end(tmp_path):
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["n_docs"] > 0 and summary["n_words"] > 0
 
+    # --format jsonl: same survivor set, Dolma-layout shards
+    out2 = str(tmp_path / "shards_jsonl")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "yomitoku_ray", "corpus", p, out2,
+         "--num-cpus", "4", "--format", "jsonl"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    summary2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert summary2 == summary
+    import glob
+
+    import pyarrow.parquet as pq2
+
+    from yomitoku_ray.export.jsonl import read_jsonl
+
+    assert glob.glob(out2 + "/*.jsonl.gz")
+    jd = read_jsonl(out2).to_pandas()
+    pd_digests = set(pq2.read_table(out, columns=["digest"])["digest"].to_pylist())
+    assert set(jd["digest"]) == pd_digests
+
 
 def test_corpus_build_lang_pushdown(ray_session, tmp_path):
     """langs filter is applied at the parquet read (row filter), so only

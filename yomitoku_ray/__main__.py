@@ -203,11 +203,20 @@ def cmd_corpus(args):
 
     cfg = CorpusConfig(min_words=args.min_words, streaming_dedup=args.streaming)
     ds = build_corpus(args.input, cfg)
-    ds.write_parquet(args.output, compression="zstd")
-    import pyarrow.parquet as pq
+    if args.format == "jsonl":
+        from .export.jsonl import write_jsonl
 
-    t = pq.read_table(args.output, columns=["n_words"])
-    print(json.dumps({"n_docs": t.num_rows, "n_words": (__import__('pyarrow').compute.sum(t.column('n_words')).as_py() or 0)}))
+        write_jsonl(ds, args.output)
+        from .export.jsonl import read_jsonl
+
+        t = read_jsonl(args.output).select_columns(["n_words"]).to_pandas()
+        print(json.dumps({"n_docs": len(t), "n_words": int(t["n_words"].sum())}))
+    else:
+        ds.write_parquet(args.output, compression="zstd")
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(args.output, columns=["n_words"])
+        print(json.dumps({"n_docs": t.num_rows, "n_words": (__import__('pyarrow').compute.sum(t.column('n_words')).as_py() or 0)}))
 
 
 def main(argv=None):
@@ -234,6 +243,12 @@ def main(argv=None):
     p.add_argument("output")
     p.add_argument("--num-cpus", type=int, default=8)
     p.add_argument("--min-words", type=int, default=5)
+    p.add_argument(
+        "--format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="shard format: parquet (default) or Dolma-layout .jsonl.gz",
+    )
     p.add_argument(
         "--streaming", action="store_true",
         help="dedup via the sharded actor index instead of the digest shuffle",
