@@ -1094,6 +1094,25 @@ def _audio_features_summary(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _ann_ivfpq_recall(sf_dir: str, floor_pct: int = 70) -> pd.DataFrame:
+    """Recall floor of the routed IVFPQ vs the exhaustive ADC ranking
+    (ann_pq) — the ann_recall pattern: int-only output, the oracle pins
+    (floor, holds), so a routing-recall regression turns this row red."""
+    from yomitoku_ray.functions.similarity import ann_ivfpq, ann_pq
+
+    exact = ann_pq(sf_dir)
+    approx = ann_ivfpq(sf_dir)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall_pct = 100 * len(e & a) // max(1, len(e))
+    return pd.DataFrame(
+        {
+            "floor_pct": pd.Series([floor_pct], dtype="int64"),
+            "meets_floor": pd.Series([int(recall_pct >= floor_pct)], dtype="int64"),
+        }
+    )
+
+
 def _ann_with_self_check(fn, sf_dir: str) -> pd.DataFrame:
     """Wrap an approximate-ANN query with exact-int self-checks (the
     rows-only gate pattern): for every returned (query, neighbor) pair,
@@ -1190,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         knn_brute_force,
         pq_codes,
         ann_pq,
+        ann_ivfpq,
     )
     from yomitoku_ray.functions.clean import (
         contamination_check,
@@ -1407,6 +1427,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_stats": ann_lsh_stats,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_recall": ann_recall,
+        # IVFPQ (coarse kmeans routing x ADC-over-codes scoring): with
+        # probe_all the composition must reproduce ann_pq EXACTLY (routing
+        # changes only scan scope, never the ADC order) — same SQL oracle
+        "ann_ivfpq_exhaustive": lambda sf_dir: ann_ivfpq(sf_dir, probe_all=True),
+        # recall floor of the routed IVFPQ config vs exhaustive ADC
+        # (measured 90% at sf0.001/sf0.01 under nprobe=4/8)
+        "ann_ivfpq_recall": _ann_ivfpq_recall,
         "embedding_near_dup": embedding_near_dup,
         # SemDeDup: kmeans-cluster-scoped embedding near-dup (greedy min-id
         # survivor rule; discrete int outputs only)
@@ -2778,6 +2805,12 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _PQ_CODES_SQL,
         # ADC: the same chains + per-code centroid distance sums.
         "ann_pq": _ANN_PQ_SQL,
+        # probe-all IVFPQ == exhaustive ADC: identical oracle by design
+        "ann_ivfpq_exhaustive": _ANN_PQ_SQL,
+        "ann_ivfpq_recall": """
+            SELECT CAST(70 AS BIGINT) AS floor_pct,
+                   CAST(1 AS BIGINT) AS meets_floor
+        """,
         "ann_ivf_exhaustive": _KNN_SQL,
         "ann_lsh_exhaustive": _KNN_SQL,
         "ann_kmeans_exhaustive": _KNN_SQL,

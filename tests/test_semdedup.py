@@ -398,3 +398,62 @@ def test_ann_pq_neighbors_respect_planted_blobs(ray_session, tmp_path):
         blob_of(n) == blob_of(q)
         for q, n in zip(got["query_id"], got["neighbor_id"])
     )
+
+
+def test_ann_ivfpq_probe_all_equals_ann_pq(ray_session):
+    """The composition contract: probe-all IVFPQ (no-residual) must
+    reproduce the exhaustive ADC ranking EXACTLY — routing changes only
+    scan scope, never the ADC order."""
+    from yomitoku_ray.functions.similarity import ann_ivfpq, ann_pq
+
+    pd.testing.assert_frame_equal(ann_ivfpq(SF001, probe_all=True), ann_pq(SF001))
+
+
+def test_ann_ivfpq_shard_invariance(ray_session, tmp_path):
+    """Block boundaries change neither routing (broadcast coarse cents)
+    nor the tie-aware ADC partial top-k."""
+    from yomitoku_ray.functions.similarity import ann_ivfpq
+
+    src = pq.read_table(f"{SF001}/embeddings.parquet")
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(); many.mkdir()
+    pq.write_table(src, str(one / "embeddings.parquet"))
+    (many / "embeddings.parquet").mkdir()
+    rows = src.num_rows
+    step = rows // 8
+    for j in range(8):
+        end = rows if j == 7 else (j + 1) * step
+        pq.write_table(
+            src.slice(j * step, end - j * step),
+            str(many / "embeddings.parquet" / f"p{j}.parquet"),
+        )
+    pd.testing.assert_frame_equal(ann_ivfpq(str(one)), ann_ivfpq(str(many)))
+
+
+def test_ann_ivfpq_nprobe1_respects_planted_blobs(ray_session, tmp_path):
+    """On well-separated blobs with one coarse cluster per blob, nprobe=1
+    routing scans ONLY the query's own blob — every neighbor must come
+    from it, and per query exactly k neighbors must still surface (the
+    blob has 25 > k members)."""
+    from yomitoku_ray.functions.similarity import ann_ivfpq
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(4, 64) * 10
+    rows = []
+    vid = 0
+    for b in range(4):
+        for _ in range(25):
+            v = centers[b] + rng.normal(0, 0.1, 64)
+            rows.append({"vec_id": vid, "embedding": v.tolist(), "label": b})
+            vid += 1
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "embeddings.parquet"))
+    got = ann_ivfpq(str(d), n_queries=8, nprobe=1, n_clusters=4)
+    blob_of = lambda i: i // 25  # noqa: E731
+    assert all(
+        blob_of(n) == blob_of(q)
+        for q, n in zip(got["query_id"], got["neighbor_id"])
+    )
+    assert got.groupby("query_id").size().eq(5).all()

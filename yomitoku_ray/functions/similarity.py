@@ -927,3 +927,146 @@ def ann_pq(
         .to_pandas()
     )
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def ann_ivfpq(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    nprobe: int = 4,
+    m: int = 2,
+    n_cents: int = 8,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    probe_all: bool = False,
+) -> pd.DataFrame:
+    """IVFPQ (Jegou et al. 2011): the full composition of the two halves
+    this module already proves separately — coarse trained-kmeans routing
+    (:func:`ann_kmeans`) picks each query's ``nprobe`` partitions, and
+    inside probed partitions vectors are scored by ADC over their product-
+    quantized codes only (:func:`ann_pq`), never touching raw embeddings
+    in the scoring path. This is the no-residual variant (FAISS
+    ``IndexIVFPQ`` with ``by_residual=False``): sub-codebooks are trained
+    on raw vectors, so ``probe_all=True`` must reproduce :func:`ann_pq`
+    EXACTLY — the hash gate for this operator.
+
+    Scale shape: both quantizers come from the shared Lloyd combiner
+    (driver state = n_clusters x dim + m x n_cents x dim/m floats,
+    broadcast once); the scan is one map_batches pass that drops vectors
+    whose coarse partition no query probes BEFORE any scoring, ADC-scores
+    survivors against exactly the queries probing their partition (m table
+    gathers per vector), keeps a tie-aware batch-local top-k, and merges
+    through a tiny groupby(query_id). No shuffle ever carries an
+    embedding — only (query_id, neighbor_id, dist) partials.
+
+    Columns: query_id, neighbor_id, rank (int64).
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    first = ray.data.read_parquet(path, columns=["embedding"]).take(1)[0][
+        "embedding"
+    ]
+    dim = len(first)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    per = dim // m
+    # coarse quantizer: cosine-space Lloyd (the ann_kmeans convention)
+    _, coarse = _kmeans_train(path, n_clusters, iterations, normalize=True)
+    # PQ sub-codebooks: raw-space sliced Lloyd (the ann_pq convention)
+    models = [
+        _kmeans_train(path, n_cents, iterations, dims=(j * per, (j + 1) * per))[1]
+        for j in range(m)
+    ]
+
+    queries = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n_queries}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = queries["vec_id"].to_numpy("int64")
+    q_mat = _emb_matrix(queries)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qd = ((q_norm[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    nb = len(coarse) if probe_all else min(nprobe, len(coarse))
+    probes: dict[int, list] = {}
+    for qi in range(len(q_ids)):
+        for b in np.argsort(qd[qi])[:nb]:
+            probes.setdefault(int(b), []).append(qi)
+    probe_map = {b: np.array(v, dtype=np.int64) for b, v in probes.items()}
+    tables = []
+    for j, cents in enumerate(models):
+        qs = q_mat[:, j * per : (j + 1) * per]
+        tables.append(((qs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2))
+    ref = ray.put((q_ids, coarse, models, tables, probe_map))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        q_ids, coarse, models, tables, probe_map = ray.get(ref)
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "dist": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        mat = _emb_matrix(df)
+        v_ids = df["vec_id"].to_numpy("int64")
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        part = _kmeans_assign_of(norm, coarse).astype(np.int64)
+        keep = np.fromiter(
+            (int(b) in probe_map for b in part), dtype=bool, count=len(part)
+        )
+        if not keep.any():
+            return empty
+        mat, v_ids, part = mat[keep], v_ids[keep], part[keep]
+        # ADC distances for the whole kept batch (same gathers as ann_pq)
+        n_q = len(q_ids)
+        dist = np.zeros((n_q, len(v_ids)), dtype=np.float64)
+        for j, cents in enumerate(models):
+            sub = mat[:, j * per : (j + 1) * per]
+            codes = _kmeans_assign_of(sub, cents)
+            dist += tables[j][:, codes]
+        out_q, out_n, out_d = [], [], []
+        for b in np.unique(part):
+            qs = probe_map.get(int(b))
+            if qs is None:
+                continue
+            cols = np.flatnonzero(part == b)
+            kk = min(k + 1, len(cols))
+            for qi in qs:
+                # tie-aware truncation: (dist, nid) — the ann_pq contract
+                sub_d = dist[qi, cols]
+                idx = cols[np.lexsort((v_ids[cols], sub_d))[:kk]]
+                for jj in idx:
+                    if v_ids[jj] == q_ids[qi]:
+                        continue
+                    out_q.append(q_ids[qi])
+                    out_n.append(v_ids[jj])
+                    out_d.append(dist[qi, jj])
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+                "dist": pd.Series(out_d, dtype="float64"),
+            }
+        )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "neighbor_id"], ascending=[True, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64").values,
+                "neighbor_id": g["neighbor_id"].astype("int64").values,
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(_partial, batch_format="pandas", batch_size=1024)
+        .groupby("query_id")
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
